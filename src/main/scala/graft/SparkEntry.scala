@@ -1,13 +1,467 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.ingest.Ingest
+import graft.multimodal.Binary
+import graft.streaming.Streams
+import graft.text.{Dedup, TextOps}
+import graft.timeseries.{Forecast, TimeSeries}
+import graft.validate.Quality
+import graft.vector.Similarity
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  * Every query key has a library operator behind it; the oracleSql map
+  * carries the DuckDB-equivalent SQL for the driver's correctness gate.
+  */
 object SparkEntry {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---------------- A. ingestion / ETL ----------------
+    "a1_ingest_typed" -> ((s, d) =>
+      Ingest.typedIngest(Tables.events(s, d), "event_id", "ts", "user_id", "event_type", "value")),
+    "a2_time_range_filter" -> ((s, d) =>
+      Ingest.timeRangeFilter(Tables.events(s, d), "ts", "2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        .select(col("event_id"), date_trunc("second", col("ts")).as("period"),
+          col("user_id"), col("event_type"), col("value"))),
+    "a3_dedup_keep_latest" -> ((s, d) =>
+      Ingest.dedupKeepLatest(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("period"), col("value")),
+        Seq("user_id", "event_type"), "period", "event_id")),
+    "a4_retention_keep_last_n" -> ((s, d) =>
+      Ingest.retentionKeepLastN(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+        "o_custkey", col("o_orderdate"), col("o_orderkey"), 5)),
+
+    // ---------------- B. validation / quality ----------------
+    "b1_schema_violations" -> ((s, d) =>
+      Quality.schemaViolations(Tables.events(s, d), "ts", "user_id", "event_type", "value", eventTypes)),
+    "b2_extreme_outliers" -> ((s, d) =>
+      Quality.extremeOutliers(Tables.events(s, d), "event_id", "value")),
+    "b3_gap_detection" -> ((s, d) =>
+      Quality.gapDetection(Tables.events(s, d), "user_id", "ts", "event_id", 3600L, 1.5)),
+    "b4_duplicate_timestamps" -> ((s, d) =>
+      Quality.duplicateTimestamps(Tables.events(s, d), "user_id", "ts")),
+    "b5_value_stats" -> ((s, d) =>
+      Quality.valueStats(Tables.events(s, d), "value")),
+    "b6_region_stats" -> ((s, d) =>
+      Quality.regionStats(Tables.events(s, d), "user_id", "value")),
+    "b7_iqr_outliers" -> ((s, d) =>
+      Quality.iqrOutliers(Tables.events(s, d), "user_id", "value")),
+    "b8_missing_pct" -> ((s, d) =>
+      Quality.missingPct(Tables.events(s, d), Seq("ts", "user_id", "event_type", "value"))),
+
+    // ---------------- C. time-series prep + forecasting ----------------
+    "c1_resample_hourly" -> ((s, d) =>
+      TimeSeries.resample(Tables.events(s, d), "user_id", "ts", "value", "hour")),
+    "c2_scale_minmax" -> ((s, d) =>
+      TimeSeries.scaleMinMax(Tables.events(s, d), "user_id", "ts", "event_id", "value")),
+    "c3_scale_standard" -> ((s, d) =>
+      TimeSeries.scaleStandard(Tables.events(s, d), "user_id", "ts", "event_id", "value")),
+    "c4_train_val_test_split" -> ((s, d) =>
+      TimeSeries.trainValTestSplit(Tables.events(s, d), "user_id", "ts", "event_id", 0.7, 0.15)),
+    "c5_lag_features" -> ((s, d) =>
+      TimeSeries.lagFeatures(Tables.events(s, d), "user_id", "ts", "event_id", "value",
+        Seq(1, 24, 168), 24)),
+    "c6_seasonal_naive_forecast" -> ((s, d) =>
+      Forecast.seasonalNaive(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24)),
+    "c7_forecast_metrics" -> ((s, d) =>
+      Forecast.metrics(
+        Forecast.seasonalNaive(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24),
+        "user_id", "value", "prediction")),
+    "c8_linear_forecast" -> ((s, d) =>
+      Forecast.linearTrend(Tables.events(s, d), "user_id", "ts", "value", 86400L)),
+    "c9_drift_detection" -> ((s, d) =>
+      Forecast.drift(Tables.events(s, d), "user_id", "ts", "value", 14, 7, 0.1)),
+    "c10_rolling_stats" -> ((s, d) =>
+      TimeSeries.rollingStats(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24)),
+    "c11_ridge_lag_forecast" -> ((s, d) =>
+      Forecast.ridgeLagForecast(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 1.0)),
+
+    // ---------------- D. relational analytics ----------------
+    "d1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "d2_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(s, d)),
+    "d3_top_customers" -> ((s, d) => Analytics.topCustomers(s, d, 10)),
+    "d4_order_priority_exists" -> ((s, d) => Analytics.orderPriorityExists(s, d)),
+    "d5_promo_share" -> ((s, d) => Analytics.promoShare(s, d)),
+    "d6_events_user_funnel" -> ((s, d) => Analytics.eventsUserFunnel(Tables.events(s, d))),
+
+    // ---------------- E. LLM-data operators ----------------
+    "e1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedupGroups(Tables.documents(s, d), "doc_id", "text")),
+    "e2_minhash_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
+    "e3_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
+    "e4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), 3, 0.6)),
+    "e5_cosine_dup_pairs" -> ((s, d) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.25)),
+    "e6_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "e7_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 16, 4, 5)
+    }),
+    "e8_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
+    "e9_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "e10_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d), "doc_id", "text")),
+    "e11_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "e12_binary_meta" -> ((s, d) => Binary.binaryMeta(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---------------- F. streaming-shaped ----------------
+    "f1_sessionize" -> ((s, d) =>
+      Streams.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", "value", 1800L)),
+    "f2_tumbling_window" -> ((s, d) =>
+      Streams.tumblingWindow(Tables.events(s, d), "ts", "event_type", "value", "hour")),
+    "f3_stream_dedup" -> ((s, d) =>
+      Streams.streamDedup(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("period"), col("value")),
+        Seq("user_id", "event_type", "period"), "event_id"))
+  )
+
+  // -----------------------------------------------------------------
+  // DuckDB oracle SQL — identical aliases + identical rounding. Keys
+  // absent here (c11, e2, e3, e7) are rows-only checked.
+  // -----------------------------------------------------------------
+
+  /** Shared normalized-text expression (matches graft.functions.normalizeText). */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+  private val normVecSql = (a: String) =>
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x))"
+  private val cosSql = (a: String, b: String) =>
+    s"(${dotSql(a, b)} / (${normVecSql(a)} * ${normVecSql(b)}))"
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_ingest_typed" ->
+      """SELECT event_id AS record_id, date_trunc('second', ts) AS period,
+         CAST(user_id AS VARCHAR) AS respondent, event_type AS type,
+         CAST(value AS DOUBLE) AS value FROM events""",
+    "a2_time_range_filter" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "a3_dedup_keep_latest" ->
+      """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS period, value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+           ORDER BY date_trunc('second', ts) DESC, event_id DESC) = 1""",
+    "a4_retention_keep_last_n" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) <= 5""",
+    "b1_schema_violations" ->
+      """SELECT 'null_period' AS check_name, count(*) FILTER (WHERE ts IS NULL) AS violations FROM events
+         UNION ALL SELECT 'null_respondent', count(*) FILTER (WHERE user_id IS NULL) FROM events
+         UNION ALL SELECT 'bad_type', count(*) FILTER (WHERE event_type NOT IN ('click','error','purchase','signup','view')) FROM events
+         UNION ALL SELECT 'null_value', count(*) FILTER (WHERE value IS NULL) FROM events
+         UNION ALL SELECT 'negative_value', count(*) FILTER (WHERE value < 0) FROM events""",
+    "b2_extreme_outliers" ->
+      """WITH p AS (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
+         SELECT event_id, value, round(p99, 4) AS p99 FROM events, p
+         WHERE value >= p99 * 3""",
+    "b3_gap_detection" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id FROM events),
+         g AS (SELECT user_id,
+           lag(period) OVER (PARTITION BY user_id ORDER BY period, event_id) AS prev_period,
+           period FROM t)
+         SELECT user_id, prev_period, period,
+           CAST(epoch(period) - epoch(prev_period) AS BIGINT) AS gap_seconds
+         FROM g WHERE CAST(epoch(period) - epoch(prev_period) AS BIGINT) > 3600 * 1.5""",
+    "b4_duplicate_timestamps" ->
+      """SELECT user_id, date_trunc('second', ts) AS period, count(*) AS n
+         FROM events GROUP BY 1, 2 HAVING count(*) > 1""",
+    "b5_value_stats" ->
+      """SELECT count(value) AS n,
+         floor((sum(round(value * 100, 0)) * 200 + count(value)) / (count(value) * 2)) / 10000.0 AS mean,
+         round(stddev_samp(value), 4) AS std, round(min(value), 4) AS min,
+         round(max(value), 4) AS max,
+         round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median FROM events""",
+    "b6_region_stats" ->
+      """SELECT user_id, count(*) AS records,
+         floor((sum(round(value * 100, 0)) * 200 + count(*)) / (count(*) * 2)) / 10000.0 AS mean,
+         round(min(value), 4) AS min, round(max(value), 4) AS max
+         FROM events GROUP BY 1""",
+    "b7_iqr_outliers" ->
+      """WITH b AS (SELECT user_id,
+           CAST(quantile_cont(value, 0.25) AS DOUBLE) AS q1,
+           CAST(quantile_cont(value, 0.75) AS DOUBLE) AS q3
+         FROM events GROUP BY 1)
+         SELECT e.user_id,
+           count(*) FILTER (WHERE e.value < b.q1 - (b.q3 - b.q1) * 3
+                              OR e.value > b.q3 + (b.q3 - b.q1) * 3) AS outlier_count,
+           round(any_value(b.q1 - (b.q3 - b.q1) * 3), 4) AS lower_bound,
+           round(any_value(b.q3 + (b.q3 - b.q1) * 3), 4) AS upper_bound,
+           round(count(*) FILTER (WHERE e.value < b.q1 - (b.q3 - b.q1) * 3
+                              OR e.value > b.q3 + (b.q3 - b.q1) * 3) * 100.0 / count(*), 4) AS outlier_pct
+         FROM events e JOIN b ON e.user_id = b.user_id GROUP BY 1""",
+    "b8_missing_pct" ->
+      """SELECT 'ts' AS column_name, round(count(*) FILTER (WHERE ts IS NULL) * 100.0 / count(*), 4) AS missing_pct FROM events
+         UNION ALL SELECT 'user_id', round(count(*) FILTER (WHERE user_id IS NULL) * 100.0 / count(*), 4) FROM events
+         UNION ALL SELECT 'event_type', round(count(*) FILTER (WHERE event_type IS NULL) * 100.0 / count(*), 4) FROM events
+         UNION ALL SELECT 'value', round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) FROM events""",
+    "c1_resample_hourly" ->
+      """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n,
+         floor((sum(round(value * 100, 0)) * 200 + count(*)) / (count(*) * 2)) / 10000.0 AS avg_value,
+         round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "c2_scale_minmax" ->
+      """SELECT event_id, user_id, date_trunc('second', ts) AS period, value,
+         round(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.0
+           ELSE (value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w) END, 6) AS value_scaled
+         FROM events WINDOW w AS (PARTITION BY user_id)""",
+    "c3_scale_standard" ->
+      """WITH t AS (SELECT event_id, user_id, date_trunc('second', ts) AS period, value,
+           round(value * 100, 0) AS cents FROM events),
+         w AS (SELECT *, CAST(count(*) OVER win AS DOUBLE) AS n,
+             sum(cents) OVER win AS s, sum(cents * cents) OVER win AS ss
+           FROM t WINDOW win AS (PARTITION BY user_id))
+         SELECT event_id, user_id, period, value,
+           round(CASE WHEN sqrt(greatest((ss - s * s / n) / n, 0)) = 0 THEN 0.0
+             ELSE (cents - s / n) / sqrt(greatest((ss - s * s / n) / n, 0)) END, 4) AS value_scaled
+         FROM w""",
+    "c4_train_val_test_split" ->
+      """WITH t AS (SELECT event_id, user_id, date_trunc('second', ts) AS period,
+           row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+         FROM events)
+         SELECT event_id, user_id, period,
+           CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+                WHEN rn <= floor(n * 0.7) + floor(n * 0.15) THEN 'val'
+                ELSE 'test' END AS split
+         FROM t""",
+    "c5_lag_features" ->
+      """SELECT event_id, user_id, date_trunc('second', ts) AS period, value,
+         lag(value, 1) OVER w AS lag_1, lag(value, 24) OVER w AS lag_24,
+         lag(value, 168) OVER w AS lag_168,
+         floor((sum(round(value * 100, 0)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) * 200 +
+           count(*) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) /
+           (count(*) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) * 2)) / 10000.0 AS roll_mean_24
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)""",
+    "c6_seasonal_naive_forecast" ->
+      """SELECT * FROM (
+           SELECT event_id, user_id, date_trunc('second', ts) AS period, value,
+             lag(value, 24) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS prediction
+           FROM events) t WHERE prediction IS NOT NULL""",
+    "c7_forecast_metrics" ->
+      """WITH f AS (
+           SELECT user_id, value,
+             lag(value, 24) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS prediction
+           FROM events)
+         SELECT user_id, count(*) AS n,
+           round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse,
+           round(avg(abs((value - prediction) / (value + 1e-8))) * 100, 4) AS mape
+         FROM f WHERE prediction IS NOT NULL GROUP BY 1""",
+    "c8_linear_forecast" ->
+      """WITH t AS (SELECT user_id,
+           CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS DOUBLE) AS x,
+           CAST(value AS DOUBLE) AS y FROM events),
+         r AS (SELECT user_id, regr_slope(y, x) AS slope,
+                 regr_intercept(y, x) AS intercept, max(x) AS x_max
+               FROM t GROUP BY 1)
+         SELECT user_id, round(slope * 3600 * 24, 6) AS slope_per_day,
+           round(intercept + slope * (x_max + 86400), 4) AS forecast FROM r""",
+    "c9_drift_detection" ->
+      """WITH m AS (SELECT max(date_trunc('second', ts)) AS max_ts FROM events),
+         t AS (SELECT user_id, value, round(value * 100, 0) AS cents,
+           CASE WHEN date_trunc('second', ts) >= max_ts - INTERVAL 7 DAY THEN 'current'
+                WHEN date_trunc('second', ts) >= max_ts - INTERVAL 21 DAY THEN 'reference'
+           END AS bucket
+           FROM events, m),
+         g AS (SELECT user_id,
+           sum(cents) FILTER (WHERE bucket = 'reference') /
+             count(*) FILTER (WHERE bucket = 'reference') / 100.0 AS ref_mean,
+           sum(cents) FILTER (WHERE bucket = 'current') /
+             count(*) FILTER (WHERE bucket = 'current') / 100.0 AS cur_mean
+           FROM t WHERE bucket IS NOT NULL GROUP BY 1)
+         SELECT user_id, round(ref_mean, 4) AS ref_mean, round(cur_mean, 4) AS cur_mean,
+           round(abs(cur_mean - ref_mean) / ref_mean, 6) AS shift,
+           abs(cur_mean - ref_mean) / ref_mean > 0.1 AS drifted
+         FROM g WHERE ref_mean IS NOT NULL AND cur_mean IS NOT NULL""",
+    "c10_rolling_stats" ->
+      """WITH t AS (SELECT event_id, user_id, date_trunc('second', ts) AS period, value,
+           round(value * 100, 0) AS cents FROM events),
+         w AS (SELECT *, CAST(count(*) OVER win AS DOUBLE) AS n,
+             sum(cents) OVER win AS s, sum(cents * cents) OVER win AS ss
+           FROM t WINDOW win AS (PARTITION BY user_id ORDER BY period, event_id
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, period, value,
+           floor((s * 200 + n) / (n * 2)) / 10000.0 AS roll_mean,
+           round(CASE WHEN n = 1 THEN NULL
+             ELSE sqrt(greatest((ss - s * s / n) / (n - 1), 0)) / 100.0 END, 4) AS roll_std
+         FROM w""",
+    "d1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01' GROUP BY 1, 2""",
+    "d2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
+    "d3_top_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "d4_order_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1""",
+    "d5_promo_share" ->
+      """SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+           sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "d6_events_user_funnel" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'view') AS views,
+         count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         count(*) FILTER (WHERE event_type = 'signup') AS signups,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value
+         FROM events GROUP BY 1""",
+    "e1_exact_dedup" ->
+      s"""SELECT md5($normSql) AS text_hash, min(doc_id) AS keep_doc_id,
+          count(*) AS dup_count FROM documents GROUP BY 1""",
+    "e4_ngram_jaccard" ->
+      s"""WITH norm AS (SELECT doc_id, lang || source AS block, $normSql AS t FROM documents),
+          pos AS (SELECT doc_id, block, t, unnest(range(1, greatest(length(t) - 1, 1))) AS g FROM norm),
+          grams AS (SELECT DISTINCT doc_id, block, substr(t, CAST(g AS INT), 3) AS gram FROM pos),
+          counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM grams a JOIN grams b ON a.block = b.block AND a.gram = b.gram
+              AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+            round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+          FROM pairs JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+          WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.6""",
+    "e5_cosine_dup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.25""",
+    "e6_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+            round(${cosSql("qv", "c.embedding")}, 6) AS cosine
+            FROM embeddings c, q WHERE query_id <> c.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+          FROM ranked WHERE rank <= 5""",
+    "e8_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS DOUBLE) AS s_de,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that|it)\b')) AS DOUBLE) AS s_en,
+           CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las|una|es)\b')) AS DOUBLE) AS s_es,
+           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|une|dans)\b')) AS DOUBLE) AS s_fr,
+           CAST(len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS DOUBLE) * 2 AS s_zh
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+                WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                WHEN s_en > s_de THEN 'en'
+                ELSE 'de' END AS detected_lang,
+           CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS marker_hits
+         FROM s""",
+    "e9_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+           length(text) AS n_chars_computed,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b')) AS n_stop
+         FROM documents)
+         SELECT doc_id, n_chars_computed, n_words,
+           round(CAST(n_chars_computed AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
+           round(CAST(n_punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) AS punct_ratio,
+           round(CAST(n_digit AS DOUBLE) / greatest(n_chars_computed, 1), 6) AS digit_ratio,
+           round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stopword_ratio,
+           round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+             1.0
+             * (CASE WHEN round(CAST(n_chars_computed AS DOUBLE) / greatest(n_words, 1), 4) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN round(CAST(n_punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) < 0.2 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) > 0.01 THEN 1.0 ELSE 0.7 END)
+           END, 4) AS quality_score
+         FROM t""",
+    "e10_token_count" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+         round(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS DOUBLE) /
+           greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 4) AS tokens_per_word
+         FROM documents""",
+    "e11_fingerprint" ->
+      s"""SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split($normSql, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+          FROM documents""",
+    "e12_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+         sha256(text) AS sha256,
+         lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+         FROM documents""",
+    "f1_sessionize" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
+         g AS (SELECT *, CASE WHEN lag(period) OVER w IS NULL
+             OR CAST(epoch(period) - epoch(lag(period) OVER w) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY period, event_id)),
+         s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY period, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
+         SELECT user_id, session_id, min(period) AS session_start, max(period) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY 1, 2""",
+    "f2_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "f3_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS period, value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type, date_trunc('second', ts)
+           ORDER BY event_id) = 1"""
+  )
 }

@@ -1,0 +1,100 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** General relational analytics surface — the engine's query layer.
+  *
+  * TPC-H-shaped queries over the star schema, written so Catalyst gets
+  * the plan it wants at 100 TB: dimension sides explicitly broadcast,
+  * filters ahead of joins (and pushed to the scan), aggregates with
+  * map-side partials. Floats are rounded at the output edge only.
+  */
+object Analytics {
+
+  /** Q1-style pricing summary: single wide scan, multi-aggregate, no
+    * join — the whole-stage-codegen happy path. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q5-style revenue rollup across the full star join. Dimensions are
+    * broadcast (region/nation/customer are tiny next to a 100 TB fact);
+    * the only real shuffle is lineitem⋈orders on orderkey. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q10-style top customers by revenue: join + agg + deterministic
+    * top-N (rank ties broken by key). */
+  def topCustomers(spark: SparkSession, dir: String, topN: Int): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topN)
+  }
+
+  /** Q4-style EXISTS: orders with at least one late line, counted per
+    * priority. left-semi join shuffles only the keys. */
+  def orderPriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val late = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q14-style conditional share: % of revenue from one part type. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(
+          sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_share_pct"))
+  }
+
+  /** Behavioral funnel over the event stream: per user, conditional
+    * event-type counts + value rollup (single groupBy pass). */
+  def eventsUserFunnel(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signups"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4)
+          .as("purchase_value"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level building blocks.
+  *
+  * Everything here composes built-in (codegen'd) Catalyst expressions —
+  * no Scala UDFs — so whole-stage codegen stays intact at 100 TB.
+  */
+package object functions {
+
+  /** Cosine similarity between two array<float|double> columns.
+    * Pure higher-order-function composition (zip_with + aggregate), all
+    * inside codegen. Inputs are cast to double for deterministic math.
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(ad, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(bd, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Dot product of two numeric array columns (double). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Polynomial rolling-hash fingerprint of a string, mod 1e9+7.
+    * Wraparound-free (fits int64) so DuckDB (which raises on BIGINT
+    * overflow) can compute the identical value for the oracle.
+    */
+  def polyFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  /** Half-up 4-decimal rounding of the mean `sumCents / (100 * n)`,
+    * computed in exact integer arithmetic: floor((200*s + n) / (2n)) / 1e4.
+    * Engine-portable — float `round()` implementations disagree when the
+    * true mean lands exactly on a x.xxxx5 boundary (Spark rounds the
+    * shortest decimal repr, DuckDB rounds the raw binary double). */
+  def roundMeanE4(sumCents: Column, n: Column): Column =
+    floor((sumCents * 200 + n) / (n * 2)) / 10000.0
+
+  /** Lower-cased, punctuation-stripped, whitespace-normalized text —
+    * the canonical form used by dedup and fingerprinting. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Distinct character n-grams of a string as an array column. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+        i => text.substr(i, lit(n))))
+
+  /** Word n-gram shingles (space-joined) of a string. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(-1))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+}

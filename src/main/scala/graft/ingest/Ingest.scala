@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion / ETL operators.
+  *
+  * Re-expresses the reference's extraction surface
+  * (data_extraction.py:38-122 — typed feed with numeric coercion and
+  * time ordering; :124-133 — recent-window fetch) and the retention
+  * cleanup (airflow_dag.py:570-631) as declarative DataFrame transforms.
+  * All are narrow or single-shuffle; predicates land on the scan so
+  * partition pruning works at 100 TB.
+  */
+object Ingest {
+
+  /** Typed ingest: project + coerce a raw feed into the canonical
+    * (key, ts, type, value) shape. `try_cast`-style coercion via
+    * cast-null semantics mirrors pandas `to_numeric(errors='coerce')`.
+    * Timestamps are truncated to whole seconds — the canonical feed
+    * granularity (and what keeps engines bit-identical downstream).
+    */
+  def typedIngest(raw: DataFrame, idCol: String, tsCol: String, keyCol: String,
+                  typeCol: String, valueCol: String): DataFrame =
+    raw.select(
+      col(idCol).cast("long").as("record_id"),
+      date_trunc("second", col(tsCol)).as("period"),
+      col(keyCol).cast("string").as("respondent"),
+      col(typeCol).cast("string").as("type"),
+      col(valueCol).cast("double").as("value"))
+
+  /** Closed-open time-range filter — fetch_recent_data re-expressed as a
+    * pruned scan predicate (reaches parquet as PushedFilters). */
+  def timeRangeFilter(df: DataFrame, tsCol: String, startIncl: String, endExcl: String): DataFrame =
+    df.filter(col(tsCol) >= lit(startIncl).cast("timestamp") &&
+              col(tsCol) < lit(endExcl).cast("timestamp"))
+
+  /** Keep the latest record per key set, deterministic tie-break.
+    * One shuffle on the keys; at scale the window partitioning is the
+    * same hash partitioning a groupBy would use. */
+  def dedupKeepLatest(df: DataFrame, keys: Seq[String], orderCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Retention: keep the newest n records per group (cleanup_old_files
+    * semantics — keep_count newest per prefix). */
+  def retentionKeepLastN(df: DataFrame, groupCol: String, orderCol: Column,
+                         tieBreak: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCol.desc, tieBreak.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+}

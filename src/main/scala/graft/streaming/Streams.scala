@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-shaped operators.
+  *
+  * Each has (1) a batch form — the oracle-checkable semantics — and
+  * (2) a Structured Streaming twin usable on `readStream` sources with
+  * watermarks. The batch forms are window/groupBy pipelines that
+  * partition by key, so both forms share one shuffle layout.
+  */
+object Streams {
+
+  /** Gap-based sessionization (batch form): a new session starts after
+    * `gapSeconds` of inactivity; emits per-session rollups.
+    * Timestamps are second-truncated for exact-integer gap math. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 valueCol: String, gapSeconds: Long): DataFrame = {
+    val ordered = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    events
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol))
+      .withColumn("prev", lag(col("period"), 1).over(ordered))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          col("period").cast("long") - col("prev").cast("long") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col("period")).as("session_start"),
+        max(col("period")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("sum_value"))
+  }
+
+  /** Tumbling-window aggregation (batch form): fixed windows via
+    * date_trunc; the streaming twin uses window() + watermark. */
+  def tumblingWindow(events: DataFrame, tsCol: String, dimCol: String,
+                     valueCol: String, unit: String): DataFrame =
+    events.groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(dimCol))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 4).as("sum_value"))
+
+  /** Idempotent event dedup (batch form): first occurrence per natural
+    * key; the streaming twin is dropDuplicatesWithinWatermark. */
+  def streamDedup(events: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    events.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Structured Streaming twins
+  // ---------------------------------------------------------------------
+
+  /** Streaming tumbling-window aggregation with watermarking. */
+  def tumblingWindowStream(events: DataFrame, tsCol: String, dimCol: String,
+                           valueCol: String, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(dimCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
+  /** Streaming dedup bounded by a watermark. */
+  def streamDedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                        watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols :+ tsCol)
+
+  case class SessionEvent(key: Long, epochSec: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(key: Long, sessionStart: Long, sessionEnd: Long, n: Long, sum: Double)
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a
+    * session when the inactivity gap elapses (processing-time timeout
+    * keyed state; at scale state is partitioned by key in the state
+    * store). */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, s.start, s.last, s.n, s.sum))
+          } else {
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            it.toSeq.sortBy(_.epochSec).foreach { e =>
+              cur match {
+                case Some(s) if e.epochSec - s.last > gapSeconds =>
+                  closed += SessionOut(key, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(e.epochSec, e.epochSec, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, e.epochSec, s.n + 1, s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(e.epochSec, e.epochSec, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text-analysis operators for LLM training-data pipelines:
+  * quality scoring, token counting, language ID, fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs) — one narrow pass
+  * over the corpus at any scale.
+  */
+object TextOps {
+
+  private val stopwordsRe = "\\b(the|a|an|and|of|to|in|is|it|for|on|with)\\b"
+
+  /** Document quality features + composite score: length, word stats,
+    * punctuation/stopword/digit ratios. Mirrors standard pretraining
+    * quality filters (C4/Gopher-style heuristics). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(words))
+    val nPunct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val nDigit = length(t) - length(regexp_replace(t, "[0-9]", ""))
+    val nStop = size(regexp_extract_all(lower(t), lit(stopwordsRe), lit(0)))
+    docs.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars_computed"),
+      nWords.cast("long").as("n_words"),
+      round(nChars.cast("double") / greatest(nWords, lit(1)), 4).as("avg_word_len"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(nDigit.cast("double") / greatest(nChars, lit(1)), 6).as("digit_ratio"),
+      round(nStop.cast("double") / greatest(nWords, lit(1)), 6).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(
+          when(col("n_words") < 5, 0.0).otherwise(
+            lit(1.0)
+              * when(col("avg_word_len").between(3, 10), 1.0).otherwise(0.5)
+              * when(col("punct_ratio") < 0.2, 1.0).otherwise(0.5)
+              * when(col("stopword_ratio") > 0.01, 1.0).otherwise(0.7)), 4))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / single digits / single symbols) — the cheap proxy
+    * for tokenizer budgeting over a 100 TB corpus. */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = when(length(trim(t)) === 0, 0).otherwise(size(split(trim(t), "\\s+")))
+    val bpe = size(regexp_extract_all(t, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+    docs.select(col(idCol), ws.cast("long").as("ws_tokens"), bpe.cast("long").as("bpe_tokens"),
+      round(bpe.cast("double") / greatest(ws, lit(1)), 4).as("tokens_per_word"))
+  }
+
+  /** N-gram/stopword-heuristic language ID. Scores each candidate
+    * language by marker-word/script hits; deterministic argmax with
+    * alphabetical tie-break. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    def hits(re: String): Column = size(regexp_extract_all(t, lit(re), lit(0))).cast("double")
+    val scores: Seq[(String, Column)] = Seq(
+      "de" -> hits("\\b(der|die|das|und|ist|nicht|ein|zu)\\b"),
+      "en" -> hits("\\b(the|and|of|is|to|in|that|it)\\b"),
+      "es" -> hits("\\b(el|la|de|que|los|las|una|es)\\b"),
+      "fr" -> hits("\\b(le|la|les|et|des|est|une|dans)\\b"),
+      "zh" -> hits("[\\u4e00-\\u9fff]") * 2)
+    // argmax with alphabetical tie-break: scan in language order, keep
+    // the strictly-greatest score.
+    val (bestLang, bestScore) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    docs.select(col(idCol),
+      when(bestScore > 0, bestLang).otherwise(lit("und")).as("detected_lang"),
+      bestScore.cast("long").as("marker_hits"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over normalized text — the
+    * cheap exact-dup / shard-routing key. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      polyFingerprint(normalizeText(col(textCol))).as("fingerprint"))
+}

@@ -1,0 +1,118 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.roundMeanE4
+
+/** Time-series preparation operators.
+  *
+  * Re-expresses the reference's per-region series prep
+  * (model.py:187-226, kubeflow_pipeline.py:106-140): ordering, scaling,
+  * ordered train/val/test split, and the sliding-window sample
+  * generator re-cast as lag features. Everything partitions by the
+  * series key — at 100 TB the workload is millions of independent
+  * series, so per-key windows shuffle once and never need a global sort.
+  */
+object TimeSeries {
+
+  /** Resample to fixed buckets (date_trunc) with per-bucket aggregates —
+    * the hourly-feed normalization step. */
+  def resample(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+               unit: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        roundMeanE4(sum(round(col(valueCol) * 100, 0)), count(lit(1))).as("avg_value"),
+        round(sum(col(valueCol)), 4).as("sum_value"))
+
+  /** Per-key MinMax scaling (kubeflow_pipeline.py:108-109 MinMaxScaler),
+    * distributed via window min/max — one shuffle on the key. */
+  def scaleMinMax(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val mn = min(col(valueCol)).over(w)
+    val mx = max(col(valueCol)).over(w)
+    df.select(col(idCol), col(keyCol),
+      date_trunc("second", col(tsCol)).as("period"), col(valueCol),
+      round(when(mx === mn, 0.0).otherwise((col(valueCol) - mn) / (mx - mn)), 6)
+        .as("value_scaled"))
+  }
+
+  /** Per-key z-score standardization (model.py:182 StandardScaler).
+    * Population std (ddof=0) to match sklearn's StandardScaler. */
+  def scaleStandard(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    valueCol: String): DataFrame = {
+    // Moments are accumulated over exact integer cents (inputs carry two
+    // decimals) so the result is bit-identical regardless of partial-
+    // aggregation order — float summation order otherwise shifts the
+    // last ulp and flips rounding. z-scores are scale-invariant, so
+    // cents-space standardization equals value-space.
+    val w = Window.partitionBy(col(keyCol))
+    val cents = round(col(valueCol) * 100, 0)
+    val n = count(lit(1)).over(w).cast("double")
+    val s = sum(cents).over(w)
+    val ss = sum(cents * cents).over(w)
+    val mu = s / n
+    val sd = sqrt(greatest((ss - s * s / n) / n, lit(0.0)))
+    df.select(col(idCol), col(keyCol),
+      date_trunc("second", col(tsCol)).as("period"), col(valueCol),
+      round(when(sd === 0.0, 0.0).otherwise((cents - mu) / sd), 4)
+        .as("value_scaled"))
+  }
+
+  /** Ordered train/val/test split labels per key
+    * (kubeflow_pipeline.py:127-132: 0.7/0.15/0.15 by time order). */
+  def trainValTestSplit(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                        trainFrac: Double, valFrac: Double): DataFrame = {
+    val cw = Window.partitionBy(col(keyCol))
+    df.select(col(idCol), col(keyCol), date_trunc("second", col(tsCol)).as("period"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("split",
+        when(col("__rn") <= floor(col("__n") * trainFrac), "train")
+          .when(col("__rn") <= floor(col("__n") * trainFrac) + floor(col("__n") * valFrac), "val")
+          .otherwise("test"))
+      .drop("__rn", "__n")
+  }
+
+  /** Supervised lag features — the TimeSeriesDataset sliding window
+    * (model.py:19-41, seq_len=168 → horizon=24) re-expressed as lag
+    * columns + rolling context, the layout a distributed trainer
+    * actually consumes. */
+  def lagFeatures(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                  valueCol: String, lags: Seq[Int], rollN: Int): DataFrame = {
+    val base = df.select(col(idCol), col(keyCol),
+      date_trunc("second", col(tsCol)).as("period"), col(valueCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    val withLags = lags.foldLeft(base) { (d, l) =>
+      d.withColumn(s"lag_$l", lag(col(valueCol), l).over(w))
+    }
+    // rolling mean from exact integer cents: order-independent, so the
+    // rounded result is reproducible across engines and partitionings
+    val wr = w.rowsBetween(-(rollN - 1), 0)
+    val cents = round(col(valueCol) * 100, 0)
+    withLags.withColumn(s"roll_mean_$rollN",
+      roundMeanE4(sum(cents).over(wr), count(lit(1)).over(wr)))
+  }
+
+  /** Rolling mean/std over the previous n rows per key. */
+  def rollingStats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   valueCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(date_trunc("second", col(tsCol)), col(idCol))
+      .rowsBetween(-(n - 1), 0)
+    // exact-integer-cents moments (see scaleStandard) for reproducible
+    // rounding of mean/std across engines and aggregation orders
+    val cents = round(col(valueCol) * 100, 0)
+    val cnt = count(lit(1)).over(w).cast("double")
+    val s = sum(cents).over(w)
+    val ss = sum(cents * cents).over(w)
+    val variance = greatest((ss - s * s / cnt) / (cnt - 1), lit(0.0))
+    df.select(col(idCol), col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+      col(valueCol),
+      roundMeanE4(s, cnt).as("roll_mean"),
+      round(when(cnt === 1.0, lit(null).cast("double"))
+        .otherwise(sqrt(variance) / 100.0), 4).as("roll_std"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.validate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.roundMeanE4
+
+/** Data-quality / validation operators.
+  *
+  * Re-expresses the reference's Pandera schema + custom checks
+  * (data_validation.py:25-226) as single-pass distributed aggregations:
+  * no per-region driver loops — every per-region check is one groupBy.
+  * At 100 TB each check is one scan + one (partial-aggregated) shuffle
+  * on the region key.
+  */
+object Quality {
+
+  /** Schema-rule violation counts in ONE aggregation pass
+    * (data_validation.py:28-70): null checks, type-domain membership,
+    * non-negative values. Output: (check_name, violations). */
+  def schemaViolations(df: DataFrame, tsCol: String, keyCol: String,
+                       typeCol: String, valueCol: String,
+                       typeDomain: Seq[String]): DataFrame = {
+    val agg = df.agg(
+      sum(when(col(tsCol).isNull, 1L).otherwise(0L)).as("null_period"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_respondent"),
+      sum(when(!col(typeCol).isin(typeDomain.map(lit): _*), 1L).otherwise(0L)).as("bad_type"),
+      sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("null_value"),
+      sum(when(col(valueCol) < 0, 1L).otherwise(0L)).as("negative_value"))
+    agg.selectExpr(
+      "stack(5, 'null_period', null_period, 'null_respondent', null_respondent, " +
+        "'bad_type', bad_type, 'null_value', null_value, " +
+        "'negative_value', negative_value) as (check_name, violations)")
+  }
+
+  /** Rows violating the extreme-outlier rule `value < 3 * p99`
+    * (data_validation.py:61-62). Exact interpolated percentile to match
+    * pandas quantile(); the p99 scalar is broadcast-joined, so this is
+    * scan + tiny-agg + scan at scale (approx_percentile is the drop-in
+    * for 100 TB when exactness isn't contractual). */
+  def extremeOutliers(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val p99 = df.agg(expr(s"percentile($valueCol, 0.99)").as("p99"))
+    df.select(col(idCol), col(valueCol))
+      .crossJoin(broadcast(p99))
+      .filter(col(valueCol) >= col("p99") * 3)
+      .select(col(idCol), col(valueCol), round(col("p99"), 4).as("p99"))
+  }
+
+  /** Per-key time-continuity gaps: consecutive deltas above
+    * toleranceFactor × expected cadence (data_validation.py:110-133).
+    * Timestamps are second-truncated first so the gap arithmetic is
+    * exact-integer on every engine. */
+  def gapDetection(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   expectedSeconds: Long, toleranceFactor: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(keyCol), date_trunc("second", col(tsCol)).as("period"), col(idCol))
+      .withColumn("prev_period", lag(col("period"), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))))
+      .withColumn("gap_seconds",
+        col("period").cast("long") - col("prev_period").cast("long"))
+      .filter(col("gap_seconds") > expectedSeconds * toleranceFactor)
+      .select(col(keyCol), col("prev_period"), col("period"), col("gap_seconds"))
+  }
+
+  /** Duplicate (key, second-truncated ts) detection
+    * (data_validation.py:149-154). */
+  def duplicateTimestamps(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("second", col(tsCol)).as("period"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Global value statistics (data_validation.py:156-173): count, mean,
+    * std, min, max, exact median. */
+  def valueStats(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      count(col(valueCol)).as("n"),
+      roundMeanE4(sum(round(col(valueCol) * 100, 0)), count(col(valueCol))).as("mean"),
+      round(stddev_samp(col(valueCol)), 4).as("std"),
+      round(min(col(valueCol)), 4).as("min"),
+      round(max(col(valueCol)), 4).as("max"),
+      round(expr(s"percentile($valueCol, 0.5)"), 4).as("median"))
+
+  /** Per-key statistics (data_validation.py:176-185). */
+  def regionStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("records"),
+        roundMeanE4(sum(round(col(valueCol) * 100, 0)), count(lit(1))).as("mean"),
+        round(min(col(valueCol)), 4).as("min"),
+        round(max(col(valueCol)), 4).as("max"))
+
+  /** Per-key IQR outlier detection with [Q1-3·IQR, Q3+3·IQR] bounds
+    * (data_validation.py:187-226). Two-phase: per-key exact quartiles,
+    * broadcast back, count violations — one shuffle each. */
+  def iqrOutliers(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val bounds = df.groupBy(col(keyCol)).agg(
+      expr(s"percentile($valueCol, 0.25)").as("q1"),
+      expr(s"percentile($valueCol, 0.75)").as("q3"),
+      count(lit(1)).as("records"))
+      .withColumn("lower_bound", col("q1") - (col("q3") - col("q1")) * 3)
+      .withColumn("upper_bound", col("q3") + (col("q3") - col("q1")) * 3)
+    df.join(broadcast(bounds), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col(valueCol) < col("lower_bound") || col(valueCol) > col("upper_bound"), 1L)
+          .otherwise(0L)).as("outlier_count"),
+        round(first(col("lower_bound")), 4).as("lower_bound"),
+        round(first(col("upper_bound")), 4).as("upper_bound"),
+        round(sum(when(col(valueCol) < col("lower_bound") || col(valueCol) > col("upper_bound"), 1L)
+          .otherwise(0L)) * 100.0 / count(lit(1)), 4).as("outlier_pct"))
+  }
+
+  /** Missing-value percentage per column (data_validation.py:138-147). */
+  def missingPct(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("__total"),
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__m_$c")): _*)
+    val stackArgs = cols.map(c => s"'$c', round(__m_$c * 100.0 / __total, 4)").mkString(", ")
+    agg.selectExpr(s"stack(${cols.size}, $stackArgs) as (column_name, missing_pct)")
+  }
+}

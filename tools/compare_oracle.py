@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sfdir> <verify_out_dir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the
+corresponding oracle SQL (from oracle_sql.json) in DuckDB over views of
+the sf tables, and compares: columns sorted by name, rows sorted by all
+columns, values compared exactly (floats via repr after float64 cast).
+"""
+import json, sys, glob, math
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        try:
+            got = pd.read_parquet(f"{outdir}/{name}")
+            want = con.sql(oracle[name]).df()
+            g, w = canon(got), canon(want)
+            if list(g.columns) != list(w.columns):
+                results[name] = f"SCHEMA got={list(g.columns)} want={list(w.columns)}"
+                continue
+            if len(g) != len(w):
+                results[name] = f"ROWS got={len(g)} want={len(w)}"
+                continue
+            mismatch = None
+            for c in g.columns:
+                a, b = g[c], w[c]
+                if pd.api.types.is_float_dtype(a):
+                    eq = (a.isna() & b.isna()) | (a == b)
+                else:
+                    eq = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
+                if not eq.all():
+                    i = int(np.argmin(eq.values))
+                    mismatch = f"VALUES col={c} row={i} got={a.iloc[i]!r} want={b.iloc[i]!r}"
+                    break
+            results[name] = mismatch or "OK"
+        except Exception as ex:
+            results[name] = f"ERROR {str(ex)[:200]}"
+    npass = sum(1 for v in results.values() if v == "OK")
+    for name, v in results.items():
+        print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}" + ("" if v == "OK" else f"  {v}"))
+    print(f"\n{npass}/{len(results)} oracle queries match")
+    # rows-only queries (no oracle): report row counts
+    import os
+    for d in sorted(glob.glob(f"{outdir}/*")):
+        name = os.path.basename(d)
+        if os.path.isdir(d) and name not in oracle:
+            n = len(pd.read_parquet(d))
+            print(f"ROWS-ONLY {name}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
