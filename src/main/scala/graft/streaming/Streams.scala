@@ -70,19 +70,26 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols :+ tsCol)
 
-  case class SessionEvent(key: Long, epochSec: Long, value: Double)
+  case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(key: Long, sessionStart: Long, sessionEnd: Long, n: Long, sum: Double)
 
-  /** Streaming sessionization via flatMapGroupsWithState: emits a
-    * session when the inactivity gap elapses (processing-time timeout
-    * keyed state; at scale state is partitioned by key in the state
-    * store). */
-  def sessionizeStream(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
+  /** Streaming sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout: a session closes when the watermark passes its
+    * last event + gap. Event-time (not processing-time) timeouts matter
+    * twice over: semantics follow the data clock under replay/backfill,
+    * and pending processing-time timeouts force the micro-batch loop to
+    * run continuous empty batches (so processAllAvailable never sees
+    * quiescence). State is partitioned by key in the state store — the
+    * same layout that scales to millions of concurrent sessions. */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSeconds: Long,
+                       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.key)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -91,20 +98,23 @@ object Streams {
           } else {
             var cur = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            it.toSeq.sortBy(_.epochSec).foreach { e =>
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val sec = e.ts.getTime / 1000
               cur match {
-                case Some(s) if e.epochSec - s.last > gapSeconds =>
+                case Some(s) if sec - s.last > gapSeconds =>
                   closed += SessionOut(key, s.start, s.last, s.n, s.sum)
-                  cur = Some(SessionState(e.epochSec, e.epochSec, 1, e.value))
+                  cur = Some(SessionState(sec, sec, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, e.epochSec, s.n + 1, s.sum + e.value))
+                  cur = Some(SessionState(s.start, sec, s.n + 1, s.sum + e.value))
                 case None =>
-                  cur = Some(SessionState(e.epochSec, e.epochSec, 1, e.value))
+                  cur = Some(SessionState(sec, sec, 1, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSeconds * 1000)
+              // must stay ahead of the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max((s.last + gapSeconds) * 1000, state.getCurrentWatermarkMs + 1))
             }
             closed.iterator
           }

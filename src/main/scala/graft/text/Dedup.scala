@@ -62,20 +62,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: sign-aggregated bit votes of token hashes.
-    * Computed with higher-order functions over the per-doc token-hash
-    * list (bounded by doc length — safe to collect per doc). */
+    * 64 plain sum aggregates over the exploded token hashes — all inside
+    * whole-stage codegen with map-side partials (higher-order-function
+    * lambdas would fall back to interpreted eval), so it stays one
+    * narrow pass + one shuffle on doc_id at any corpus size. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("doc_id"),
       explode(split(normalizeText(col(textCol)), "\\s+")).as("token"))
     val hashed = tokens.select(col("doc_id"), xxhash64(col("token")).as("h"))
-    val perDoc = hashed.groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
     // bit b of simhash = 1 iff sum over tokens of (+1 if bit set else -1) > 0
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    val voteAggs = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v_$b")
     }
-    perDoc.select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val votes = hashed.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val bits = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    votes.select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** Near-dup pairs within a Hamming radius of SimHash fingerprints.

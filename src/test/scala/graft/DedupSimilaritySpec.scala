@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextOps}
+import graft.vector.Similarity
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s1"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank today!", "en", "s1"), // near-dup of 1 (case/punct)
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday", "en", "s1"), // 1-word change
+    (4L, "completely different content about spark distributed query engines and shuffles", "en", "s1"),
+    (5L, "el rapido zorro marron salta sobre el perro perezoso cerca del rio", "es", "s1")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exactDedupGroups groups case/punctuation variants") {
+    val out = Dedup.exactDedupGroups(docs, "doc_id", "text")
+    val grp = out.filter(col("dup_count") === 2).collect()
+    assert(grp.length == 1 && grp.head.getAs[Long]("keep_doc_id") == 1L)
+    assert(out.count() == 4) // 5 docs, one merged pair
+  }
+
+  test("minhashLshPairs finds the near-duplicate pair, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash of near-identical docs is close in Hamming space") {
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) == 0)      // identical after normalization
+    assert(ham(m(1L), m(3L)) <= 16)     // one word changed
+    assert(ham(m(1L), m(4L)) > 10)      // unrelated
+  }
+
+  test("simhashPairs returns pairs within the radius via pigeonhole blocking") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs: identical normalized docs score 1.0") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), 3, 0.5)
+    val m = out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
+  }
+
+  test("langId distinguishes stopword-marked languages") {
+    val out = TextOps.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "es")
+  }
+
+  test("bruteForceTopK returns true nearest neighbors in rank order") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // ranks are 1..5 and cosine non-increasing per query
+    val perQuery = out.orderBy("query_id", "rank").collect().groupBy(_.getAs[Long]("query_id"))
+    perQuery.values.foreach { rows =>
+      val cosines = rows.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+      assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
+  test("annLshTopK achieves reasonable recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLshTopK(emb, queries, "vec_id", "embedding", 16, 4, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall") // 4 bands of 4 bits on random vectors
+  }
+
+  test("cosineDupPairs is symmetric-free and above threshold") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.cosineDupPairs(emb, "vec_id", "embedding", "label", 0.25).collect()
+    assert(out.forall(r => r.getAs[Double]("cosine") >= 0.25))
+    assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ingest.Ingest
+import graft.validate.Quality
+
+class IngestQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  lazy val feed = Seq(
+    (1L, ts("2024-01-01 00:00:00"), "A", "D", 10.0),
+    (2L, ts("2024-01-01 01:00:00"), "A", "D", 12.0),
+    (3L, ts("2024-01-01 04:00:00"), "A", "D", 11.0), // 3h gap
+    (4L, ts("2024-01-01 00:00:00"), "B", "D", -5.0), // negative
+    (5L, ts("2024-01-01 00:00:00"), "B", "X", 7.0)   // bad type, dup ts
+  ).toDF("event_id", "ts", "key", "type", "value")
+
+  test("typedIngest coerces and renames to the canonical feed shape") {
+    val out = Ingest.typedIngest(feed, "event_id", "ts", "key", "type", "value")
+    assert(out.columns.toSeq == Seq("record_id", "period", "respondent", "type", "value"))
+    assert(out.count() == 5)
+  }
+
+  test("timeRangeFilter is closed-open") {
+    val out = Ingest.timeRangeFilter(feed, "ts", "2024-01-01 01:00:00", "2024-01-01 04:00:00")
+    assert(out.select("event_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("dedupKeepLatest keeps the newest row per key with id tie-break") {
+    val out = Ingest.dedupKeepLatest(feed, Seq("key"), "ts", "event_id")
+    val kept = out.select("event_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L)) // A: latest ts; B: tie on ts -> higher id
+  }
+
+  test("retentionKeepLastN keeps newest n per group") {
+    val out = Ingest.retentionKeepLastN(feed, "key", col("ts"), col("event_id"), 2)
+    assert(out.count() == 4)
+    assert(out.filter(col("key") === "A").select("event_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("schemaViolations counts domain and sign violations in one pass") {
+    val out = Quality.schemaViolations(feed, "ts", "key", "type", "value", Seq("D", "NG"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("bad_type") == 1)
+    assert(out("negative_value") == 1)
+    assert(out("null_value") == 0)
+  }
+
+  test("gapDetection flags gaps beyond tolerance with exact seconds") {
+    val out = Quality.gapDetection(feed, "key", "ts", "event_id", 3600L, 1.5)
+    val gaps = out.select("gap_seconds").as[Long].collect()
+    assert(gaps.toSeq == Seq(3 * 3600L))
+  }
+
+  test("duplicateTimestamps finds per-key duplicate seconds") {
+    val out = Quality.duplicateTimestamps(feed, "key", "ts")
+    assert(out.count() == 1)
+    assert(out.select("n").as[Long].head() == 2)
+  }
+
+  test("iqrOutliers bounds contain all points of a tight distribution") {
+    val out = Quality.iqrOutliers(feed.filter(col("key") === "A"), "key", "value")
+    val r = out.head()
+    assert(r.getAs[Long]("outlier_count") == 0)
+    assert(r.getAs[Double]("lower_bound") < 10.0 && r.getAs[Double]("upper_bound") > 12.0)
+  }
+
+  test("valueStats on the real feed matches basic invariants") {
+    val ev = Tables.events(spark, sf)
+    val r = Quality.valueStats(ev, "value").head()
+    assert(r.getAs[Long]("n") == ev.count())
+    assert(r.getAs[Double]("min") <= r.getAs[Double]("median"))
+    assert(r.getAs[Double]("median") <= r.getAs[Double]("max"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val ev = Seq(
+    (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 1.0),
+    (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "view", 2.0),
+    (3L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "view", 3.0), // new session (gap > 30min)
+    (4L, Timestamp.valueOf("2024-01-01 10:05:00"), 8L, "click", 4.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize splits on the inactivity gap and rolls up") {
+    val out = Streams.sessionize(ev, "user_id", "ts", "event_id", "value", 1800L)
+    val u7 = out.filter(col("user_id") === 7L).orderBy("session_id").collect()
+    assert(u7.length == 2)
+    assert(u7(0).getAs[Long]("n_events") == 2 && u7(0).getAs[Double]("sum_value") == 3.0)
+    assert(u7(1).getAs[Long]("n_events") == 1 && u7(1).getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("tumblingWindow buckets by hour") {
+    val out = Streams.tumblingWindow(ev, "ts", "event_type", "value", "hour")
+    assert(out.count() == 3) // (10h view), (12h view), (10h click)
+  }
+
+  test("streamDedup keeps first occurrence per key") {
+    val dup = ev.union(ev) // every event duplicated
+    val out = Streams.streamDedup(
+      dup.select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("period"), col("value")),
+      Seq("user_id", "event_type", "period"), "event_id")
+    assert(out.count() == 4)
+  }
+
+  test("tumblingWindowStream aggregates a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.tumblingWindowStream(df, "ts", "event_type", "value", "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("twtest").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "view", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "view", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 4.0))
+      q.processAllAvailable()
+      val res = spark.table("twtest").collect()
+      assert(res.length == 2)
+      assert(res.map(_.getAs[Double]("sum_value")).toSet == Set(3.0, 4.0))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream emits closed sessions via event-time timeout semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(key: Long, epochSec: Long, value: Double) =
+      Streams.SessionEvent(key, new Timestamp(epochSec * 1000), value)
+    val input = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionizeStream(input.toDS(), 1800L)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sesstest").start()
+    try {
+      // two bursts in one batch: the first closes in-batch when the second begins
+      input.addData(ev(7L, 1000L, 1.0), ev(7L, 1600L, 2.0), ev(7L, 9999L, 3.0))
+      q.processAllAvailable()
+      val res1 = spark.table("sesstest").as[Streams.SessionOut].collect()
+      assert(res1.length == 1)
+      assert(res1.head.n == 2 && res1.head.sum == 3.0 && res1.head.sessionStart == 1000L)
+      // a later event pushes the watermark past 9999+1800 → key 7's open
+      // session times out and is emitted
+      input.addData(ev(8L, 20000L, 1.0))
+      q.processAllAvailable()
+      val res2 = spark.table("sesstest").as[Streams.SessionOut].collect()
+      assert(res2.length == 2)
+      val late = res2.find(_.sessionStart == 9999L).get
+      assert(late.key == 7L && late.n == 1 && late.sum == 3.0)
+    } finally q.stop()
+  }
+}

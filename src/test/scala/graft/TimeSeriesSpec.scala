@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.timeseries.{Forecast, TimeSeries}
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 100-point hourly series per key with a strict linear trend. */
+  lazy val series = {
+    val rows = for {
+      key <- Seq("A", "B")
+      i <- 0 until 100
+    } yield (key.hashCode.toLong * 1000 + i,
+      Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+      key, 100.0 + i * 2.0)
+    rows.toDF("event_id", "ts", "key", "value")
+  }
+
+  test("scaleMinMax maps extremes to [0,1]") {
+    val out = TimeSeries.scaleMinMax(series, "key", "ts", "event_id", "value")
+    val scaled = out.select("value_scaled").as[Double].collect()
+    assert(scaled.min == 0.0 && scaled.max == 1.0)
+    assert(scaled.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("scaleStandard produces ~zero-mean unit-variance per key") {
+    val out = TimeSeries.scaleStandard(series, "key", "ts", "event_id", "value")
+    val byKey = out.groupBy("key").agg(avg("value_scaled").as("m"), stddev_pop("value_scaled").as("s"))
+      .collect()
+    byKey.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-3)
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3)
+    }
+  }
+
+  test("trainValTestSplit honors 70/15/15 in time order") {
+    val out = TimeSeries.trainValTestSplit(series, "key", "ts", "event_id", 0.7, 0.15)
+    val counts = out.filter(col("key") === "A").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") == 70 && counts("val") == 15 && counts("test") == 15)
+    // ordering: every train row precedes every test row
+    val maxTrain = out.filter(col("key") === "A" && col("split") === "train")
+      .agg(max("period")).head().getTimestamp(0)
+    val minTest = out.filter(col("key") === "A" && col("split") === "test")
+      .agg(min("period")).head().getTimestamp(0)
+    assert(maxTrain.before(minTest))
+  }
+
+  test("lagFeatures produces correct lags on a linear series") {
+    val out = TimeSeries.lagFeatures(series, "key", "ts", "event_id", "value", Seq(1, 24), 24)
+    val row50 = out.filter(col("key") === "A" && col("value") === 100.0 + 50 * 2.0).head()
+    assert(row50.getAs[Double]("lag_1") == 100.0 + 49 * 2.0)
+    assert(row50.getAs[Double]("lag_24") == 100.0 + 26 * 2.0)
+  }
+
+  test("seasonalNaive prediction equals the value one season back") {
+    val out = Forecast.seasonalNaive(series, "key", "ts", "event_id", "value", 24)
+    assert(out.count() == 2 * (100 - 24))
+    val bad = out.filter(col("prediction") =!= col("value") - 48.0).count()
+    assert(bad == 0) // linear series: lag24 = value - 24*2
+  }
+
+  test("metrics are zero for a perfect forecast") {
+    val perfect = series.withColumn("prediction", col("value"))
+    val m = Forecast.metrics(perfect, "key", "value", "prediction").head()
+    assert(m.getAs[Double]("rmse") == 0.0 && m.getAs[Double]("mape") == 0.0)
+  }
+
+  test("linearTrend recovers an exact linear slope") {
+    val out = Forecast.linearTrend(series, "key", "ts", "value", 3600L)
+    out.collect().foreach { r =>
+      // slope = 2 per hour = 48 per day
+      assert(math.abs(r.getAs[Double]("slope_per_day") - 48.0) < 1e-6)
+    }
+  }
+
+  test("ridgeLagForecast on AR(1)-exact series recovers lag weight") {
+    // value(t) = value(t-1) + 2 exactly -> ridge with tiny lambda should
+    // put weight ~1 on lag1 (plus intercept ~2 within regularization slack)
+    val out = Forecast.ridgeLagForecast(series, "key", "ts", "event_id", "value", 24, 1e-6)
+    out.collect().foreach { r =>
+      val pred = r.getAs[Double]("intercept") +
+        r.getAs[Double]("coef_lag1") * 200.0 + r.getAs[Double]("coef_lag_season") * 154.0
+      // prediction for value=202 given lag1=200, lag24=154 should be close
+      assert(math.abs(pred - 202.0) < 1.0)
+    }
+  }
+
+  test("drift flags a shifted current window") {
+    val rows = (0 until 60).map { day =>
+      val v = if (day >= 53) 200.0 else 100.0 // jump in the last 7 days
+      (day.toLong, Timestamp.valueOf(f"2024-01-01 00:00:00").toInstant
+        .plusSeconds(day * 86400L), "A", v)
+    }.map { case (id, inst, k, v) => (id, Timestamp.from(inst), k, v) }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = Forecast.drift(df, "key", "ts", "value", 30, 7, 0.1).head()
+    assert(out.getAs[Boolean]("drifted"))
+    assert(out.getAs[Double]("cur_mean") > out.getAs[Double]("ref_mean"))
+  }
+
+  test("rollingStats window mean matches a hand-computed prefix") {
+    val out = TimeSeries.rollingStats(series, "key", "ts", "event_id", "value", 24)
+    val first = out.filter(col("key") === "A").orderBy("period").limit(3)
+      .select("roll_mean").as[Double].collect()
+    assert(first(0) == 100.0)      // n=1
+    assert(first(1) == 101.0)      // (100+102)/2
+    assert(first(2) == 102.0)      // (100+102+104)/3
+  }
+}
