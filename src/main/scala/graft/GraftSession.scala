@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the engine (SURVEY.md §4/§5).
+  *
+  * One place to hold the scale posture: AQE with skew-join handling on
+  * (runtime re-planning replaces hand-tuned partition counts at 100 TB),
+  * UTC session time so timestamp semantics match the DuckDB oracle and
+  * any cluster deployment, and shuffle partitions sized to the actual
+  * parallelism instead of the 200 default.
+  */
+object GraftSession {
+  def build(master: String, shufflePartitions: Int,
+            appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // collect_set/collect_list run on ObjectHashAggregate, which falls
+      // back to SORT-based aggregation after only 128 distinct groups per
+      // partition — every signature-building aggregation (gram sets,
+      // minhash bands) would pay an extra sort of the exploded rows.
+      // 128k keeps those hash-based with a safety valve for genuinely
+      // huge per-partition group counts.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -12,19 +12,37 @@ import graft.functions._
   * top-k, no corpus shuffle. The scale path is random-hyperplane LSH:
   * bucket signatures computed in a narrow pass, candidate join only
   * inside buckets.
+  *
+  * Every operator pre-materializes each row's cast vector and squared
+  * norm ONCE before pairing, so the per-pair work is a single dot
+  * product instead of re-walking both arrays for casts and norms
+  * (higher-order-function lambdas are interpreted — per-pair passes are
+  * the dominant cost at scale).
   */
 object Similarity {
+
+  /** (cast double vector, squared norm) pre-computation for one side. */
+  private def withVecNorm(df: DataFrame, vecCol: String, v: String, n2: String): DataFrame =
+    df.withColumn(v, transform(col(vecCol), x => x.cast("double")))
+      .withColumn(n2, aggregate(col(v), lit(0.0d), (acc, x) => acc + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) inside blocks.
     * Block column bounds the pair space (use an LSH bucket or cluster id
     * at scale). */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pre = withVecNorm(
+      emb.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol)),
+      vecCol, "v", "n2")
+    val a = pre.select(col("block"), col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+    val b = pre.select(col("block"), col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosineSim(col("va"), col("vb")), 4))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (sqrt(col("na2")) * sqrt(col("nb2"))), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -34,11 +52,14 @@ object Similarity {
     * cosine desc, then neighbor id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = withVecNorm(queries.select(col(idCol).as("query_id"), col(vecCol)),
+      vecCol, "qv", "qn2").select(col("query_id"), col("qv"), col("qn2"))
+    val c = withVecNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+      vecCol, "cv", "cn2").select(col("neighbor_id"), col("cv"), col("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosineSim(col("qv"), col("cv")), 6))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -74,23 +95,28 @@ object Similarity {
     require(numPlanes % bands == 0)
     val per = numPlanes / bands
     def banded(df: DataFrame, role: String): DataFrame = {
-      val sig = lshSignature(col(vecCol), numPlanes)
-      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_v"), sig.as("sig"))
-        .select(col(s"${role}_id"), col(s"${role}_v"),
+      val pre = withVecNorm(df.select(col(idCol).as(s"${role}_id"), col(vecCol)),
+        vecCol, s"${role}_v", s"${role}_n2")
+      val sig = lshSignature(col(s"${role}_v"), numPlanes)
+      pre.select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"), sig.as("sig"))
+        .select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"),
           explode(array((0 until bands).map { b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * per).bitwiseAND((1L << per) - 1L).as("key"))
           }: _*)).as("bk"))
-        .select(col(s"${role}_id"), col(s"${role}_v"),
+        .select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"),
           col("bk.band").as("band"), col("bk.key").as("key"))
     }
     val c = banded(corpus, "neighbor")
     val q = banded(queries, "query")
     val cand = c.join(broadcast(q), Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("query_v"), col("neighbor_v"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_v"), col("query_n2"), col("neighbor_v"), col("neighbor_n2"))
       .distinct()
-    val scored = cand.withColumn("cosine", round(cosineSim(col("query_v"), col("neighbor_v")), 6))
+    val scored = cand.withColumn("cosine",
+      round(dot(col("query_v"), col("neighbor_v")) /
+        (sqrt(col("query_n2")) * sqrt(col("neighbor_n2"))), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
