@@ -55,6 +55,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamDedupStream drops duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val out = Streams.streamDedupStream(df, "ts", Seq("user_id", "event_type"), "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ddtest").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view"),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view"), // exact dup
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "view"), // same key, new ts
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 8L, "click"))
+      q.processAllAvailable()
+      input.addData( // replayed duplicate in a later batch, still in watermark
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("ddtest").count() == 3)
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits closed sessions via event-time timeout semantics") {
     implicit val sqlCtx = spark.sqlContext
     def ev(key: Long, epochSec: Long, value: Double) =
