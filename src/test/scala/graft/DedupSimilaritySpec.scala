@@ -44,6 +44,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("ngramJaccardPairs matches a naive exact computation on random corpora") {
+    // Differential check of the prefix/positional-filter pruning: the
+    // optimized operator must return EXACTLY the naive all-pairs result.
+    val rnd = new scala.util.Random(42)
+    val vocab = "abcdefghij "
+    def randDoc(len: Int): String =
+      (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString
+    val originals = (0 until 60).map(i =>
+      (i.toLong, randDoc(60 + rnd.nextInt(60)), if (i % 2 == 0) "x" else "y"))
+    val mutants = (0 until 25).map { j =>
+      val (_, text, blk) = originals(rnd.nextInt(originals.length))
+      val pos = rnd.nextInt(text.length)
+      (1000L + j, text.updated(pos, vocab(rnd.nextInt(vocab.length))), blk)
+    }
+    val all = originals ++ mutants
+    val df = all.toDF("doc_id", "text", "blk")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("blk"), 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def norm(t: String) =
+      t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+    def grams(t: String) = norm(t).sliding(3).toSet
+    val byId = all.map { case (id, t, b) => (id, b, grams(t)) }
+    val expected = (for {
+      (ia, ba, ga) <- byId
+      (ib, bb, gb) <- byId
+      if ia < ib && ba == bb
+      inter = (ga & gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter)
+      if math.round(j * 10000) / 10000.0 >= 0.6
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty, "test corpus produced no qualifying pairs")
+    assert(got == expected)
+  }
+
   test("ngramJaccardPairs: identical normalized docs score 1.0") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), 3, 0.5)
     val m = out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
