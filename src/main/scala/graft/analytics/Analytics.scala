@@ -29,9 +29,11 @@ object Analytics {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** Q5-style revenue rollup across the full star join. Dimensions are
-    * broadcast (region/nation/customer are tiny next to a 100 TB fact);
-    * the only real shuffle is lineitem⋈orders on orderkey. */
+  /** Q5-style revenue rollup across the full star join. Bounded-size
+    * dimensions (nation/region) are broadcast explicitly; customer and
+    * part GROW with the fact tables, so their join strategy is left to
+    * AQE — broadcast at small SF, shuffle-on-key at 100 TB. The only
+    * unavoidable big shuffle is lineitem⋈orders on orderkey. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -39,7 +41,7 @@ object Analytics {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -55,7 +57,7 @@ object Analytics {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -78,7 +80,7 @@ object Analytics {
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         round(
           sum(when(col("p_type").startsWith("PROMO"),

@@ -90,7 +90,10 @@ object Quality {
 
   /** Per-key IQR outlier detection with [Q1-3·IQR, Q3+3·IQR] bounds
     * (data_validation.py:187-226). Two-phase: per-key exact quartiles,
-    * broadcast back, count violations — one shuffle each. */
+    * join back, count violations. The bounds side is one row per key —
+    * join strategy is left to AQE: broadcast while the key count is
+    * small, shuffle-on-key once millions of series make a forced
+    * broadcast a driver OOM. */
   def iqrOutliers(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val bounds = df.groupBy(col(keyCol)).agg(
       expr(s"percentile($valueCol, 0.25)").as("q1"),
@@ -98,7 +101,7 @@ object Quality {
       count(lit(1)).as("records"))
       .withColumn("lower_bound", col("q1") - (col("q3") - col("q1")) * 3)
       .withColumn("upper_bound", col("q3") + (col("q3") - col("q1")) * 3)
-    df.join(broadcast(bounds), Seq(keyCol))
+    df.join(bounds, Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(
         sum(when(col(valueCol) < col("lower_bound") || col(valueCol) > col("upper_bound"), 1L)

@@ -86,6 +86,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
   }
 
+  test("simhashPairs matches naive hamming pairing on the sf corpus") {
+    val sim = Dedup.simhash(Tables.documents(spark, sf), "doc_id", "text")
+    val fps = sim.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(sim, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("langId distinguishes stopword-marked languages") {
     val out = TextOps.langId(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
