@@ -123,6 +123,31 @@ object SparkEntry {
     "e11_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "e12_binary_meta" -> ((s, d) => Binary.binaryMeta(Tables.documents(s, d), "doc_id", "text")),
 
+    // ---------------- G. sources / sinks ----------------
+    "g1_csv_roundtrip" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/csv_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writeCsv(ev, tmp)
+      graft.sources.Sources.validRecords(
+        graft.sources.Sources.readCsv(s, tmp,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, period TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")))
+    }),
+    "g2_partitioned_sink_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/pq_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writePartitionedParquet(ev, tmp, Seq("event_type"))
+      // the filter prunes to one partition directory at planning time
+      graft.sources.Sources.readParquet(s, tmp)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("period"), col("user_id"),
+          col("event_type").cast("string").as("event_type"), col("value"))
+    }),
+
     // ---------------- F. streaming-shaped ----------------
     "f1_sessionize" -> ((s, d) =>
       Streams.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", "value", 1800L)),
@@ -444,6 +469,12 @@ object SparkEntry {
          sha256(text) AS sha256,
          lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
          FROM documents""",
+    "g1_csv_roundtrip" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
+    "g2_partitioned_sink_prune" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events WHERE event_type = 'purchase'""",
     "f1_sessionize" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          g AS (SELECT *, CASE WHEN lag(period) OVER w IS NULL

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks — the reference's CSV save / object-store layout
+  * (data_extraction.py:135-172, airflow_dag.py upload paths)
+  * re-expressed as schema-enforced Spark IO.
+  *
+  * Reads take an EXPLICIT schema (never inferSchema — a schema-inference
+  * pass over 100 TB is a full extra scan, and drifting inputs should
+  * fail loudly, not silently re-type). Malformed rows are quarantined
+  * via PERMISSIVE mode + corrupt-record capture instead of killing the
+  * job. Sinks write parquet partitioned by business keys — the layout
+  * that turns downstream time/key predicates into partition pruning —
+  * with CSV kept for interop parity with the reference.
+  */
+object Sources {
+
+  val corruptCol = "_corrupt_record"
+
+  /** Schema-enforced CSV read; malformed lines land in `_corrupt_record`
+    * instead of aborting (PERMISSIVE). Pair with validRecords /
+    * corruptRecords to split the quarantine. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("timestampFormat", timestampFormat)
+      .schema(schema.add(corruptCol, "string"))
+      .csv(path)
+
+  /** Both split helpers cache the parsed frame first: Spark disallows
+    * queries whose only referenced column from a raw CSV scan is the
+    * corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — column
+    * pruning reduces a quarantine count to exactly that), and the
+    * documented remedy is materializing the parse. A quarantine split
+    * wants that anyway: one parse pass feeds both sides. cache() is
+    * idempotent on the same plan, so valid + corrupt share one entry.
+    * At 100 TB, land the parsed frame to parquet once instead. */
+  def validRecords(df: DataFrame): DataFrame =
+    df.cache().filter(col(corruptCol).isNull).drop(corruptCol)
+
+  def corruptRecords(df: DataFrame): DataFrame =
+    df.cache().filter(col(corruptCol).isNotNull)
+
+  /** CSV sink (save_data_to_csv parity). Seconds-precision timestamp
+    * format keeps the roundtrip lossless for the canonical feed. */
+  def writeCsv(df: DataFrame, path: String,
+               timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", timestampFormat)
+      .csv(path)
+
+  /** Partitioned parquet sink: the at-scale layout (one directory per
+    * partition key value; downstream filters on the key prune entire
+    * partitions at planning time). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Read back a partitioned parquet sink. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
