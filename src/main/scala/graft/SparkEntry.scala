@@ -319,15 +319,17 @@ object SparkEntry {
            END AS bucket
            FROM events, m),
          g AS (SELECT user_id,
-           sum(cents) FILTER (WHERE bucket = 'reference') /
-             count(*) FILTER (WHERE bucket = 'reference') / 100.0 AS ref_mean,
-           sum(cents) FILTER (WHERE bucket = 'current') /
-             count(*) FILTER (WHERE bucket = 'current') / 100.0 AS cur_mean
+           sum(cents) FILTER (WHERE bucket = 'reference') AS s_ref,
+           count(*) FILTER (WHERE bucket = 'reference') AS n_ref,
+           sum(cents) FILTER (WHERE bucket = 'current') AS s_cur,
+           count(*) FILTER (WHERE bucket = 'current') AS n_cur
            FROM t WHERE bucket IS NOT NULL GROUP BY 1)
-         SELECT user_id, round(ref_mean, 4) AS ref_mean, round(cur_mean, 4) AS cur_mean,
-           round(abs(cur_mean - ref_mean) / ref_mean, 6) AS shift,
-           abs(cur_mean - ref_mean) / ref_mean > 0.1 AS drifted
-         FROM g WHERE ref_mean IS NOT NULL AND cur_mean IS NOT NULL""",
+         SELECT user_id,
+           floor((s_ref * 200 + n_ref) / (n_ref * 2)) / 10000.0 AS ref_mean,
+           floor((s_cur * 200 + n_cur) / (n_cur * 2)) / 10000.0 AS cur_mean,
+           round(abs(s_cur / n_cur - s_ref / n_ref) / (s_ref / n_ref), 6) AS shift,
+           abs(s_cur / n_cur - s_ref / n_ref) / (s_ref / n_ref) > 0.1 AS drifted
+         FROM g WHERE n_ref > 0 AND n_cur > 0""",
     "c10_rolling_stats" ->
       """WITH t AS (SELECT event_id, user_id, date_trunc('second', ts) AS period, value,
            round(value * 100, 0) AS cents FROM events),

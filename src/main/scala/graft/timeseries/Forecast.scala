@@ -75,16 +75,22 @@ object Forecast {
       .withColumn("cents", round(col(valueCol) * 100, 0))
       .groupBy(col(keyCol))
       .agg(
-        (sum(when(col("bucket") === "reference", col("cents"))) /
-          count(when(col("bucket") === "reference", lit(1))) / 100.0).as("ref_mean"),
-        (sum(when(col("bucket") === "current", col("cents"))) /
-          count(when(col("bucket") === "current", lit(1))) / 100.0).as("cur_mean"))
-      .filter(col("ref_mean").isNotNull && col("cur_mean").isNotNull)
+        sum(when(col("bucket") === "reference", col("cents"))).as("s_ref"),
+        count(when(col("bucket") === "reference", lit(1))).as("n_ref"),
+        sum(when(col("bucket") === "current", col("cents"))).as("s_cur"),
+        count(when(col("bucket") === "current", lit(1))).as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      // displayed means use the exact-integer-cents rounding (see
+      // roundMeanE4): round(s/n/100, 4) half-up-rounds a double that can
+      // sit exactly on a ...5 boundary, where engines disagree. shift/
+      // drifted stay on the raw double means (scale-invariant ratio).
       .select(col(keyCol),
-        round(col("ref_mean"), 4).as("ref_mean"),
-        round(col("cur_mean"), 4).as("cur_mean"),
-        round(abs(col("cur_mean") - col("ref_mean")) / col("ref_mean"), 6).as("shift"),
-        (abs(col("cur_mean") - col("ref_mean")) / col("ref_mean") > threshold).as("drifted"))
+        graft.functions.roundMeanE4(col("s_ref"), col("n_ref")).as("ref_mean"),
+        graft.functions.roundMeanE4(col("s_cur"), col("n_cur")).as("cur_mean"),
+        round(abs(col("s_cur") / col("n_cur") - col("s_ref") / col("n_ref")) /
+          (col("s_ref") / col("n_ref")), 6).as("shift"),
+        (abs(col("s_cur") / col("n_cur") - col("s_ref") / col("n_ref")) /
+          (col("s_ref") / col("n_ref")) > threshold).as("drifted"))
   }
 
   /** Distributed ridge regression on lag features via normal equations.

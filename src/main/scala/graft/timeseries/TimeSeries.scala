@@ -66,13 +66,20 @@ object TimeSeries {
   def trainValTestSplit(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                         trainFrac: Double, valFrac: Double): DataFrame = {
     val cw = Window.partitionBy(col(keyCol))
+    // Split boundaries in EXACT decimal arithmetic: floor(n * 0.7) in
+    // doubles misplaces the boundary whenever n*frac is integral
+    // (210 * 0.7 = 146.999... -> 146), so the boundary row's label would
+    // depend on the engine's float handling. Decimal literals make
+    // n * frac exact in Spark, matching SQL DECIMAL semantics.
+    val trainBd = lit(java.math.BigDecimal.valueOf(trainFrac))
+    val valBd = lit(java.math.BigDecimal.valueOf(valFrac))
     df.select(col(idCol), col(keyCol), date_trunc("second", col(tsCol)).as("period"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))))
       .withColumn("__n", count(lit(1)).over(cw))
       .withColumn("split",
-        when(col("__rn") <= floor(col("__n") * trainFrac), "train")
-          .when(col("__rn") <= floor(col("__n") * trainFrac) + floor(col("__n") * valFrac), "val")
+        when(col("__rn") <= floor(col("__n") * trainBd), "train")
+          .when(col("__rn") <= floor(col("__n") * trainBd) + floor(col("__n") * valBd), "val")
           .otherwise("test"))
       .drop("__rn", "__n")
   }
