@@ -61,6 +61,8 @@ object SparkEntry {
       Quality.iqrOutliers(Tables.events(s, d), "user_id", "value")),
     "b8_missing_pct" -> ((s, d) =>
       Quality.missingPct(Tables.events(s, d), Seq("ts", "user_id", "event_type", "value"))),
+    "b9_quality_report" -> ((s, d) =>
+      Quality.qualityReport(Tables.events(s, d), "user_id", "ts", "event_id", "value", 3600L, 1.5)),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -244,6 +246,21 @@ object SparkEntry {
          UNION ALL SELECT 'user_id', round(count(*) FILTER (WHERE user_id IS NULL) * 100.0 / count(*), 4) FROM events
          UNION ALL SELECT 'event_type', round(count(*) FILTER (WHERE event_type IS NULL) * 100.0 / count(*), 4) FROM events
          UNION ALL SELECT 'value', round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) FROM events""",
+    "b9_quality_report" ->
+      """SELECT 'total_records' AS metric, CAST(count(*) AS DOUBLE) AS value FROM events
+         UNION ALL SELECT 'null_value_pct',
+           round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) FROM events
+         UNION ALL SELECT 'duplicate_timestamp_groups', CAST(count(*) AS DOUBLE) FROM
+           (SELECT user_id, date_trunc('second', ts) AS p FROM events
+            GROUP BY 1, 2 HAVING count(*) > 1)
+         UNION ALL SELECT 'gap_count', CAST(count(*) AS DOUBLE) FROM
+           (SELECT CAST(epoch(period) - epoch(lag(period) OVER
+              (PARTITION BY user_id ORDER BY period, event_id)) AS BIGINT) AS g
+            FROM (SELECT user_id, date_trunc('second', ts) AS period, event_id FROM events))
+           WHERE g > 3600 * 1.5
+         UNION ALL SELECT 'extreme_outlier_count', CAST(count(*) AS DOUBLE)
+           FROM events, (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
+           WHERE value >= p99 * 3""",
     "c1_resample_hourly" ->
       """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n,
          floor((sum(round(value * 100, 0)) * 200 + count(*)) / (count(*) * 2)) / 10000.0 AS avg_value,

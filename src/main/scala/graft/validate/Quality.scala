@@ -112,6 +112,29 @@ object Quality {
           .otherwise(0L)) * 100.0 / count(lit(1)), 4).as("outlier_pct"))
   }
 
+  /** Composite quality report (the DAG's quality-summary step,
+    * airflow_dag.py generate_quality_summary): one (metric, value) row
+    * per headline check, composed from the single-purpose operators so
+    * the numbers cannot drift from the detailed reports. */
+  def qualityReport(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    valueCol: String, expectedSeconds: Long,
+                    toleranceFactor: Double): DataFrame = {
+    def scalar(name: String, d: DataFrame): DataFrame =
+      d.select(lit(name).as("metric"), col("value").cast("double").as("value"))
+    val total = df.agg(count(lit(1)).as("value"))
+    val nullPct = df.agg(round(
+      sum(when(col(valueCol).isNull, 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("value"))
+    val dupGroups = duplicateTimestamps(df, keyCol, tsCol).agg(count(lit(1)).as("value"))
+    val gaps = gapDetection(df, keyCol, tsCol, idCol, expectedSeconds, toleranceFactor)
+      .agg(count(lit(1)).as("value"))
+    val outliers = extremeOutliers(df, idCol, valueCol).agg(count(lit(1)).as("value"))
+    scalar("total_records", total)
+      .unionAll(scalar("null_value_pct", nullPct))
+      .unionAll(scalar("duplicate_timestamp_groups", dupGroups))
+      .unionAll(scalar("gap_count", gaps))
+      .unionAll(scalar("extreme_outlier_count", outliers))
+  }
+
   /** Missing-value percentage per column (data_validation.py:138-147). */
   def missingPct(df: DataFrame, cols: Seq[String]): DataFrame = {
     val agg = df.agg(

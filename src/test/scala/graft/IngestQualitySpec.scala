@@ -68,6 +68,20 @@ class IngestQualitySpec extends SparkSpec {
     assert(r.getAs[Double]("lower_bound") < 10.0 && r.getAs[Double]("upper_bound") > 12.0)
   }
 
+  test("qualityReport composes headline metrics consistently") {
+    val ev = Tables.events(spark, sf)
+    val rep = Quality.qualityReport(ev, "user_id", "ts", "event_id", "value", 3600L, 1.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rep("total_records") == ev.count().toDouble)
+    assert(rep("duplicate_timestamp_groups") ==
+      Quality.duplicateTimestamps(ev, "user_id", "ts").count().toDouble)
+    assert(rep("gap_count") ==
+      Quality.gapDetection(ev, "user_id", "ts", "event_id", 3600L, 1.5).count().toDouble)
+    assert(rep("extreme_outlier_count") ==
+      Quality.extremeOutliers(ev, "event_id", "value").count().toDouble)
+    assert(rep("null_value_pct") >= 0.0)
+  }
+
   test("valueStats on the real feed matches basic invariants") {
     val ev = Tables.events(spark, sf)
     val r = Quality.valueStats(ev, "value").head()
