@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.{Dedup, TextOps}
+import graft.vector.Similarity
 
 /** Real corpora contain null, empty, and shorter-than-n documents; no
   * operator may crash on them, and signature operators should simply
@@ -31,5 +32,19 @@ class NullToleranceSpec extends SparkSpec {
       Seq("lang", "source"), 3, 0.6).count() == 0)
     assert(Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 3).count() == 0)
     assert(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4).count() == 0)
+  }
+
+  test("vector operators tolerate null embeddings") {
+    val emb = Seq(
+      (1L, Some(Array(1.0f, 0.0f)), "a"),
+      (2L, None: Option[Array[Float]], "a"),
+      (3L, Some(Array(0.9f, 0.1f)), "a")
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineDupPairs(emb, "vec_id", "embedding", "label", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 3L))) // null embedding excluded, not fatal
+    // ANN paths must not crash on null vectors either
+    Similarity.annLshTopK(emb, emb.filter($"vec_id" === 1L),
+      "vec_id", "embedding", 8, 2, 2).collect()
   }
 }
