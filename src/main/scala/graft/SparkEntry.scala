@@ -119,6 +119,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 16, 4, 5)
     }),
+    "e13_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.vector.Cluster.annIvfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 8, 2, 3, 5)
+    }),
     "e8_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "e9_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "e10_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d), "doc_id", "text")),

@@ -129,6 +129,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall too low: $recall") // 4 bands of 4 bits on random vectors
   }
 
+  test("annIvfTopK achieves reasonable recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.vector.Cluster.annIvfTopK(emb, queries, "vec_id", "embedding", 8, 2, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    assert(approx.size == exact.size) // full top-k emitted per query
+  }
+
+  test("kmeans centroids partition the corpus deterministically") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.vector.Cluster.fitCentroids(emb, "vec_id", "embedding", 4, 2)
+    assert(cents.count() == 4)
+    val a1 = graft.vector.Cluster.assign(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a2 = graft.vector.Cluster.assign(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a1 == a2)
+    assert(a1.values.toSet.size > 1, "degenerate clustering")
+  }
+
   test("cosineDupPairs is symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, sf)
     val out = Similarity.cosineDupPairs(emb, "vec_id", "embedding", "label", 0.25).collect()
