@@ -98,6 +98,8 @@ object SparkEntry {
     "d4_order_priority_exists" -> ((s, d) => Analytics.orderPriorityExists(s, d)),
     "d5_promo_share" -> ((s, d) => Analytics.promoShare(s, d)),
     "d6_events_user_funnel" -> ((s, d) => Analytics.eventsUserFunnel(Tables.events(s, d))),
+    "d7_salted_agg" -> ((s, d) =>
+      graft.analytics.Skew.saltedAggregate(Tables.events(s, d), "user_id", "event_id", "value", 16)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -403,6 +405,16 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type = 'signup') AS signups,
          count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
          round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value
+         FROM events GROUP BY 1""",
+    "d7_salted_agg" ->
+      """SELECT user_id,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value,
+         count(*) AS n
+         FROM events GROUP BY 1""",
+    "d7_salted_agg" ->
+      """SELECT user_id,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value,
+         count(*) AS n
          FROM events GROUP BY 1""",
     "e1_exact_dedup" ->
       s"""SELECT md5($normSql) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -68,6 +68,17 @@ class IngestQualitySpec extends SparkSpec {
     assert(r.getAs[Double]("lower_bound") < 10.0 && r.getAs[Double]("upper_bound") > 12.0)
   }
 
+  test("saltedAggregate matches the unsalted aggregation exactly") {
+    val ev = Tables.events(spark, sf)
+    val salted = graft.analytics.Skew.saltedAggregate(ev, "user_id", "event_id", "value", 16)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val plain = ev.groupBy(col("user_id"))
+      .agg((sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
   test("qualityReport composes headline metrics consistently") {
     val ev = Tables.events(spark, sf)
     val rep = Quality.qualityReport(ev, "user_id", "ts", "event_id", "value", 3600L, 1.5)
