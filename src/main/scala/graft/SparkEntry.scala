@@ -131,6 +131,7 @@ object SparkEntry {
     "e10_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d), "doc_id", "text")),
     "e11_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "e12_binary_meta" -> ((s, d) => Binary.binaryMeta(Tables.documents(s, d), "doc_id", "text")),
+    "e14_sentiment" -> ((s, d) => TextOps.sentiment(Tables.documents(s, d), "doc_id", "text")),
 
     // ---------------- G. sources / sinks ----------------
     "g1_csv_roundtrip" -> ((s, d) => {
@@ -511,6 +512,17 @@ object SparkEntry {
     "g2_partitioned_sink_prune" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events WHERE event_type = 'purchase'""",
+    "e14_sentiment" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\b(good|great|excellent|love|happy|best|nice|amazing|wonderful|fantastic)\b')) AS DOUBLE) AS pos,
+           CAST(len(regexp_extract_all(lower(text), '\b(bad|terrible|awful|hate|sad|worst|poor|horrible|wrong|broken)\b')) AS DOUBLE) AS neg
+         FROM documents)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos_hits, CAST(neg AS BIGINT) AS neg_hits,
+           round((pos - neg) / greatest(pos + neg, 1.0), 4) AS polarity,
+           CASE WHEN round((pos - neg) / greatest(pos + neg, 1.0), 4) > 0.2 THEN 'positive'
+                WHEN round((pos - neg) / greatest(pos + neg, 1.0), 4) < -0.2 THEN 'negative'
+                ELSE 'neutral' END AS sentiment
+         FROM s""",
     "f1_sessionize" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          g AS (SELECT *, CASE WHEN lag(period) OVER w IS NULL

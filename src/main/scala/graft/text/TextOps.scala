@@ -74,6 +74,27 @@ object TextOps {
       bestScore.cast("long").as("marker_hits"))
   }
 
+  private val posRe = "\\b(good|great|excellent|love|happy|best|nice|amazing|wonderful|fantastic)\\b"
+  private val negRe = "\\b(bad|terrible|awful|hate|sad|worst|poor|horrible|wrong|broken)\\b"
+
+  /** Lexicon-based sentiment: positive/negative marker counts →
+    * polarity in [-1, 1] and a 3-way label (cf. large-scale lexicon
+    * sentiment on Spark, EDBT'16 — the scalable non-ML baseline).
+    * Pure column expressions; one narrow pass. */
+  def sentiment(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val pos = size(regexp_extract_all(t, lit(posRe), lit(0))).cast("double")
+    val neg = size(regexp_extract_all(t, lit(negRe), lit(0))).cast("double")
+    docs.select(col(idCol),
+      pos.cast("long").as("pos_hits"),
+      neg.cast("long").as("neg_hits"),
+      round((pos - neg) / greatest(pos + neg, lit(1.0)), 4).as("polarity"))
+      .withColumn("sentiment",
+        when(col("polarity") > 0.2, "positive")
+          .when(col("polarity") < -0.2, "negative")
+          .otherwise("neutral"))
+  }
+
   /** Polynomial rolling-hash fingerprint over normalized text — the
     * cheap exact-dup / shard-routing key. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

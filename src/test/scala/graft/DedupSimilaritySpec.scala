@@ -98,6 +98,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sentiment scores lexicon-marked docs") {
+    val d = Seq(
+      (1L, "this is a good great amazing wonderful product i love it", "en", "s"),
+      (2L, "terrible awful bad experience the worst i hate it", "en", "s"),
+      (3L, "the report covers quarterly numbers and dates", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.sentiment(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out == Map(1L -> "positive", 2L -> "negative", 3L -> "neutral"))
+  }
+
   test("langId distinguishes stopword-marked languages") {
     val out = TextOps.langId(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
