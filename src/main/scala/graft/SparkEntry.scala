@@ -159,6 +159,8 @@ object SparkEntry {
     }),
 
     // ---------------- F. streaming-shaped ----------------
+    "f4_windowed_quality" -> ((s, d) =>
+      Streams.windowedQuality(Tables.events(s, d), "ts", "value", "hour")),
     "f1_sessionize" -> ((s, d) =>
       Streams.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", "value", 1800L)),
     "f2_tumbling_window" -> ((s, d) =>
@@ -533,6 +535,12 @@ object SparkEntry {
          SELECT user_id, session_id, min(period) AS session_start, max(period) AS session_end,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM s GROUP BY 1, 2""",
+    "f4_windowed_quality" ->
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n,
+         count(*) FILTER (WHERE value IS NULL) AS null_values,
+         count(*) FILTER (WHERE value < 0) AS negative_values,
+         round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1""",
     "f2_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 4) AS sum_value

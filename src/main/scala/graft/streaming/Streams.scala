@@ -52,6 +52,19 @@ object Streams {
     events.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Windowed data-quality monitor (batch form): per-window violation
+    * counts — the streaming re-expression of the reference's scheduled
+    * validation run (nulls, negatives, volume, value mass per window).
+    */
+  def windowedQuality(events: DataFrame, tsCol: String, valueCol: String,
+                      unit: String): DataFrame =
+    events.groupBy(date_trunc(unit, col(tsCol)).as("window_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("null_values"),
+        sum(when(col(valueCol) < 0, 1L).otherwise(0L)).as("negative_values"),
+        round(sum(col(valueCol)), 4).as("sum_value"))
+
   // ---------------------------------------------------------------------
   // Structured Streaming twins
   // ---------------------------------------------------------------------
@@ -69,6 +82,19 @@ object Streams {
                         watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols :+ tsCol)
+
+  /** Streaming twin of [[windowedQuality]]: watermarked tumbling-window
+    * violation counts, emitted as windows close. */
+  def windowedQualityStream(events: DataFrame, tsCol: String, valueCol: String,
+                            windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("null_values"),
+        sum(when(col(valueCol) < 0, 1L).otherwise(0L)).as("negative_values"),
+        sum(col(valueCol)).as("sum_value"))
 
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

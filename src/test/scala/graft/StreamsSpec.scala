@@ -55,6 +55,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedQuality counts violations per window, batch and stream agree") {
+    val bad = ev.union(Seq(
+      (5L, Timestamp.valueOf("2024-01-01 10:20:00"), 9L, "view", -2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val batch = Streams.windowedQuality(bad, "ts", "value", "hour")
+      .orderBy("window_start").collect()
+    assert(batch.length == 2)
+    assert(batch(0).getAs[Long]("negative_values") == 1L)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = Streams.windowedQualityStream(
+      input.toDF().toDF("ts", "value"), "ts", "value", "1 hour", "1 hour")
+    val q = out.writeStream.outputMode("complete").format("memory").queryName("wqtest").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), -3.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), 2.0))
+      q.processAllAvailable()
+      val res = spark.table("wqtest").collect()
+      assert(res.length == 2)
+      assert(res.map(_.getAs[Long]("negative_values")).sum == 1L)
+    } finally q.stop()
+  }
+
   test("streamDedupStream drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
