@@ -71,6 +71,8 @@ object SparkEntry {
       TimeSeries.scaleMinMax(Tables.events(s, d), "user_id", "ts", "event_id", "value")),
     "c3_scale_standard" -> ((s, d) =>
       TimeSeries.scaleStandard(Tables.events(s, d), "user_id", "ts", "event_id", "value")),
+    "c12_scaler_params" -> ((s, d) =>
+      TimeSeries.scalerParams(Tables.events(s, d), "user_id", "value")),
     "c4_train_val_test_split" -> ((s, d) =>
       TimeSeries.trainValTestSplit(Tables.events(s, d), "user_id", "ts", "event_id", 0.7, 0.15)),
     "c5_lag_features" -> ((s, d) =>
@@ -291,6 +293,14 @@ object SparkEntry {
            round(CASE WHEN sqrt(greatest((ss - s * s / n) / n, 0)) = 0 THEN 0.0
              ELSE (cents - s / n) / sqrt(greatest((ss - s * s / n) / n, 0)) END, 4) AS value_scaled
          FROM w""",
+    "c12_scaler_params" ->
+      """WITH t AS (SELECT user_id, value, round(value * 100, 0) AS c FROM events)
+         SELECT user_id, count(*) AS n,
+           round(min(value), 4) AS min, round(max(value), 4) AS max,
+           floor((sum(c) * 200 + count(*)) / (count(*) * 2)) / 10000.0 AS mean,
+           round(sqrt(greatest((sum(c * c) - sum(c) * sum(c) / count(*)) / count(*), 0))
+             / 100.0, 4) AS std
+         FROM t GROUP BY 1""",
     "c4_train_val_test_split" ->
       """WITH t AS (SELECT event_id, user_id, date_trunc('second', ts) AS period,
            row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) AS rn,

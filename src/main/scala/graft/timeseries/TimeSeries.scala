@@ -61,6 +61,27 @@ object TimeSeries {
         .as("value_scaled"))
   }
 
+  /** Per-key scaler parameters as a reusable table — the distributed
+    * re-expression of the reference persisting fitted scalers
+    * (kubeflow_pipeline.py saves MinMax/Standard scalers for inference):
+    * training computes this once; serving joins against it to apply the
+    * identical transform. Mean uses exact-integer cents (roundMeanE4);
+    * std is population (ddof=0) to match StandardScaler. */
+  def scalerParams(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100, 0)
+    df.select(col(keyCol), col(valueCol), cents.as("__c"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col(valueCol)), 4).as("min"),
+        round(max(col(valueCol)), 4).as("max"),
+        roundMeanE4(sum(col("__c")), count(lit(1))).as("mean"),
+        round(
+          sqrt(greatest(
+            (sum(col("__c") * col("__c")) - sum(col("__c")) * sum(col("__c")) / count(lit(1)))
+              / count(lit(1)), lit(0.0))) / 100.0, 4).as("std"))
+  }
+
   /** Ordered train/val/test split labels per key
     * (kubeflow_pipeline.py:127-132: 0.7/0.15/0.15 by time order). */
   def trainValTestSplit(df: DataFrame, keyCol: String, tsCol: String, idCol: String,

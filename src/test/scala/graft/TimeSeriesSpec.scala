@@ -76,6 +76,22 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("scalerParams round-trips the scaling transforms") {
+    val ev = Tables.events(spark, sf)
+    val params = graft.timeseries.TimeSeries.scalerParams(ev, "user_id", "value")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // applying (v - min)/(max - min) with the stored params reproduces scaleMinMax
+    val joined = graft.timeseries.TimeSeries.scaleMinMax(ev, "user_id", "ts", "event_id", "value")
+      .collect().take(200)
+    joined.foreach { r =>
+      val (mn, mx) = params(r.getAs[Long]("user_id"))
+      val expect = if (mx == mn) 0.0
+        else BigDecimal((r.getAs[Double]("value") - mn) / (mx - mn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("value_scaled") - expect) < 1e-6)
+    }
+  }
+
   test("ridgeLagForecast on AR(1)-exact series recovers lag weight") {
     // value(t) = value(t-1) + 2 exactly -> ridge with tiny lambda should
     // put weight ~1 on lag1 (plus intercept ~2 within regularization slack)
