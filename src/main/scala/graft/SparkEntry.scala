@@ -134,6 +134,8 @@ object SparkEntry {
     "e11_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "e12_binary_meta" -> ((s, d) => Binary.binaryMeta(Tables.documents(s, d), "doc_id", "text")),
     "e14_sentiment" -> ((s, d) => TextOps.sentiment(Tables.documents(s, d), "doc_id", "text")),
+    "e15_frame_sample" -> ((s, d) =>
+      Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
 
     // ---------------- G. sources / sinks ----------------
     "g1_csv_roundtrip" -> ((s, d) => {
@@ -535,6 +537,13 @@ object SparkEntry {
                 WHEN round((pos - neg) / greatest(pos + neg, 1.0), 4) < -0.2 THEN 'negative'
                 ELSE 'neutral' END AS sentiment
          FROM s""",
+    "e15_frame_sample" ->
+      """WITH n AS (SELECT doc_id, text, CAST(floor(length(text) / 16) AS INT) AS nf
+           FROM documents WHERE floor(length(text) / 16) > 0),
+         i AS (SELECT doc_id, text, unnest(range(0, nf)) AS idx FROM n)
+         SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           sha256(substring(text, CAST(idx AS INT) * 16 + 1, 16)) AS frame_sha
+         FROM i WHERE idx % 4 = 0""",
     "f1_sessionize" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          g AS (SELECT *, CASE WHEN lag(period) OVER w IS NULL

@@ -30,6 +30,25 @@ object Binary {
       lower(hex(substring(payload, 1, 4))).as("magic_hex"))
   }
 
+  /** Frame sampling over an opaque payload: fixed-length frames, every
+    * k-th kept, each fingerprinted — the video-frame-extraction shape
+    * (explode positions + slice + hash, all codegen'd; with a real
+    * BinaryType payload the same substring works byte-wise). Frames are
+    * generated from positions so the payload is scanned once per frame,
+    * never per byte. */
+  def frameSample(df: DataFrame, idCol: String, payloadStrCol: String,
+                  frameLen: Int, everyK: Int): DataFrame = {
+    val nf = floor(length(col(payloadStrCol)) / frameLen).cast("int")
+    df.select(col(idCol), col(payloadStrCol).as("__p"), nf.as("__nf"))
+      .filter(col("__nf") > 0)
+      .select(col(idCol), col("__p"),
+        explode(sequence(lit(0), col("__nf") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyK === 0)
+      .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
+        sha2(encode(col("__p").substr(col("frame_idx") * frameLen + 1, lit(frameLen)),
+          "UTF-8"), 256).as("frame_sha"))
+  }
+
   /** STUB feature extractor: stands in for image decode + resize +
     * embed. Deterministic fake features derived from payload bytes so
     * the distributed plumbing (schema, batching, partition locality) is

@@ -23,6 +23,17 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("frameSample emits every k-th fixed-length frame with stable hashes") {
+    import spark.implicits._
+    val d = Seq((1L, "abcdefghij" * 4)).toDF("doc_id", "text") // 40 chars
+    val out = Binary.frameSample(d, "doc_id", "text", 10, 2)
+      .orderBy("frame_idx").collect()
+    // 4 frames of 10 chars, every 2nd kept -> idx 0 and 2
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    // identical frame content -> identical hash
+    assert(out(0).getString(2) == out(1).getString(2))
+  }
+
   test("binary decodeFeatures is deterministic with the declared schema") {
     val docs = Tables.documents(spark, sf).limit(20)
     val a = Binary.decodeFeatures(docs, "doc_id", "text", 16).collect().sortBy(_.getLong(0))
