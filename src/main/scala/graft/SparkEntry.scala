@@ -71,6 +71,8 @@ object SparkEntry {
       TimeSeries.scaleMinMax(Tables.events(s, d), "user_id", "ts", "event_id", "value")),
     "c3_scale_standard" -> ((s, d) =>
       TimeSeries.scaleStandard(Tables.events(s, d), "user_id", "ts", "event_id", "value")),
+    "c13_backtest" -> ((s, d) =>
+      Forecast.backtest(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 3)),
     "c12_scaler_params" -> ((s, d) =>
       TimeSeries.scalerParams(Tables.events(s, d), "user_id", "value")),
     "c4_train_val_test_split" -> ((s, d) =>
@@ -381,6 +383,38 @@ object SparkEntry {
            round(CASE WHEN n = 1 THEN NULL
              ELSE sqrt(greatest((ss - s * s / n) / (n - 1), 0)) / 100.0 END, 4) AS roll_std
          FROM w""",
+    "c13_backtest" ->
+      """WITH f AS (
+           SELECT user_id, value, event_id, date_trunc('second', ts) AS period,
+             lag(value, 24) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS prediction
+           FROM events),
+         t AS (SELECT user_id, value, prediction,
+             row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM f WHERE prediction IS NOT NULL)
+         SELECT user_id,
+           CAST(least(floor((rn - 1) * 3 / n), 2) AS INT) AS fold,
+           count(*) AS n,
+           round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse,
+           round(avg(abs((value - prediction) / (value + 1e-8))) * 100, 4) AS mape
+         FROM t GROUP BY 1, 2""",
+    "c13_backtest" ->
+      """WITH f AS (
+           SELECT user_id, value, event_id, date_trunc('second', ts) AS period,
+             lag(value, 24) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS prediction
+           FROM events),
+         t AS (SELECT user_id, value, prediction,
+             row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM f WHERE prediction IS NOT NULL)
+         SELECT user_id,
+           CAST(least(floor((rn - 1) * 3 / n), 2) AS INT) AS fold,
+           count(*) AS n,
+           round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse,
+           round(avg(abs((value - prediction) / (value + 1e-8))) * 100, 4) AS mape
+         FROM t GROUP BY 1, 2""",
     "d1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
          round(sum(l_extendedprice), 4) AS sum_base_price,

@@ -93,6 +93,30 @@ object Forecast {
           (col("s_ref") / col("n_ref")) > threshold).as("drifted"))
   }
 
+  /** Rolling-origin backtest: the per-key series is cut into `folds`
+    * equal time slices and the (causal) seasonal-naive forecast is
+    * scored per slice — RMSE/MAPE per (key, fold), the distributed form
+    * of evaluating a forecaster across held-out windows rather than one
+    * final split (model.py evaluate() generalized). One window pass +
+    * one aggregation; no refitting needed because the baseline is
+    * causal by construction. */
+  def backtest(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+               valueCol: String, season: Int, folds: Int): DataFrame = {
+    val fc = seasonalNaive(df, keyCol, tsCol, idCol, valueCol, season)
+    val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    val cw = Window.partitionBy(col(keyCol))
+    fc.withColumn("__rn", row_number().over(ow))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("fold",
+        least(floor((col("__rn") - 1) * folds / col("__n")), lit(folds - 1)).cast("int"))
+      .groupBy(col(keyCol), col("fold"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sqrt(avg(pow(col(valueCol) - col("prediction"), 2))), 4).as("rmse"),
+        round(avg(abs((col(valueCol) - col("prediction")) / (col(valueCol) + lit(1e-8)))) * 100, 4)
+          .as("mape"))
+  }
+
   /** Distributed ridge regression on lag features via normal equations.
     *
     * The scalable stand-in for the reference's lag-window → horizon

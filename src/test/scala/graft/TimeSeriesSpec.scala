@@ -104,6 +104,21 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("backtest scores a perfect seasonal series as zero error in every fold") {
+    // strict 24-periodicity -> seasonal-naive is exact in all folds
+    val rows = for {
+      key <- Seq("A", "B"); i <- 0 until 96
+    } yield (key.hashCode.toLong * 1000 + i,
+      Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+      key, 100.0 + (i % 24))
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = Forecast.backtest(df, "key", "ts", "event_id", "value", 24, 3).collect()
+    assert(out.length == 6) // 2 keys x 3 folds
+    out.foreach { r =>
+      assert(r.getAs[Double]("rmse") == 0.0 && r.getAs[Double]("mape") == 0.0)
+    }
+  }
+
   test("drift flags a shifted current window") {
     val rows = (0 until 60).map { day =>
       val v = if (day >= 53) 200.0 else 100.0 // jump in the last 7 days
