@@ -136,6 +136,8 @@ object SparkEntry {
     "e11_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "e12_binary_meta" -> ((s, d) => Binary.binaryMeta(Tables.documents(s, d), "doc_id", "text")),
     "e14_sentiment" -> ((s, d) => TextOps.sentiment(Tables.documents(s, d), "doc_id", "text")),
+    "e16_token_freq" -> ((s, d) =>
+      TextOps.tokenFrequency(Tables.documents(s, d), "doc_id", "text", 5L)),
     "e15_frame_sample" -> ((s, d) =>
       Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
 
@@ -571,6 +573,11 @@ object SparkEntry {
                 WHEN round((pos - neg) / greatest(pos + neg, 1.0), 4) < -0.2 THEN 'negative'
                 ELSE 'neutral' END AS sentiment
          FROM s""",
+    "e16_token_freq" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+            FROM documents)
+          SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+          FROM t WHERE length(token) > 0 GROUP BY 1 HAVING count(*) >= 5""",
     "e15_frame_sample" ->
       """WITH n AS (SELECT doc_id, text, CAST(floor(length(text) / 16) AS INT) AS nf
            FROM documents WHERE floor(length(text) / 16) > 0),

@@ -95,6 +95,20 @@ object TextOps {
           .otherwise("neutral"))
   }
 
+  /** Corpus token-frequency table: per-token total count + document
+    * frequency — the vocabulary-building input for tokenizer/BPE
+    * training and stopword derivation. One explode + one aggregation
+    * (count-distinct expands map-side); minCount prunes the long tail
+    * before it is ever collected. */
+  def tokenFrequency(docs: DataFrame, idCol: String, textCol: String,
+                     minCount: Long): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("n") >= minCount)
+
   /** Polynomial rolling-hash fingerprint over normalized text — the
     * cheap exact-dup / shard-routing key. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

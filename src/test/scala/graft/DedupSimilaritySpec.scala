@@ -98,6 +98,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("tokenFrequency counts totals and doc frequency with pruning") {
+    val d = Seq(
+      (1L, "alpha beta alpha", "en", "s"),
+      (2L, "alpha gamma", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.tokenFrequency(d, "doc_id", "text", 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("alpha") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(out("beta") == (1L, 1L) && out("gamma") == (1L, 1L))
+    assert(TextOps.tokenFrequency(d, "doc_id", "text", 2L).count() == 1) // only alpha
+  }
+
   test("sentiment scores lexicon-marked docs") {
     val d = Seq(
       (1L, "this is a good great amazing wonderful product i love it", "en", "s"),
