@@ -27,6 +27,10 @@ object GraftSession {
       // huge per-partition group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
+      // Feeds carrying TIMESTAMP(NANOS) parquet timestamps (events) are
+      // read as nanos-since-epoch longs — set once at session build so
+      // table loaders never mutate session state (racy as a library).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

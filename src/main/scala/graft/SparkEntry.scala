@@ -401,22 +401,6 @@ object SparkEntry {
            round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse,
            round(avg(abs((value - prediction) / (value + 1e-8))) * 100, 4) AS mape
          FROM t GROUP BY 1, 2""",
-    "c13_backtest" ->
-      """WITH f AS (
-           SELECT user_id, value, event_id, date_trunc('second', ts) AS period,
-             lag(value, 24) OVER (PARTITION BY user_id
-               ORDER BY date_trunc('second', ts), event_id) AS prediction
-           FROM events),
-         t AS (SELECT user_id, value, prediction,
-             row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
-             count(*) OVER (PARTITION BY user_id) AS n
-           FROM f WHERE prediction IS NOT NULL)
-         SELECT user_id,
-           CAST(least(floor((rn - 1) * 3 / n), 2) AS INT) AS fold,
-           count(*) AS n,
-           round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse,
-           round(avg(abs((value - prediction) / (value + 1e-8))) * 100, 4) AS mape
-         FROM t GROUP BY 1, 2""",
     "d1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
          round(sum(l_extendedprice), 4) AS sum_base_price,
@@ -462,16 +446,11 @@ object SparkEntry {
          sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value,
          count(*) AS n
          FROM events GROUP BY 1""",
-    "d7_salted_agg" ->
-      """SELECT user_id,
-         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value,
-         count(*) AS n
-         FROM events GROUP BY 1""",
     "e1_exact_dedup" ->
       s"""SELECT md5($normSql) AS text_hash, min(doc_id) AS keep_doc_id,
           count(*) AS dup_count FROM documents GROUP BY 1""",
     "e4_ngram_jaccard" ->
-      s"""WITH norm AS (SELECT doc_id, lang || source AS block, $normSql AS t FROM documents),
+      s"""WITH norm AS (SELECT doc_id, concat_ws(chr(1), lang, source) AS block, $normSql AS t FROM documents),
           pos AS (SELECT doc_id, block, t, unnest(range(1, greatest(length(t) - 1, 1))) AS g FROM norm),
           grams AS (SELECT DISTINCT doc_id, block, substr(t, CAST(g AS INT), 3) AS gram FROM pos),
           counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),

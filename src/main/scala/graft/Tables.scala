@@ -21,14 +21,13 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   /** The events feed carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's vectorized reader rejects; read them as nanos-since-epoch
-    * longs and convert to a microsecond TimestampType (truncation —
-    * exactly what Spark's own ns→µs narrowing would do). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * longs (the nanosAsLong conf is set once in [[GraftSession.build]])
+    * and convert to a microsecond TimestampType (truncation — exactly
+    * what Spark's own ns→µs narrowing would do). */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -27,7 +27,11 @@ object Binary {
       col(idCol),
       octet_length(payload).cast("long").as("byte_len"),
       sha2(payload, 256).as("sha256"),
-      lower(hex(substring(payload, 1, 4))).as("magic_hex"))
+      // magic from the first 4 CHARS then encoded — with a true BinaryType
+      // payload this becomes substring on bytes; for the string-promoted
+      // test payload, char-first keeps multibyte prefixes well-defined
+      // (slicing UTF-8 bytes mid-codepoint would yield invalid sequences).
+      lower(hex(encode(substring(col(payloadStrCol), 1, 4), "UTF-8"))).as("magic_hex"))
   }
 
   /** Frame sampling over an opaque payload: fixed-length frames, every

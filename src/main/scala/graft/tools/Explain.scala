@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-audit harness: prints the formatted physical plan for each (or
   * one named) SparkEntry query so broadcast/pushdown/codegen can be
   * audited without the driver. Not part of the library surface. */
@@ -9,12 +7,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val only = args.headOption
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.build("local[4]", 32, "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries
       .filter { case (n, _) => only.forall(_ == n) }

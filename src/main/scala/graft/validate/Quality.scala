@@ -140,7 +140,10 @@ object Quality {
     val agg = df.agg(
       count(lit(1)).as("__total"),
       cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__m_$c")): _*)
-    val stackArgs = cols.map(c => s"'$c', round(__m_$c * 100.0 / __total, 4)").mkString(", ")
+    // 100.0 in SQL text parses as DECIMAL; keep the arithmetic DOUBLE so the
+    // output type matches the reference's float percentages.
+    val stackArgs = cols.map(c =>
+      s"'$c', round(__m_$c * CAST(100.0 AS DOUBLE) / __total, 4)").mkString(", ")
     agg.selectExpr(s"stack(${cols.size}, $stackArgs) as (column_name, missing_pct)")
   }
 }

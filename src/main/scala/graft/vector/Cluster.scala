@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,17 +8,36 @@ import org.apache.spark.sql.functions._
   * the centroid-based scale path for similarity search (the alternative
   * to the hyperplane-LSH path in [[Similarity.annLshTopK]]).
   *
-  * Scale shape: the corpus never moves. Assignment broadcasts the k
-  * centroids (k·dim doubles — bounded, driver-held, exactly MLlib's
-  * layout) against the corpus as a narrow map; the centroid update is
-  * one posexplode + groupBy (cluster, dim) average, so only k·dim
-  * partial sums cross the wire per iteration. IVF probing computes
-  * exact cosine only inside the nprobe nearest cells per query —
-  * corpus-side work scales with nprobe/k of the corpus.
+  * Scale shape: the corpus never moves. The k centroids (k·dim doubles —
+  * bounded, driver-held, exactly MLlib's layout) are embedded as a
+  * broadcast-sized array literal, so assignment is a NARROW per-row
+  * argmin — zero shuffle, no crossJoin, no window. The centroid update
+  * is one posexplode + groupBy (cluster, dim) average, so only k·dim
+  * partial sums cross the wire per iteration. Seeding picks the k
+  * smallest id-hashes via a distributed partial top-k
+  * (TakeOrderedAndProject), never a single-partition global sort.
+  * IVF probing computes exact cosine only inside the nprobe nearest
+  * cells per query — corpus-side work scales with nprobe/k of the corpus.
   */
 object Cluster {
 
   private def asDouble(vecCol: String) = transform(col(vecCol), _.cast("double"))
+
+  private def dist2(a: Column, b: Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+
+  /** The k centroids as one array<array<double>> literal, indexed by
+    * cluster id. k·dim doubles — ships with the task closure exactly like
+    * a broadcast, but usable inside codegen'd array expressions. */
+  private def centroidArrayLit(cs: Array[(Int, Seq[Double])]): Column =
+    array(cs.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
+
+  /** Narrow nearest-centroid: per-row distance vector over the centroid
+    * literal, argmin = first position of the min (ties → lowest cluster). */
+  private def nearestCluster(v: Column, centArr: Column): Column = {
+    val dists = transform(centArr, c => dist2(v, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
 
   /** Lloyd's k-means, deterministic hash-ordered seeding. Returns the
     * centroids as (cluster, centroid: array<double>). */
@@ -27,18 +46,23 @@ object Cluster {
     val spark = emb.sparkSession
     val base = emb.select(col(idCol).as("__id"), asDouble(vecCol).as("v"))
       .filter(col("v").isNotNull)
-    // deterministic seed sample: k smallest id-hashes
+    // deterministic seed sample: k smallest id-hashes. limit-after-orderBy
+    // compiles to TakeOrderedAndProject — a distributed partial top-k, not
+    // a global single-partition sort.
     var centroids: Array[(Int, Seq[Double])] = base
       .withColumn("__h", xxhash64(lit("graft-kmeans"), col("__id")))
-      .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col("__id"))))
-      .filter(col("__rn") <= k)
-      .select((col("__rn") - 1).cast("int").as("cluster"), col("v"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .orderBy(col("__h"), col("__id"))
+      .limit(k)
+      .select(col("__h"), col("v"))
+      .collect()
+      .sortBy(_.getLong(0)) // stable: ties keep Spark's (__h, __id) order
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to iters) {
-      val cdf = centroidsDF(spark, centroids)
-      val assigned = assignInternal(base, cdf)
-      val updated = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      val centArr = centroidArrayLit(centroids)
+      val updated = base
+        .select(nearestCluster(col("v"), centArr).as("cluster"),
+          posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
@@ -59,24 +83,19 @@ object Cluster {
       java.util.Arrays.asList(cs.map(c => Row(c._1, c._2)): _*), schema)
   }
 
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Double])] =
+    centroids.select(col("cluster"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
 
-  /** Nearest-centroid assignment: broadcast centroids, min_by distance. */
-  private def assignInternal(base: DataFrame, centroids: DataFrame): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .withColumn("__d2", dist2(col("v"), col("centroid")))
-      .groupBy(col("__id"))
-      .agg(min_by(col("cluster"), struct(col("__d2"), col("cluster"))).as("cluster"),
-        first(col("v")).as("v"))
-
-  /** Assign every row to its nearest centroid; adds a `cluster` column. */
+  /** Assign every row to its nearest centroid; adds a `cluster` column.
+    * The centroid table is k rows — collected once, embedded as a
+    * literal, so assignment is shuffle-free. */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
-    val base = emb.select(col(idCol).as("__id"), asDouble(vecCol).as("v"))
+    val centArr = centroidArrayLit(collectCentroids(centroids))
+    emb.select(col(idCol), asDouble(vecCol).as("v"))
       .filter(col("v").isNotNull)
-    assignInternal(base, centroids)
-      .select(col("__id").as(idCol), col("v"), col("cluster"))
+      .withColumn("cluster", nearestCluster(col("v"), centArr))
   }
 
   /** IVF ANN top-k: cluster the corpus, probe the `nprobe` nearest
@@ -84,20 +103,27 @@ object Cluster {
   def annIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, iters: Int, nprobe: Int,
                  topK: Int): DataFrame = {
-    val centroids = fitCentroids(corpus, idCol, vecCol, k, iters)
-    val c = assign(corpus, idCol, vecCol, centroids)
-      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("cluster"))
+    val centroids = collectCentroids(fitCentroids(corpus, idCol, vecCol, k, iters))
+    val centArr = centroidArrayLit(centroids)
+    val kActual = centroids.length
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+      .filter(col("cv").isNotNull)
+      .withColumn("cluster", nearestCluster(col("cv"), centArr))
       .withColumn("cn2", aggregate(col("cv"), lit(0.0d), (acc, x) => acc + x * x))
     val qBase = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
       .filter(col("qv").isNotNull)
       .withColumn("qn2", aggregate(col("qv"), lit(0.0d), (acc, x) => acc + x * x))
-    // probe list: nprobe nearest centroids per query
-    val probes = qBase.crossJoin(broadcast(centroids))
-      .withColumn("__d2", dist2(col("qv"), col("centroid")))
-      .withColumn("__pr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("cluster"))))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn2"), col("cluster"))
+    // probe list: nprobe nearest centroids per query, computed NARROWLY —
+    // sort the (distance, cluster) pairs per row, slice nprobe, explode.
+    val probes = qBase
+      .withColumn("__pl", slice(array_sort(
+        zip_with(transform(centArr, cc => dist2(col("qv"), cc)),
+          sequence(lit(0), lit(kActual - 1)),
+          (d, i) => struct(d.as("d"), i.as("cluster")))), 1, nprobe))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        explode(col("__pl")).as("__p"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("__p.cluster").cast("int").as("cluster"))
     val dot = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
       lit(0.0d), (acc, v) => acc + v)
     val scored = c.join(broadcast(probes), Seq("cluster"))
