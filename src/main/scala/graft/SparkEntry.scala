@@ -43,6 +43,15 @@ object SparkEntry {
       Ingest.retentionKeepLastN(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
         "o_custkey", col("o_orderdate"), col("o_orderkey"), 5)),
+    "a5_incremental_ingest" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      // two overlapping offset pages (crash-recovery refetch) merge to
+      // exactly the full feed
+      Ingest.incrementalIngest(ev.filter(col("event_id") < 600),
+        ev.filter(col("event_id") >= 500), "event_id")
+    }),
 
     // ---------------- B. validation / quality ----------------
     "b1_schema_violations" -> ((s, d) =>
@@ -63,6 +72,8 @@ object SparkEntry {
       Quality.missingPct(Tables.events(s, d), Seq("ts", "user_id", "event_type", "value"))),
     "b9_quality_report" -> ((s, d) =>
       Quality.qualityReport(Tables.events(s, d), "user_id", "ts", "event_id", "value", 3600L, 1.5)),
+    "b10_validation_verdict" -> ((s, d) =>
+      Quality.validationVerdict(Tables.events(s, d), "user_id", "ts", "event_id", "value", 5.0, 2.0)),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -94,6 +105,13 @@ object SparkEntry {
       TimeSeries.rollingStats(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24)),
     "c11_ridge_lag_forecast" -> ((s, d) =>
       Forecast.ridgeLagForecast(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 1.0)),
+    "c14_multi_horizon_forecast" -> ((s, d) =>
+      Forecast.multiHorizonForecast(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 3600L)),
+    "c15_model_selection" -> ((s, d) =>
+      Forecast.modelSelection(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24,
+        Seq(0.01, 0.1, 1.0, 10.0, 100.0), 0.7, 0.15)),
+    "c16_window_samples" -> ((s, d) =>
+      TimeSeries.windowSamples(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
 
     // ---------------- D. relational analytics ----------------
     "d1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
@@ -182,7 +200,8 @@ object SparkEntry {
 
   // -----------------------------------------------------------------
   // DuckDB oracle SQL — identical aliases + identical rounding. Keys
-  // absent here (c11, e2, e3, e7) are rows-only checked.
+  // absent here (c11, c15, c16, e2, e3, e7, e13) are rows-only checked
+  // and carry differential/property ScalaTest specs instead.
   // -----------------------------------------------------------------
 
   /** Shared normalized-text expression (matches graft.functions.normalizeText). */
@@ -214,6 +233,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
          QUALIFY row_number() OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate DESC, o_orderkey DESC) <= 5""",
+    "a5_incremental_ingest" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
     "b1_schema_violations" ->
       """SELECT 'null_period' AS check_name, count(*) FILTER (WHERE ts IS NULL) AS violations FROM events
          UNION ALL SELECT 'null_respondent', count(*) FILTER (WHERE user_id IS NULL) FROM events
@@ -279,6 +301,39 @@ object SparkEntry {
          UNION ALL SELECT 'extreme_outlier_count', CAST(count(*) AS DOUBLE)
            FROM events, (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
            WHERE value >= p99 * 3""",
+    "b10_validation_verdict" ->
+      """WITH a AS (SELECT count(*) AS total_records,
+           round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) AS missing_value_pct
+           FROM events),
+         d AS (SELECT count(*) AS duplicate_groups FROM
+           (SELECT user_id, date_trunc('second', ts) AS p FROM events
+            GROUP BY 1, 2 HAVING count(*) > 1)),
+         o AS (SELECT count(*) AS n_out
+           FROM events, (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
+           WHERE value >= p99 * 3)
+         SELECT total_records, missing_value_pct, duplicate_groups,
+           round(n_out * 100.0 / total_records, 4) AS extreme_outlier_pct,
+           (CASE WHEN missing_value_pct > 5.0 THEN 1 ELSE 0 END +
+            CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) AS error_count,
+           CASE WHEN round(n_out * 100.0 / total_records, 4) > 2.0 THEN 1 ELSE 0 END AS warning_count,
+           (CASE WHEN missing_value_pct > 5.0 THEN 1 ELSE 0 END +
+            CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) = 0 AS is_valid
+         FROM a, d, o""",
+    "c14_multi_horizon_forecast" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
+         r AS (SELECT user_id, period, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY period DESC, event_id DESC) AS rd,
+             max(period) OVER (PARTITION BY user_id) AS max_p
+           FROM t),
+         tr AS (SELECT user_id,
+             regr_slope(CAST(value AS DOUBLE), CAST(CAST(epoch(period) AS BIGINT) AS DOUBLE)) AS slope,
+             regr_intercept(CAST(value AS DOUBLE), CAST(CAST(epoch(period) AS BIGINT) AS DOUBLE)) AS icept
+           FROM t GROUP BY 1)
+         SELECT r.user_id, CAST(25 - rd AS INT) AS horizon,
+           max_p + to_seconds(CAST((25 - rd) * 3600 AS BIGINT)) AS period,
+           value AS snaive_prediction,
+           round(icept + slope * CAST(CAST(epoch(max_p + to_seconds(CAST((25 - rd) * 3600 AS BIGINT))) AS BIGINT) AS DOUBLE), 4) AS trend_prediction
+         FROM r JOIN tr ON r.user_id = tr.user_id WHERE rd <= 24""",
     "c1_resample_hourly" ->
       """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n,
          floor((sum(round(value * 100, 0)) * 200 + count(*)) / (count(*) * 2)) / 10000.0 AS avg_value,

@@ -45,6 +45,27 @@ object Ingest {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental (offset-paginated) ingest merge — the reference's
+    * paginated extraction loop (data_extraction.py:78-104: fetch pages
+    * by offset, append) re-expressed idempotently. Offset pagination
+    * implies a monotone record id, so the accumulated feed's high-water
+    * mark IS the resume checkpoint: a refetched page is trimmed to
+    * `id > max(existing.id)` before the union, and re-running an
+    * overlapping offset range (the usual crash-recovery case) cannot
+    * duplicate records. The watermark is a 1-row scalar aggregate
+    * broadcast against the page (same pattern as the b2 p99 join), so
+    * the accumulated feed is never shuffled and the page never leaves
+    * its partitions — at 100 TB the only full-scan cost is the max(),
+    * which a caller maintaining a checkpoint table replaces with a
+    * literal. NULL watermark (empty feed) admits the whole page. */
+  def incrementalIngest(existing: DataFrame, page: DataFrame, idCol: String): DataFrame = {
+    val wm = existing.agg(max(col(idCol)).as("__wm"))
+    existing.unionByName(
+      page.crossJoin(broadcast(wm))
+        .filter(col("__wm").isNull || col(idCol) > col("__wm"))
+        .drop("__wm"))
+  }
+
   /** Retention: keep the newest n records per group (cleanup_old_files
     * semantics — keep_count newest per prefix). */
   def retentionKeepLastN(df: DataFrame, groupCol: String, orderCol: Column,

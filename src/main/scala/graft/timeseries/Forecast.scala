@@ -1,6 +1,6 @@
 package graft.timeseries
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,123 @@ object Forecast {
         round(col("intercept"), 4).as("intercept"),
         round(col("coef_lag1"), 6).as("coef_lag1"),
         round(col("coef_lag_season"), 6).as("coef_lag_season"))
+  }
+
+  /** Multi-horizon forecast table — the engine's headline output
+    * (model.py:52 output_size=24; kubeflow_pipeline.py:112-124
+    * prediction_horizon): per key, one row for each of the NEXT
+    * `season` periods, carrying both baselines.
+    *
+    * Seasonal-naive: ŷ(T+h) = y(T+h−season), i.e. the last observed
+    * season replayed in phase — produced WITHOUT generating future rows
+    * and joining back: the last `season` rows per key (one window
+    * rank) each become one horizon row, so the cost is a single
+    * per-key window pass regardless of corpus size. Trend: the c8
+    * closed-form OLS line evaluated at each future period; the
+    * per-key (slope, intercept) table is one row per key and the join
+    * back is AQE-broadcast at any realistic key count. */
+  def multiHorizonForecast(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                           valueCol: String, season: Int, stepSeconds: Long): DataFrame = {
+    val base = df.select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+      col(idCol), col(valueCol))
+    val wDesc = Window.partitionBy(col(keyCol)).orderBy(col("period").desc, col(idCol).desc)
+    val snaive = base
+      .withColumn("__rd", row_number().over(wDesc))
+      .withColumn("__maxp", max(col("period")).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rd") <= season)
+      .withColumn("horizon", (lit(season + 1) - col("__rd")).cast("int"))
+      .select(col(keyCol), col("horizon"),
+        timestamp_seconds(col("__maxp").cast("long") + col("horizon") * stepSeconds.toInt)
+          .as("period"),
+        col(valueCol).as("snaive_prediction"))
+    val trend = base
+      .select(col(keyCol), col("period").cast("long").cast("double").as("x"),
+        col(valueCol).cast("double").as("y"))
+      .groupBy(col(keyCol))
+      .agg(expr("regr_slope(y, x)").as("__slope"), expr("regr_intercept(y, x)").as("__icept"))
+    snaive.join(trend, Seq(keyCol))
+      .select(col(keyCol), col("horizon"), col("period"), col("snaive_prediction"),
+        round(col("__icept") + col("__slope") * col("period").cast("long").cast("double"), 4)
+          .as("trend_prediction"))
+  }
+
+  /** 3×3 determinant as a Column expression (for the closed-form ridge
+    * solve — Cramer's rule stays inside whole-stage codegen). */
+  private def det3(a: IndexedSeq[IndexedSeq[Column]]): Column =
+    a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+      a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+      a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+
+  /** Distributed hyperparameter sweep + model selection — the engine's
+    * analog of the reference's Katib search (train_katib.py:60-160:
+    * grid over model hyperparameters, best picked by validation RMSE).
+    *
+    * Per key: time-ordered train/val/test split on the lag-feature
+    * rows, ONE Gram-matrix aggregation over the train slice (the Gram
+    * sums are lambda-independent, so the 100 TB of observations are
+    * touched once no matter how large the grid), then a per-(key,
+    * lambda) closed-form ridge solve via Cramer's rule — a codegen'd
+    * column expression over keys×lambdas rows, no driver loop. The
+    * tiny coefficient table joins back to the held-out rows
+    * (AQE-broadcast) and best-per-key is one min_by aggregation.
+    * Emits (key, best_lambda, val_rmse, test_rmse). */
+  def modelSelection(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                     valueCol: String, season: Int, lambdas: Seq[Double],
+                     trainFrac: Double, valFrac: Double): DataFrame = {
+    val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    val cw = Window.partitionBy(col(keyCol))
+    // exact decimal split boundaries (see TimeSeries.trainValTestSplit)
+    val trainBd = lit(java.math.BigDecimal.valueOf(trainFrac))
+    val valBd = lit(java.math.BigDecimal.valueOf(valFrac))
+    val feats = df
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"), col(idCol), col(valueCol))
+      .withColumn("x1", lag(col(valueCol), 1).over(ow))
+      .withColumn("x2", lag(col(valueCol), season).over(ow))
+      .filter(col("x1").isNotNull && col("x2").isNotNull)
+      .withColumn("__rn", row_number().over(ow))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("split",
+        when(col("__rn") <= floor(col("__n") * trainBd), "train")
+          .when(col("__rn") <= floor(col("__n") * trainBd) + floor(col("__n") * valBd), "val")
+          .otherwise("test"))
+    val sums = feats.filter(col("split") === "train").groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("double").as("s00"),
+      sum(col("x1")).as("s01"), sum(col("x2")).as("s02"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col(valueCol)).as("b0"),
+      sum(col("x1") * col(valueCol)).as("b1"),
+      sum(col("x2") * col(valueCol)).as("b2"))
+    // keys × lambdas rows; solve A x = b with A = Gram + lambda*I
+    val lam = sums.select(col(keyCol), explode(typedLit(lambdas)).as("lambda"),
+      col("s00"), col("s01"), col("s02"), col("s11"), col("s12"), col("s22"),
+      col("b0"), col("b1"), col("b2"))
+    val a: IndexedSeq[IndexedSeq[Column]] = IndexedSeq(
+      IndexedSeq(col("s00") + col("lambda"), col("s01"), col("s02")),
+      IndexedSeq(col("s01"), col("s11") + col("lambda"), col("s12")),
+      IndexedSeq(col("s02"), col("s12"), col("s22") + col("lambda")))
+    val b = IndexedSeq(col("b0"), col("b1"), col("b2"))
+    val d = det3(a)
+    def solved(i: Int): Column = {
+      val ai = IndexedSeq.tabulate(3, 3)((r, c) => if (c == i) b(r) else a(r)(c))
+      when(abs(d) > 1e-12, det3(ai) / d).otherwise(0.0)
+    }
+    val coefs = lam.select(col(keyCol), col("lambda"),
+      solved(0).as("__c0"), solved(1).as("__c1"), solved(2).as("__c2"))
+    val err = col(valueCol) - (col("__c0") + col("__c1") * col("x1") + col("__c2") * col("x2"))
+    val scored = feats.filter(col("split") =!= "train")
+      .join(coefs, Seq(keyCol))
+      .groupBy(col(keyCol), col("lambda"))
+      .agg(
+        sqrt(avg(when(col("split") === "val", pow(err, 2)))).as("__val_rmse"),
+        sqrt(avg(when(col("split") === "test", pow(err, 2)))).as("__test_rmse"))
+    scored.groupBy(col(keyCol))
+      .agg(min_by(
+        struct(col("lambda"), col("__val_rmse"), col("__test_rmse")),
+        struct(col("__val_rmse"), col("lambda"))).as("__b"))
+      .select(col(keyCol), col("__b.lambda").as("best_lambda"),
+        round(col("__b.__val_rmse"), 4).as("val_rmse"),
+        round(col("__b.__test_rmse"), 4).as("test_rmse"))
   }
 
   /** Gaussian elimination with partial pivoting for a 3×3 system. */

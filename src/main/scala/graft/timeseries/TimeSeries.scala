@@ -125,6 +125,32 @@ object TimeSeries {
       roundMeanE4(sum(cents).over(wr), count(lit(1)).over(wr)))
   }
 
+  /** Contiguous (input, target) window samples — the hand-off format a
+    * distributed trainer consumes (model.py:19-41 TimeSeriesDataset:
+    * seq_len input array + horizon target array per sample). Per key,
+    * each anchor row at stride `stride` emits the previous `seqLen`
+    * values and the next `horizon` values as arrays; partial windows at
+    * series boundaries are dropped (exactly the dataset's __len__).
+    * One per-key window pass — row-frame collect_list keeps state
+    * bounded at seqLen+horizon values per in-flight row, and samples
+    * stay co-located with their series partition for the trainer.
+    * Null values would shrink a frame below its nominal size and drop
+    * that sample (callers should impute first — model.py assumes a
+    * cleaned series too). */
+  def windowSamples(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    valueCol: String, seqLen: Int, horizon: Int, stride: Int): DataFrame = {
+    val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    df.select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol))
+      .withColumn("__rn", row_number().over(ow))
+      .withColumn("input_seq", collect_list(col(valueCol)).over(ow.rowsBetween(-(seqLen - 1), 0)))
+      .withColumn("target_seq", collect_list(col(valueCol)).over(ow.rowsBetween(1, horizon)))
+      .filter(size(col("input_seq")) === seqLen && size(col("target_seq")) === horizon &&
+        (col("__rn") - seqLen) % stride === 0)
+      .select(col(keyCol), col("period").as("anchor_period"),
+        col("input_seq"), col("target_seq"))
+  }
+
   /** Rolling mean/std over the previous n rows per key. */
   def rollingStats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                    valueCol: String, n: Int): DataFrame = {

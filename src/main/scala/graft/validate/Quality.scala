@@ -114,25 +114,75 @@ object Quality {
 
   /** Composite quality report (the DAG's quality-summary step,
     * airflow_dag.py generate_quality_summary): one (metric, value) row
-    * per headline check, composed from the single-purpose operators so
-    * the numbers cannot drift from the detailed reports. */
+    * per headline check.
+    *
+    * Single-pass shape for 100 TB: total, null-pct, duplicate-group and
+    * gap counts all come from ONE per-key-windowed scan — a duplicate
+    * group's first extra row is `period == lag1 && period != lag2`
+    * (ties sort adjacently), and a gap is `period - lag1 > tolerance`,
+    * so both fold into the same aggregation as the global counters.
+    * Only the p99-outlier check needs its own scalar-agg + scan pass
+    * (the [[extremeOutliers]] semantics); events is scanned 3× total
+    * instead of once per metric. Semantics identical to composing
+    * the single-purpose operators (same oracle). */
   def qualityReport(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                     valueCol: String, expectedSeconds: Long,
                     toleranceFactor: Double): DataFrame = {
-    def scalar(name: String, d: DataFrame): DataFrame =
-      d.select(lit(name).as("metric"), col("value").cast("double").as("value"))
-    val total = df.agg(count(lit(1)).as("value"))
-    val nullPct = df.agg(round(
-      sum(when(col(valueCol).isNull, 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("value"))
-    val dupGroups = duplicateTimestamps(df, keyCol, tsCol).agg(count(lit(1)).as("value"))
-    val gaps = gapDetection(df, keyCol, tsCol, idCol, expectedSeconds, toleranceFactor)
-      .agg(count(lit(1)).as("value"))
-    val outliers = extremeOutliers(df, idCol, valueCol).agg(count(lit(1)).as("value"))
-    scalar("total_records", total)
-      .unionAll(scalar("null_value_pct", nullPct))
-      .unionAll(scalar("duplicate_timestamp_groups", dupGroups))
-      .unionAll(scalar("gap_count", gaps))
-      .unionAll(scalar("extreme_outlier_count", outliers))
+    import org.apache.spark.sql.expressions.Window
+    val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    val t = df
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol))
+      .withColumn("__p1", lag(col("period"), 1).over(ow))
+      .withColumn("__p2", lag(col("period"), 2).over(ow))
+    val agg1 = t.agg(
+      count(lit(1)).as("__total"),
+      sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("__miss"),
+      sum(when(col("period") === col("__p1") &&
+        (col("__p2").isNull || col("__p2") =!= col("period")), 1L).otherwise(0L))
+        .as("__dups"),
+      sum(when(col("period").cast("long") - col("__p1").cast("long") >
+        expectedSeconds * toleranceFactor, 1L).otherwise(0L)).as("__gaps"))
+    val p99 = df.agg(expr(s"percentile($valueCol, 0.99)").as("__p99"))
+    val outliers = df.select(col(valueCol)).crossJoin(broadcast(p99))
+      .agg(sum(when(col(valueCol) >= col("__p99") * 3, 1L).otherwise(0L)).as("__out"))
+    agg1.crossJoin(broadcast(outliers))
+      .select(lit("total_records").as("metric"), col("__total").cast("double").as("value"),
+        round(col("__miss") * lit(100.0d) / col("__total"), 4).as("__npct"),
+        col("__dups").cast("double").as("__d"), col("__gaps").cast("double").as("__g"),
+        coalesce(col("__out"), lit(0L)).cast("double").as("__o"))
+      .selectExpr("stack(5, 'total_records', value, 'null_value_pct', __npct, " +
+        "'duplicate_timestamp_groups', __d, 'gap_count', __g, " +
+        "'extreme_outlier_count', __o) as (metric, value)")
+  }
+
+  /** Thresholded validation verdict — the gate a pipeline actually
+    * branches on (data_validation.py:140-160, config.yaml thresholds):
+    * metrics become errors (missing% above `missingPctError`, any
+    * duplicate-timestamp group) or warnings (extreme-outlier% above
+    * `outlierPctWarn`) plus an overall `is_valid` flag. One row out;
+    * three bounded scans in (shared with the b-group semantics). */
+  def validationVerdict(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                        valueCol: String, missingPctError: Double,
+                        outlierPctWarn: Double): DataFrame = {
+    val base = df.agg(
+      count(lit(1)).as("total_records"),
+      sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("__miss"))
+    val dups = duplicateTimestamps(df, keyCol, tsCol).agg(count(lit(1)).as("duplicate_groups"))
+    val outs = extremeOutliers(df, idCol, valueCol).agg(count(lit(1)).as("__out"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(outs))
+      .withColumn("missing_value_pct",
+        round(col("__miss") * lit(100.0d) / col("total_records"), 4))
+      .withColumn("extreme_outlier_pct",
+        round(col("__out") * lit(100.0d) / col("total_records"), 4))
+      .withColumn("error_count",
+        when(col("missing_value_pct") > missingPctError, 1).otherwise(0) +
+          when(col("duplicate_groups") > 0, 1).otherwise(0))
+      .withColumn("warning_count",
+        when(col("extreme_outlier_pct") > outlierPctWarn, 1).otherwise(0))
+      .select(col("total_records"), col("missing_value_pct"), col("duplicate_groups"),
+        col("extreme_outlier_pct"), col("error_count"), col("warning_count"),
+        (col("error_count") === 0).as("is_valid"))
   }
 
   /** Missing-value percentage per column (data_validation.py:138-147). */

@@ -100,4 +100,48 @@ class IngestQualitySpec extends SparkSpec {
     assert(r.getAs[Double]("min") <= r.getAs[Double]("median"))
     assert(r.getAs[Double]("median") <= r.getAs[Double]("max"))
   }
+
+  test("incrementalIngest merges overlapping pages idempotently") {
+    val ev = feed.select(col("event_id"), col("ts"), col("key"), col("value"))
+    val existing = ev.filter(col("event_id") <= 2)
+    val page = ev.filter(col("event_id") >= 1) // overlap on ids 1,2
+    val merged = Ingest.incrementalIngest(existing, page, "event_id")
+    assert(merged.count() == ev.count())
+    assert(merged.select("event_id").distinct().count() == ev.count())
+    // re-applying the same page is a no-op
+    assert(Ingest.incrementalIngest(merged, page, "event_id").count() == ev.count())
+    // empty feed admits the whole page (null watermark)
+    val fromEmpty = Ingest.incrementalIngest(existing.filter(lit(false)), page, "event_id")
+    assert(fromEmpty.count() == page.count())
+  }
+
+  test("validationVerdict applies error/warning thresholds") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+    val rows = (0 until 100).map { i =>
+      // rows 0 and 1 share a second (1 duplicate group); 10% nulls; one
+      // extreme value (1% outliers over the 0.5% warn threshold)
+      val sec = if (i == 1) 0L else i * 3600L
+      val v: Option[Double] =
+        if (i < 10) None
+        else if (i == 99) Some(100.0)
+        else if (i == 98) Some(2.0)
+        else Some(1.0)
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(sec)), "A", v)
+    }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val r = Quality.validationVerdict(df, "key", "ts", "event_id", "value", 5.0, 0.5).head()
+    assert(r.getAs[Long]("total_records") == 100)
+    assert(r.getAs[Double]("missing_value_pct") == 10.0)
+    assert(r.getAs[Long]("duplicate_groups") == 1)
+    assert(r.getAs[Double]("extreme_outlier_pct") == 1.0)
+    assert(r.getAs[Int]("error_count") == 2)   // missing% > 5, duplicates > 0
+    assert(r.getAs[Int]("warning_count") == 1) // outlier% 1.0 > 0.5
+    assert(!r.getAs[Boolean]("is_valid"))
+
+    val clean = (0 until 50).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 3600L)), "A", 1.0 + i)
+    }.toDF("event_id", "ts", "key", "value")
+    val ok = Quality.validationVerdict(clean, "key", "ts", "event_id", "value", 5.0, 2.0).head()
+    assert(ok.getAs[Int]("error_count") == 0 && ok.getAs[Boolean]("is_valid"))
+  }
 }

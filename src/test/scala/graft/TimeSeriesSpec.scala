@@ -139,4 +139,50 @@ class TimeSeriesSpec extends SparkSpec {
     assert(first(1) == 101.0)      // (100+102)/2
     assert(first(2) == 102.0)      // (100+102+104)/3
   }
+
+  test("multiHorizonForecast emits h future rows with snaive and trend") {
+    val out = Forecast.multiHorizonForecast(series, "key", "ts", "event_id", "value", 24, 3600L)
+    assert(out.count() == 2 * 24)
+    val a = out.filter(col("key") === "A").orderBy("horizon").collect()
+    assert(a.map(_.getAs[Int]("horizon")).toSeq == (1 to 24))
+    a.foreach { r =>
+      val h = r.getAs[Int]("horizon")
+      // snaive: yhat(T+h) = y(T+h-24); value at index i is 100+2i, T is index 99
+      assert(r.getAs[Double]("snaive_prediction") == 100.0 + 2.0 * (75 + h))
+      // strictly linear series: trend extrapolation is (near-)exact
+      assert(math.abs(r.getAs[Double]("trend_prediction") - (298.0 + 2.0 * h)) < 1e-2)
+    }
+    // horizon-1 period is exactly one step past the last observed period
+    val last = series.filter(col("key") === "A").agg(max("ts")).head().getTimestamp(0)
+    assert(a(0).getAs[Timestamp]("period").getTime - last.getTime == 3600L * 1000)
+  }
+
+  test("windowSamples emits aligned (input, target) arrays at the stride") {
+    val out = TimeSeries.windowSamples(series, "key", "ts", "event_id", "value", 24, 6, 4)
+    // valid anchors: rn >= 24 (full input), rn <= 94 (full target), (rn-24)%4==0
+    assert(out.filter(col("key") === "A").count() == 18)
+    val first = out.filter(col("key") === "A").orderBy("anchor_period").head()
+    assert(first.getAs[scala.collection.Seq[Double]]("input_seq") ==
+      (0 until 24).map(i => 100.0 + 2.0 * i))
+    assert(first.getAs[scala.collection.Seq[Double]]("target_seq") ==
+      (24 until 30).map(i => 100.0 + 2.0 * i))
+  }
+
+  test("modelSelection rejects extreme shrinkage on an autocorrelated series") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Timestamp.from(base.plusSeconds(i * 3600L)), "A",
+        50.0 + 10.0 * math.sin(i / 5.0) + (i % 7) * 0.3)
+    }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = Forecast.modelSelection(df, "key", "ts", "event_id", "value", 24,
+      Seq(0.01, 1.0, 10000.0), 0.7, 0.15).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // lambda=10000 shrinks all coefficients to ~0 (predict ~0 on a ~50-level
+    // series) and must lose the validation contest
+    assert(r.getAs[Double]("best_lambda") < 10000.0)
+    assert(Seq(0.01, 1.0).contains(r.getAs[Double]("best_lambda")))
+    assert(r.getAs[Double]("val_rmse") >= 0.0 && r.getAs[Double]("test_rmse") >= 0.0)
+  }
 }
