@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Analytics
+import graft.graph.Components
 import graft.ingest.Ingest
+import graft.sample.Sampling
 import graft.multimodal.Binary
 import graft.streaming.Streams
 import graft.text.{Dedup, TextOps}
@@ -158,6 +160,22 @@ object SparkEntry {
       TextOps.tokenFrequency(Tables.documents(s, d), "doc_id", "text", 5L)),
     "e15_frame_sample" -> ((s, d) =>
       Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
+    "e17_dup_clusters" -> ((s, d) =>
+      Components.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          Seq("lang", "source"), 3, 0.6),
+        "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))),
+    "e18_dedup_keep_canonical" -> ((s, d) =>
+      Components.keepCanonical(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          Seq("lang", "source"), 3, 0.6),
+        "doc_id", "doc_a", "doc_b")),
+    "e19_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.8), 0.25)),
 
     // ---------------- G. sources / sinks ----------------
     "g1_csv_roundtrip" -> ((s, d) => {
@@ -214,6 +232,21 @@ object SparkEntry {
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x))"
   private val cosSql = (a: String, b: String) =>
     s"(${dotSql(a, b)} / (${normVecSql(a)} * ${normVecSql(b)}))"
+
+  /** Shared n-gram Jaccard pair CTE body (e4/e17/e18 oracles) —
+    * `jpairs` emits (doc_a, doc_b, jaccard) at threshold 0.6. */
+  private lazy val ngramPairCte =
+    s"""norm AS (SELECT doc_id, concat_ws(chr(1), lang, source) AS block, $normSql AS t FROM documents),
+        pos AS (SELECT doc_id, block, t, unnest(range(1, greatest(length(t) - 1, 1))) AS g FROM norm),
+        grams AS (SELECT DISTINCT doc_id, block, substr(t, CAST(g AS INT), 3) AS gram FROM pos),
+        counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM grams a JOIN grams b ON a.block = b.block AND a.gram = b.gram
+            AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        jpairs AS (SELECT doc_a, doc_b,
+            round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+          FROM pairs JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+          WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.6)"""
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest_typed" ->
@@ -505,17 +538,30 @@ object SparkEntry {
       s"""SELECT md5($normSql) AS text_hash, min(doc_id) AS keep_doc_id,
           count(*) AS dup_count FROM documents GROUP BY 1""",
     "e4_ngram_jaccard" ->
-      s"""WITH norm AS (SELECT doc_id, concat_ws(chr(1), lang, source) AS block, $normSql AS t FROM documents),
-          pos AS (SELECT doc_id, block, t, unnest(range(1, greatest(length(t) - 1, 1))) AS g FROM norm),
-          grams AS (SELECT DISTINCT doc_id, block, substr(t, CAST(g AS INT), 3) AS gram FROM pos),
-          counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM grams a JOIN grams b ON a.block = b.block AND a.gram = b.gram
-              AND a.doc_id < b.doc_id GROUP BY 1, 2)
-          SELECT doc_a, doc_b,
-            round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
-          FROM pairs JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
-          WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.6""",
+      s"""WITH $ngramPairCte
+          SELECT doc_a, doc_b, jaccard FROM jpairs""",
+    "e17_dup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairCte,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION SELECT doc_b, doc_a FROM jpairs),
+          reach AS (SELECT a AS n, a AS m FROM edges
+            UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+          SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n""",
+    "e18_dedup_keep_canonical" ->
+      s"""WITH RECURSIVE $ngramPairCte,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION SELECT doc_b, doc_a FROM jpairs),
+          reach AS (SELECT a AS n, a AS m FROM edges
+            UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+          comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+          SELECT d.doc_id, d.lang, d.source FROM documents d
+          LEFT JOIN comp c ON d.doc_id = c.doc_id
+          WHERE c.component IS NULL OR c.component = d.doc_id""",
+    "e19_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (doc_id * 2654435761) % 10000 <
+           (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.8
+                 ELSE 0.25 END) * 10000""",
     "e5_cosine_dup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine

@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot paths.
+  *
+  * Spark's array higher-order functions (`transform` / `zip_with` /
+  * `aggregate`) are CodegenFallback — every element goes through an
+  * interpreted lambda with boxed Doubles. On the similarity/clustering
+  * paths that cost dominates the whole query (round-1 e13 spent ~15 s
+  * mostly in interpreted distance lambdas at sf0.1). These expressions
+  * implement both `eval` and `doGenCode` with primitive `double` loops
+  * over `ArrayData`, so dot products, norms, and nearest-centroid
+  * argmin stay inside whole-stage codegen with zero boxing.
+  *
+  * Element null slots are treated as 0.0 (the corpus vectors are
+  * dense; the cost of a per-element null branch is not worth paying on
+  * the 100 TB path — documented contract, enforced upstream by the
+  * `isNotNull` filters on the vector columns).
+  */
+object VectorExpressions {
+
+  private def elemJava(arr: String, et: DataType, i: String): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType  => s"(double) $arr.getFloat($i)"
+    case LongType   => s"(double) $arr.getLong($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  private def elemScala(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType  => arr.getFloat(i).toDouble
+    case LongType   => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  private def elementType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Dot product of two numeric array columns, as primitive codegen. */
+  case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (lt, rt) = (elementType(left), elementType(right))
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += elemScala(x, lt, i) * elemScala(y, rt, i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ${elemJava(a, elementType(left), i)} * ${elemJava(b, elementType(right), i)};
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+      copy(left = l, right = r)
+  }
+
+  /** Sum of squares of a numeric array column (squared L2 norm). */
+  case class ArrayNorm2(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elementType(child)
+      var s = 0.0; var i = 0
+      while (i < v.numElements()) { val x = elemScala(v, et, i); s += x * x; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (i, s, x) = (ctx.freshName("i"), ctx.freshName("s"), ctx.freshName("x"))
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $x = ${elemJava(a, elementType(child), i)};
+           |  $s += $x * $x;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): ArrayNorm2 = copy(child = c)
+  }
+
+  /** Argmin of squared L2 distance from the input vector to a constant
+    * centroid matrix (k·dim doubles, shipped as a codegen reference
+    * object — the broadcast-literal pattern without array-literal
+    * overhead). Ties resolve to the lowest centroid index. */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elementType(child)
+      var best = -1; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val n = math.min(cent.length, v.numElements())
+        var d = 0.0; var i = 0
+        while (i < n) { val t = elemScala(v, et, i) - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (c, i, n) = (ctx.freshName("c"), ctx.freshName("i"), ctx.freshName("n"))
+        val (d, t, best, bestD) = (ctx.freshName("d"), ctx.freshName("t"),
+          ctx.freshName("best"), ctx.freshName("bestD"))
+        s"""
+           |int $best = -1;
+           |double $bestD = Double.POSITIVE_INFINITY;
+           |for (int $c = 0; $c < $cents.length; $c++) {
+           |  double[] cent = $cents[$c];
+           |  int $n = java.lang.Math.min(cent.length, $a.numElements());
+           |  double $d = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $t = ${elemJava(a, elementType(child), i)} - cent[$i];
+           |    $d += $t * $t;
+           |  }
+           |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+  }
+
+  /** Squared L2 distances from the input vector to every row of a
+    * constant centroid matrix, as array<double> — the probe-ranking
+    * primitive (nprobe selection sorts this tiny k-array per row). */
+  case class CentroidDistances(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elementType(child)
+      val out = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val n = math.min(cent.length, v.numElements())
+        var d = 0.0; var i = 0
+        while (i < n) { val t = elemScala(v, et, i) - cent(i); d += t * t; i += 1 }
+        out(c) = d
+        c += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (c, i, n, d, t, out) = (ctx.freshName("c"), ctx.freshName("i"),
+          ctx.freshName("n"), ctx.freshName("d"), ctx.freshName("t"), ctx.freshName("out"))
+        s"""
+           |double[] $out = new double[$cents.length];
+           |for (int $c = 0; $c < $cents.length; $c++) {
+           |  double[] cent = $cents[$c];
+           |  int $n = java.lang.Math.min(cent.length, $a.numElements());
+           |  double $d = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $t = ${elemJava(a, elementType(child), i)} - cent[$i];
+           |    $d += $t * $t;
+           |  }
+           |  $out[$c] = $d;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): CentroidDistances =
+      copy(child = c)
+  }
+
+  /** Random-hyperplane LSH signature: bit p is set when the dot product
+    * of the vector with constant plane p is >= 0. Plane matrix ships as
+    * a codegen reference object; one primitive pass per row replaces
+    * numPlanes interpreted zip_with/aggregate dot products. */
+  case class PlaneSignature(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elementType(child)
+      var sig = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        val n = math.min(plane.length, v.numElements())
+        var s = 0.0; var i = 0
+        while (i < n) { s += elemScala(v, et, i) * plane(i); i += 1 }
+        if (s >= 0) sig |= 1L << p
+        p += 1
+      }
+      sig
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (p, i, n, s, sig) = (ctx.freshName("p"), ctx.freshName("i"),
+          ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("sig"))
+        s"""
+           |long $sig = 0L;
+           |for (int $p = 0; $p < $mat.length; $p++) {
+           |  double[] plane = $mat[$p];
+           |  int $n = java.lang.Math.min(plane.length, $a.numElements());
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += ${elemJava(a, elementType(child), i)} * plane[$i];
+           |  }
+           |  if ($s >= 0) $sig |= 1L << $p;
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): PlaneSignature =
+      copy(child = c)
+  }
+
+  // ---------------- Column-level entry points ----------------
+
+  def arrayDot(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def arrayNorm2(a: Column): Column =
+    ColumnBridge.column(ArrayNorm2(ColumnBridge.expression(a)))
+
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
+
+  def centroidDistances(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(CentroidDistances(ColumnBridge.expression(v), centroids))
+
+  def planeSignature(v: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(PlaneSignature(ColumnBridge.expression(v), planes))
+}

@@ -10,24 +10,17 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  /** Cosine similarity between two array<float|double> columns.
-    * Pure higher-order-function composition (zip_with + aggregate), all
-    * inside codegen. Inputs are cast to double for deterministic math.
-    */
-  def cosineSim(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(ad, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(bd, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity between two array<float|double> columns —
+    * native codegen'd primitive loops ([[VectorExpressions]]; the HOF
+    * zip_with/aggregate composition is CodegenFallback and boxes every
+    * element). Elements promote to double inside the loops, which is
+    * bit-identical to casting the arrays first. */
+  def cosineSim(a: Column, b: Column): Column =
+    VectorExpressions.arrayDot(a, b) /
+      (sqrt(VectorExpressions.arrayNorm2(a)) * sqrt(VectorExpressions.arrayNorm2(b)))
 
   /** Dot product of two numeric array columns (double). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")), (x, y) => x * y),
-      lit(0.0d), (acc, v) => acc + v)
+  def dotProduct(a: Column, b: Column): Column = VectorExpressions.arrayDot(a, b)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

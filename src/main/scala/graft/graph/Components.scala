@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair (edge) table.
+  *
+  * The dedup pipeline's final step: near-dup PAIRS (the output of the
+  * MinHash/SimHash/Jaccard candidate generators) become CLUSTERS, so a
+  * corpus build can keep exactly one canonical document per cluster.
+  *
+  * Algorithm: min-label propagation — every node starts labeled with
+  * its own id and repeatedly takes the minimum label over itself and
+  * its neighbors until a fixpoint. Iterations are bounded by cluster
+  * diameter; near-dup clusters are shallow (boilerplate families
+  * converge in 2-3 rounds). Each round costs one shuffle of the
+  * (node, label) table against the cached symmetric edge list — the
+  * corpus itself is never touched, only the pair graph, which is
+  * orders of magnitude smaller than the 100 TB input. Lineage is
+  * truncated per round with localCheckpoint (the standard iterative-
+  * graph pattern; cf. the MapReduce large-star/small-star family,
+  * Kiveris et al. 2014, and GraphX Pregel).
+  */
+object Components {
+
+  /** Label every node of the pair graph with the minimum id reachable
+    * from it. Emits (node, component); nodes absent from `pairs`
+    * (singleton docs) are by definition their own component and are
+    * not emitted — [[keepCanonical]] treats absence as "keep". */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // symmetric edge list in ONE pass over `pairs` (a union of two
+    // selects would evaluate the — possibly expensive — pair plan
+    // twice); duplicate edges are harmless under min-aggregation, so
+    // no distinct shuffle either
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    // every node appears as src of the symmetric list
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbMin = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("component")).as("__nb"))
+      val next = labels.join(nbMin, Seq("node"))
+        .select(col("node"),
+          least(col("component"), col("__nb")).as("component"),
+          (col("__nb") < col("component")).as("__chg"))
+        .localCheckpoint()
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus dedup by cluster: drop every non-canonical member (node
+    * whose component label is not its own id); documents in no pair
+    * survive untouched. The cluster table is tiny relative to the
+    * corpus, so the anti-join broadcasts under AQE — the 100 TB side
+    * never shuffles. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    aCol: String, bCol: String): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("component") =!= col("node"))
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

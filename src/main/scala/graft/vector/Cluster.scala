@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions
+
 /** Distributed k-means (Lloyd's) and IVF approximate nearest neighbor —
   * the centroid-based scale path for similarity search (the alternative
   * to the hyperplane-LSH path in [[Similarity.annLshTopK]]).
@@ -23,28 +25,28 @@ object Cluster {
 
   private def asDouble(vecCol: String) = transform(col(vecCol), _.cast("double"))
 
-  private def dist2(a: Column, b: Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+  /** The k centroids as a plain double matrix indexed by cluster id —
+    * handed to the native codegen'd expressions ([[graft.functions
+    * .VectorExpressions]]) as a reference object: k·dim doubles ship
+    * with the task closure exactly like a broadcast, and every
+    * distance/argmin runs as a primitive loop inside whole-stage
+    * codegen (the HOF transform/aggregate equivalent is interpreted
+    * with boxed Doubles — it cost e13 ~15 s at sf0.1). */
+  private def centroidMatrix(cs: Array[(Int, Seq[Double])]): Array[Array[Double]] =
+    cs.sortBy(_._1).map(_._2.toArray)
 
-  /** The k centroids as one array<array<double>> literal, indexed by
-    * cluster id. k·dim doubles — ships with the task closure exactly like
-    * a broadcast, but usable inside codegen'd array expressions. */
-  private def centroidArrayLit(cs: Array[(Int, Seq[Double])]): Column =
-    array(cs.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
-
-  /** Narrow nearest-centroid: per-row distance vector over the centroid
-    * literal, argmin = first position of the min (ties → lowest cluster). */
-  private def nearestCluster(v: Column, centArr: Column): Column = {
-    val dists = transform(centArr, c => dist2(v, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Narrow nearest-centroid argmin (ties → lowest cluster). */
+  private def nearestCluster(v: Column, cents: Array[Array[Double]]): Column =
+    VectorExpressions.nearestCentroid(v, cents)
 
   /** Lloyd's k-means, deterministic hash-ordered seeding. Returns the
     * centroids as (cluster, centroid: array<double>). */
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
-    val base = emb.select(col(idCol).as("__id"), asDouble(vecCol).as("v"))
+    // raw vector column (float or double) — the native expressions read
+    // either element type directly, so no per-row array-copy cast pass
+    val base = emb.select(col(idCol).as("__id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     // deterministic seed sample: k smallest id-hashes. limit-after-orderBy
     // compiles to TakeOrderedAndProject — a distributed partial top-k, not
@@ -53,13 +55,13 @@ object Cluster {
       .withColumn("__h", xxhash64(lit("graft-kmeans"), col("__id")))
       .orderBy(col("__h"), col("__id"))
       .limit(k)
-      .select(col("__h"), col("v"))
+      .select(col("__h"), transform(col("v"), _.cast("double")).as("v"))
       .collect()
       .sortBy(_.getLong(0)) // stable: ties keep Spark's (__h, __id) order
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to iters) {
-      val centArr = centroidArrayLit(centroids)
+      val centArr = centroidMatrix(centroids)
       val updated = base
         .select(nearestCluster(col("v"), centArr).as("cluster"),
           posexplode(col("v")).as(Seq("dim", "x")))
@@ -92,7 +94,7 @@ object Cluster {
     * literal, so assignment is shuffle-free. */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
-    val centArr = centroidArrayLit(collectCentroids(centroids))
+    val centArr = centroidMatrix(collectCentroids(centroids))
     emb.select(col(idCol), asDouble(vecCol).as("v"))
       .filter(col("v").isNotNull)
       .withColumn("cluster", nearestCluster(col("v"), centArr))
@@ -104,28 +106,27 @@ object Cluster {
                  vecCol: String, k: Int, iters: Int, nprobe: Int,
                  topK: Int): DataFrame = {
     val centroids = collectCentroids(fitCentroids(corpus, idCol, vecCol, k, iters))
-    val centArr = centroidArrayLit(centroids)
+    val centArr = centroidMatrix(centroids)
     val kActual = centroids.length
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .filter(col("cv").isNotNull)
       .withColumn("cluster", nearestCluster(col("cv"), centArr))
-      .withColumn("cn2", aggregate(col("cv"), lit(0.0d), (acc, x) => acc + x * x))
-    val qBase = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+      .withColumn("cn2", VectorExpressions.arrayNorm2(col("cv")))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(col("qv").isNotNull)
-      .withColumn("qn2", aggregate(col("qv"), lit(0.0d), (acc, x) => acc + x * x))
+      .withColumn("qn2", VectorExpressions.arrayNorm2(col("qv")))
     // probe list: nprobe nearest centroids per query, computed NARROWLY —
     // sort the (distance, cluster) pairs per row, slice nprobe, explode.
     val probes = qBase
       .withColumn("__pl", slice(array_sort(
-        zip_with(transform(centArr, cc => dist2(col("qv"), cc)),
+        zip_with(VectorExpressions.centroidDistances(col("qv"), centArr),
           sequence(lit(0), lit(kActual - 1)),
           (d, i) => struct(d.as("d"), i.as("cluster")))), 1, nprobe))
       .select(col("query_id"), col("qv"), col("qn2"),
         explode(col("__pl")).as("__p"))
       .select(col("query_id"), col("qv"), col("qn2"),
         col("__p.cluster").cast("int").as("cluster"))
-    val dot = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
-      lit(0.0d), (acc, v) => acc + v)
+    val dot = VectorExpressions.arrayDot(col("qv"), col("cv"))
     val scored = c.join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot / (sqrt(col("qn2")) * sqrt(col("cn2"))), 6))

@@ -13,21 +13,24 @@ import graft.functions._
   * bucket signatures computed in a narrow pass, candidate join only
   * inside buckets.
   *
-  * Every operator pre-materializes each row's cast vector and squared
-  * norm ONCE before pairing, so the per-pair work is a single dot
-  * product instead of re-walking both arrays for casts and norms
-  * (higher-order-function lambdas are interpreted — per-pair passes are
-  * the dominant cost at scale).
+  * Every operator pre-materializes each row's squared norm ONCE before
+  * pairing, so the per-pair work is a single dot product. Dots, norms
+  * and plane signatures are native codegen'd expressions
+  * ([[graft.functions.VectorExpressions]]) — the HOF equivalents are
+  * interpreted with boxed Doubles and dominated these queries' cost —
+  * and the raw float vectors flow through the joins uncast (half the
+  * shuffle width of a double array; promotion to double happens
+  * per-element inside the primitive loops, which is bit-identical to
+  * casting the array first).
   */
 object Similarity {
 
-  /** (cast double vector, squared norm) pre-computation for one side. */
+  /** Squared-norm pre-computation for one side (vector kept raw). */
   private def withVecNorm(df: DataFrame, vecCol: String, v: String, n2: String): DataFrame =
-    df.withColumn(v, transform(col(vecCol), x => x.cast("double")))
-      .withColumn(n2, aggregate(col(v), lit(0.0d), (acc, x) => acc + x * x))
+    df.withColumn(v, col(vecCol))
+      .withColumn(n2, VectorExpressions.arrayNorm2(col(v)))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = VectorExpressions.arrayDot(a, b)
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) inside blocks.
     * Block column bounds the pair space (use an LSH bucket or cluster id
@@ -69,23 +72,32 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to [-1, 1). Seeded so every executor derives the
-    * same planes with zero driver state. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit("graft-lsh"), lit(plane), dim), lit(2000001L)) - 1000000L)
-      .cast("double") / 1000000.0
-
-  /** Random-hyperplane LSH bucket signature (numPlanes sign bits). */
-  def lshSignature(vecCol: Column, numPlanes: Int): Column = {
-    val dims = sequence(lit(0), size(vecCol) - 1)
-    val bits = (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vecCol, dims, (v, i) => v.cast("double") * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    * xxhash64 folded to [-1, 1). Computed ONCE on the driver with the
+    * exact arithmetic of the catalyst `xxhash64(lit, lit, lit)`
+    * expression (same fold order, same seed), so the derived planes are
+    * identical on every executor and across engine versions with zero
+    * driver state beyond the (numPlanes × dim)-double matrix. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    var h = 42L
+    h = XxHash64Function.hash(UTF8String.fromString("graft-lsh"), StringType, h)
+    h = XxHash64Function.hash(plane, IntegerType, h)
+    h = XxHash64Function.hash(dim, IntegerType, h)
+    val m = 2000001L
+    (((h % m) + m) % m - 1000000L).toDouble / 1000000.0
   }
+
+  /** The hyperplane matrix for a given dimensionality. */
+  private def planeMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, i) => planeComponent(p, i))
+
+  /** Random-hyperplane LSH bucket signature (numPlanes sign bits) —
+    * one native primitive pass per row ([[VectorExpressions
+    * .PlaneSignature]]). */
+  def lshSignature(vecCol: Column, numPlanes: Int, dim: Int): Column =
+    VectorExpressions.planeSignature(vecCol, planeMatrix(numPlanes, dim))
 
   /** ANN top-k via hyperplane-LSH buckets: exact cosine computed only
     * against same-bucket candidates. Recall/latency trades on
@@ -94,10 +106,14 @@ object Similarity {
                  vecCol: String, numPlanes: Int, bands: Int, k: Int): DataFrame = {
     require(numPlanes % bands == 0)
     val per = numPlanes / bands
+    // dimensionality probe: one 1-row job, then the plane matrix is a
+    // driver constant shipped with the task closures
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     def banded(df: DataFrame, role: String): DataFrame = {
       val pre = withVecNorm(df.select(col(idCol).as(s"${role}_id"), col(vecCol)),
         vecCol, s"${role}_v", s"${role}_n2")
-      val sig = lshSignature(col(s"${role}_v"), numPlanes)
+      val sig = lshSignature(col(s"${role}_v"), numPlanes, dim)
       pre.select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"), sig.as("sig"))
         .select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"),
           explode(array((0 until bands).map { b =>

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Components
+import graft.sample.Sampling
+
+class GraphSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find oracle: map node -> min id of its class. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(n => n -> find(n)).toMap
+    val minOf = roots.groupMapReduce(_._2)(_._1)(math.min)
+    roots.map { case (n, r) => n -> minOf(r) }
+  }
+
+  test("connectedComponents matches a driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+  }
+
+  test("connectedComponents propagates across a long chain") {
+    // path 10-11-...-29: one component labeled by the minimum id; needs
+    // many propagation rounds, exercising the fixpoint loop
+    val edges = (10L until 29L).map(i => (i + 1, i))
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (10L to 29L).toSet)
+    assert(got.values.forall(_ == 10L))
+  }
+
+  test("keepCanonical keeps one doc per cluster plus all singletons") {
+    val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = Components.keepCanonical(docs, pairs, "doc_id", "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    // clusters {1,3,5} -> keep 1, {7,8} -> keep 7; singletons survive
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+  }
+
+  test("connectedComponents and keepCanonical handle an empty pair set") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Components.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
+    val docs = (0L until 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    assert(Components.keepCanonical(docs, empty, "doc_id", "doc_a", "doc_b").count() == 5)
+  }
+
+  test("stratifiedSample is deterministic and follows per-stratum rates") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.5), 0.1).select("doc_id").as[Long].collect().toSet
+    // engine-independent expectation: replay the hash on the driver
+    val expect = rows.filter { case (id, lang) =>
+      val bucket = ((id * 2654435761L) % 10000L + 10000L) % 10000L
+      bucket < (if (lang == "en") 0.5 else 0.1) * 10000L
+    }.map(_._1).toSet
+    assert(out == expect)
+    // rerunning selects the identical set
+    val again = Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.5), 0.1).select("doc_id").as[Long].collect().toSet
+    assert(again == out)
+  }
+}

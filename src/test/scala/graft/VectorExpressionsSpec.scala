@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val dim = 16
+  lazy val vecs = (0 until 100).map { i =>
+    (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+  lazy val df = vecs.toDF("id", "vec")
+
+  /** Driver-side reference: identical float->double promotion and
+    * left-to-right accumulation order as the native loops. */
+  private def refDot(a: Array[Float], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  test("arrayDot and arrayNorm2 match driver-side loops bit-exactly") {
+    val out = df.select(col("id"),
+      VectorExpressions.arrayDot(col("vec"), col("vec")).as("dot"),
+      VectorExpressions.arrayNorm2(col("vec")).as("n2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    vecs.foreach { case (id, v) =>
+      val expect = refDot(v, v.map(_.toDouble))
+      assert(out(id)._1 == expect && out(id)._2 == expect)
+    }
+  }
+
+  test("nearestCentroid and centroidDistances match driver argmin") {
+    val cents = Array.fill(5)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val out = df.select(col("id"),
+      VectorExpressions.nearestCentroid(col("vec"), cents).as("c"),
+      VectorExpressions.centroidDistances(col("vec"), cents).as("d"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[scala.collection.Seq[Double]](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val dists = cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val t = v(i).toDouble - c(i); s += t * t; i += 1 }
+        s
+      }
+      val best = dists.indexOf(dists.min)
+      assert(out(id)._1 == best)
+      assert(out(id)._2.toSeq == dists.toSeq)
+    }
+  }
+
+  test("planeSignature sets exactly the sign bits of the plane dots") {
+    val planes = Array.fill(10)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val out = df.select(col("id"),
+      VectorExpressions.planeSignature(col("vec"), planes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      var expect = 0L
+      planes.zipWithIndex.foreach { case (p, b) =>
+        if (refDot(v, p) >= 0) expect |= 1L << b
+      }
+      assert(out(id) == expect)
+    }
+  }
+
+  test("native expressions accept array<double> input too") {
+    val ddf = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }.toDF("id", "vec")
+    val got = ddf.select(VectorExpressions.arrayNorm2(col("vec")).as("n2"))
+      .agg(sum("n2")).head().getDouble(0)
+    val expect = vecs.map { case (_, v) => refDot(v, v.map(_.toDouble)) }.sum
+    assert(math.abs(got - expect) < 1e-9)
+  }
+}
