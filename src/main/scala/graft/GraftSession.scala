@@ -31,6 +31,8 @@ object GraftSession {
       // read as nanos-since-epoch longs — set once at session build so
       // table loaders never mutate session state (racy as a library).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables (Sources.writeBucketed) land outside the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

@@ -176,6 +176,10 @@ object SparkEntry {
       Sampling.stratifiedSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
         "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.8), 0.25)),
+    "e20_tfidf_topk" -> ((s, d) =>
+      TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", 5)),
+    "e21_redact" -> ((s, d) =>
+      TextOps.redact(Tables.documents(s, d), "doc_id", "text")),
 
     // ---------------- G. sources / sinks ----------------
     "g1_csv_roundtrip" -> ((s, d) => {
@@ -200,6 +204,25 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("period"), col("user_id"),
           col("event_type").cast("string").as("event_type"), col("value"))
+    }),
+    "g3_bucketed_join" -> ((s, d) => {
+      // both fact sides written bucketed on the join key -> the join
+      // below plans with zero Exchange (see SourcesSpec assertion)
+      val sfx = math.abs(d.hashCode).toString
+      graft.sources.Sources.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        s"g3_orders_$sfx", "o_custkey", 8)
+      graft.sources.Sources.writeBucketed(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        s"g3_customer_$sfx", "c_custkey", 8)
+      graft.sources.Sources.readTable(s, s"g3_orders_$sfx")
+        .join(graft.sources.Sources.readTable(s, s"g3_customer_$sfx"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.roundMeanE4(
+            sum(round(col("o_totalprice") * 100, 0).cast("long")), count(lit(1))).as("avg_price"))
+        .select(col("c_custkey"), col("n_orders"), col("avg_price"))
     }),
 
     // ---------------- F. streaming-shaped ----------------
@@ -562,6 +585,30 @@ object SparkEntry {
          WHERE (doc_id * 2654435761) % 10000 <
            (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.8
                  ELSE 0.25 END) * 10000""",
+    "e20_tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+            FROM documents),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+            WHERE length(token) > 0 GROUP BY 1, 2),
+          dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents)
+          SELECT doc_id, token, tf, df,
+            round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf, rank
+          FROM (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, n.n,
+              row_number() OVER (PARTITION BY tf.doc_id
+                ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) DESC,
+                  tf.token) AS rank
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n) s
+          WHERE rank <= 5""",
+    "e21_redact" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[0-9]{4,}', '<NUM>', 'g') AS redacted_text
+         FROM documents""",
     "e5_cosine_dup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
@@ -642,6 +689,12 @@ object SparkEntry {
     "g2_partitioned_sink_prune" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events WHERE event_type = 'purchase'""",
+    "g3_bucketed_join" ->
+      """SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+         floor((sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 200 + count(*))
+           / (count(*) * 2)) / 10000.0 AS avg_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     "e14_sentiment" ->
       """WITH s AS (SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '\b(good|great|excellent|love|happy|best|nice|amazing|wonderful|fantastic)\b')) AS DOUBLE) AS pos,

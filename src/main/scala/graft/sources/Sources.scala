@@ -66,4 +66,26 @@ object Sources {
   /** Read back a partitioned parquet sink. */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table sink — the 100 TB fact-fact join layout: rows are
+    * hash-bucketed (and sorted) on the join key at WRITE time, so a
+    * later equi-join of two tables bucketed into the same count plans
+    * with ZERO Exchange — bucket co-location replaces the shuffle that
+    * would otherwise move both fact tables. `saveAsTable` is required:
+    * bucket metadata lives in the catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a location left behind by a previous session (not in THIS catalog)
+    // still blocks CTAS with LOCATION_ALREADY_EXISTS — clear it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (bucket metadata intact). */
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

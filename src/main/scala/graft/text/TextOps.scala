@@ -109,6 +109,47 @@ object TextOps {
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
       .filter(col("n") >= minCount)
 
+  /** Per-doc top-k terms by TF-IDF — the keyword/vocabulary projection
+    * of the corpus (classic two-pass scheme: per-doc term counts, then
+    * corpus-wide document frequencies, idf = ln(N/df)). The doc-freq
+    * table shuffles once on token; the scalar doc count broadcasts.
+    * Rank is taken on the ROUNDED score (then token) so ordering is
+    * reproducible across engines' last-ulp log/division differences. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, token), so df = plain count
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** PII-style redaction for corpus cleaning: emails → <EMAIL>, URLs →
+    * <URL>, digit runs of 4+ → <NUM>. One narrow regexp_replace chain;
+    * patterns stay in the Java/RE2 common subset so any engine
+    * reproduces the output byte-for-byte. Email/URL first — <NUM> must
+    * not eat the digits inside them. */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val num = "[0-9]{4,}"
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          url, "<URL>"),
+        num, "<NUM>").as("redacted_text"))
+  }
+
   /** Polynomial rolling-hash fingerprint over normalized text — the
     * cheap exact-dup / shard-routing key. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

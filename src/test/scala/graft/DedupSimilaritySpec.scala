@@ -110,6 +110,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(TextOps.tokenFrequency(d, "doc_id", "text", 2L).count() == 1) // only alpha
   }
 
+  test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "common zebra zebra zebra", "en", "s"),
+      (2L, "common yak", "en", "s"),
+      (3L, "common wolf wolf", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.tfidfTopK(d, "doc_id", "text", 2)
+    val top1 = out.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in all docs -> idf = ln(1) = 0; distinctive term wins
+    assert(top1 == Map(1L -> "zebra", 2L -> "yak", 3L -> "wolf"))
+    val zebra = out.filter(col("doc_id") === 1 && col("token") === "zebra").head()
+    assert(zebra.getAs[Long]("tf") == 3 && zebra.getAs[Long]("df") == 1)
+    assert(zebra.getAs[Double]("tfidf") == math.floor(3 * math.log(3.0) * 10000 + 0.5) / 10000)
+  }
+
+  test("redact masks emails, urls, and digit runs") {
+    val d = Seq(
+      (1L, "contact Bob.Smith+x@exa-mple.org or visit https://ex.com/a?b=1 ref 123456", "en", "s"),
+      (2L, "short 123 stays, 1234 goes", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.redact(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or visit <URL> ref <NUM>")
+    assert(out(2L) == "short 123 stays, <NUM> goes")
+  }
+
   test("sentiment scores lexicon-marked docs") {
     val d = Seq(
       (1L, "this is a good great amazing wonderful product i love it", "en", "s"),

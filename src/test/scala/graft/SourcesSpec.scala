@@ -35,4 +35,23 @@ class SourcesSpec extends SparkSpec {
     val scan = back.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"), scan)
   }
+
+  test("bucketed tables join with zero Exchange") {
+    import spark.implicits._
+    val a = (0L until 100L).map(i => (i % 10, i)).toDF("k", "va")
+    val b = (0L until 50L).map(i => (i % 10, i * 2)).toDF("k", "vb")
+    Sources.writeBucketed(a.select(col("k").as("ka"), col("va")), "spec_bkt_a", "ka", 4)
+    Sources.writeBucketed(b.select(col("k").as("kb"), col("vb")), "spec_bkt_b", "kb", 4)
+    // disable broadcast so the plan must rely on bucket co-location
+    // (at 100 TB neither fact side broadcasts)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Sources.readTable(spark, "spec_bkt_a")
+        .join(Sources.readTable(spark, "spec_bkt_b"), col("ka") === col("kb"))
+      assert(joined.count() == 100L * 5) // 10 va x 5 vb per key
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
