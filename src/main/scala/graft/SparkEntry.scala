@@ -114,6 +114,8 @@ object SparkEntry {
         Seq(0.01, 0.1, 1.0, 10.0, 100.0), 0.7, 0.15)),
     "c16_window_samples" -> ((s, d) =>
       TimeSeries.windowSamples(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
+    "c17_ema_smooth" -> ((s, d) =>
+      TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
 
     // ---------------- D. relational analytics ----------------
     "d1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
@@ -124,6 +126,7 @@ object SparkEntry {
     "d6_events_user_funnel" -> ((s, d) => Analytics.eventsUserFunnel(Tables.events(s, d))),
     "d7_salted_agg" -> ((s, d) =>
       graft.analytics.Skew.saltedAggregate(Tables.events(s, d), "user_id", "event_id", "value", 16)),
+    "d8_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -528,6 +531,28 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2""",
+    "d8_revenue_rollup" ->
+      """SELECT r_name, n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue,
+         count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "c17_ema_smooth" -> {
+      val weights = graft.timeseries.TimeSeries.emaWeights(0.2, 24)
+      val wvals = weights.zipWithIndex.map { case (w, j) => s"($j, $w)" }.mkString(", ")
+      s"""WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY date_trunc('second', ts), event_id) AS rn
+          FROM events WHERE value IS NOT NULL),
+          w(age, wt) AS (VALUES $wvals)
+          SELECT a.user_id, a.period, a.event_id, a.value,
+            round(sum(b.value * w.wt) / sum(w.wt), 4) AS ema
+          FROM t a JOIN t b ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 23 AND a.rn
+          JOIN w ON w.age = a.rn - b.rn
+          GROUP BY 1, 2, 3, 4""" },
     "d3_top_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -34,6 +34,31 @@ object Analytics {
     * part GROW with the fact tables, so their join strategy is left to
     * AQE — broadcast at small SF, shuffle-on-key at 100 TB. The only
     * unavoidable big shuffle is lineitem⋈orders on orderkey. */
+  /** Region/nation revenue ROLLUP — the multi-level reporting cube
+    * (grand total, per-region subtotal, per-nation detail) in ONE
+    * aggregation pass over the joined facts (Spark expands grouping
+    * sets map-side; no per-level rescan). Revenue sums exact integer
+    * ten-thousandths (extendedprice and discount are 2-decimal, so the
+    * product is exactly 4-decimal) — the global-total row aggregates
+    * the whole fact table, where double accumulation order across
+    * engines/partitions would otherwise flip the 4th decimal. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)

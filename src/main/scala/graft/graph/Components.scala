@@ -49,11 +49,15 @@ object Components {
       val nbMin = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("__nb"))
+      // LAZY checkpoint: the convergence count below is the round's one
+      // action — it materializes the checkpoint AND truncates lineage
+      // (labels appears twice in each round's plan, so without
+      // truncation the logical plan doubles per round)
       val next = labels.join(nbMin, Seq("node"))
         .select(col("node"),
           least(col("component"), col("__nb")).as("component"),
           (col("__nb") < col("component")).as("__chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("__chg")).count()
       labels = next.drop("__chg")
       i += 1

@@ -151,6 +151,41 @@ object TimeSeries {
         col("input_seq"), col("target_seq"))
   }
 
+  /** Exponentially-weighted moving average over the last `lookback`
+    * rows per key (adjusted weights: newest row gets weight 1, the row
+    * j steps back gets (1-alpha)^j, normalized by the weights present
+    * — pandas ewm(adjust=True) truncated to a bounded window, so
+    * per-row state is `lookback` values, never the whole series).
+    * Null values are dropped up front so weights always align with
+    * present rows. The weight vector is a DRIVER-computed literal
+    * (repeated multiplication, no libm pow), so an oracle engine using
+    * the same constants reproduces the result; callers can obtain it
+    * from [[emaWeights]]. */
+  def emaSmooth(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                valueCol: String, alpha: Double, lookback: Int): DataFrame = {
+    val weights = emaWeights(alpha, lookback)
+    // den for an s-element window = sum of the first s weights
+    val prefix = weights.scanLeft(0.0)(_ + _).tail
+    val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol))
+      .withColumn("__arr",
+        reverse(collect_list(col(valueCol)).over(ow.rowsBetween(-(lookback - 1), 0))))
+      .withColumn("ema", round(
+        aggregate(
+          zip_with(col("__arr"), slice(typedLit(weights), lit(1), size(col("__arr"))),
+            (v, w) => v * w),
+          lit(0.0d), (acc, x) => acc + x) /
+          element_at(typedLit(prefix), size(col("__arr"))), 4))
+      .drop("__arr")
+  }
+
+  /** The EMA weight vector (newest-first), exposed so oracles/tests can
+    * embed the exact same constants. */
+  def emaWeights(alpha: Double, lookback: Int): Seq[Double] =
+    Seq.iterate(1.0, lookback)(_ * (1 - alpha))
+
   /** Rolling mean/std over the previous n rows per key. */
   def rollingStats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                    valueCol: String, n: Int): DataFrame = {

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("revenueRollup levels are mutually consistent") {
+    val out = Analytics.revenueRollup(spark, sf).collect()
+    val total = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val regions = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val nations = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(total.length == 1 && regions.nonEmpty && nations.nonEmpty)
+    // compare in integer ten-thousandths: each revenue is exact on the
+    // 1e-4 grid, so level sums must agree exactly as longs
+    def rev(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => math.round(r.getAs[Double]("revenue") * 10000)).sum
+    def lines(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("n_lines")).sum
+    assert(rev(total) == rev(regions))
+    assert(rev(total) == rev(nations))
+    assert(lines(total) == lines(regions) && lines(total) == lines(nations))
+    // detail level matches the flat per-nation aggregation
+    val flat = Analytics.revenueByNation(spark, sf)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(nations.length == flat)
+  }
+}

@@ -168,6 +168,20 @@ class TimeSeriesSpec extends SparkSpec {
       (24 until 30).map(i => 100.0 + 2.0 * i))
   }
 
+  test("emaSmooth matches hand-computed adjusted EMA over the window") {
+    val rows = (1 to 5).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 0$i:00:00"), "A", i.toDouble))
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = TimeSeries.emaSmooth(df, "key", "ts", "event_id", "value", 0.5, 3)
+      .orderBy("period").select("ema").as[Double].collect()
+    // weights newest-first: 1, 0.5, 0.25
+    assert(out(0) == 1.0)
+    assert(out(1) == math.floor(2.5 / 1.5 * 10000 + 0.5) / 10000)       // 1.6667
+    assert(out(2) == math.floor(4.25 / 1.75 * 10000 + 0.5) / 10000)     // 2.4286
+    assert(out(3) == math.floor(6.0 / 1.75 * 10000 + 0.5) / 10000)      // 3.4286
+    assert(out(4) == math.floor(7.75 / 1.75 * 10000 + 0.5) / 10000)     // 4.4286
+  }
+
   test("modelSelection rejects extreme shrinkage on an autocorrelated series") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").toInstant
     val rows = (0 until 200).map { i =>
