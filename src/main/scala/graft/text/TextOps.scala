@@ -121,11 +121,13 @@ object TextOps {
         explode(split(normalizeText(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // tf rows are distinct (doc, token), so df = plain count
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tf rows are distinct (doc, token), so df = per-token row count —
+    // computed as a WINDOW over tf rather than a second aggregate branch
+    // (a groupBy+join re-tokenizes the whole corpus: Spark does not share
+    // the subplan between branches), so the text is scanned exactly once
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
     val n = docs.agg(count(lit(1)).as("__n"))
-    val scored = tf.join(dfreq, Seq("token"))
-      .crossJoin(broadcast(n))
+    val scored = withDf.crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
