@@ -116,6 +116,17 @@ object SparkEntry {
       TimeSeries.windowSamples(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
+    "c18_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("period"), col("value"))
+      val hourly = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"), col("value"))
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(graft.functions.roundMeanE4(
+          sum(round(col("value") * 100, 0).cast("long")), count(lit(1))).as("bucket_avg"))
+      graft.timeseries.AsOf.asofJoin(ev, hourly, "user_id", "period", "bucket", Seq("bucket_avg"))
+    }),
 
     // ---------------- D. relational analytics ----------------
     "d1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
@@ -553,6 +564,14 @@ object SparkEntry {
           FROM t a JOIN t b ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 23 AND a.rn
           JOIN w ON w.age = a.rn - b.rn
           GROUP BY 1, 2, 3, 4""" },
+    "c18_asof_join" ->
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+           floor((sum(round(value * 100, 0)) * 200 + count(*)) / (count(*) * 2)) / 10000.0 AS bucket_avg
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, date_trunc('second', e.ts) AS period, e.value,
+           h.bucket, h.bucket_avg
+         FROM events e ASOF LEFT JOIN h
+           ON e.user_id = h.user_id AND date_trunc('second', e.ts) >= h.bucket""",
     "d3_top_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

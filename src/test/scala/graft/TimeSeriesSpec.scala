@@ -168,6 +168,22 @@ class TimeSeriesSpec extends SparkSpec {
       (24 until 30).map(i => 100.0 + 2.0 * i))
   }
 
+  test("asofJoin picks the latest reference at or before each row") {
+    import graft.timeseries.AsOf
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, "A", t(2)), (2L, "A", t(10)), (3L, "A", t(25)), (4L, "B", t(30)))
+      .toDF("event_id", "key", "ts")
+    val right = Seq(("A", t(5), 100.0), ("A", t(20), 200.0), ("A", t(10), 150.0))
+      .toDF("key", "rts", "ref")
+    val out = AsOf.asofJoin(left, right, "key", "ts", "rts", Seq("ref"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Double]("ref")), Option(r.getAs[Timestamp]("rts")))).toMap
+    assert(out(1L) == (None, None))                       // before any reference
+    assert(out(2L) == (Some(150.0), Some(t(10))))         // equality counts (>=)
+    assert(out(3L) == (Some(200.0), Some(t(20))))
+    assert(out(4L) == (None, None))                       // other key: no refs
+  }
+
   test("emaSmooth matches hand-computed adjusted EMA over the window") {
     val rows = (1 to 5).map(i =>
       (i.toLong, Timestamp.valueOf(f"2024-01-01 0$i:00:00"), "A", i.toDouble))
