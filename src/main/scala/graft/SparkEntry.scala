@@ -76,6 +76,8 @@ object SparkEntry {
       Quality.qualityReport(Tables.events(s, d), "user_id", "ts", "event_id", "value", 3600L, 1.5)),
     "b10_validation_verdict" -> ((s, d) =>
       Quality.validationVerdict(Tables.events(s, d), "user_id", "ts", "event_id", "value", 5.0, 2.0)),
+    "b11_value_stats_approx" -> ((s, d) =>
+      Quality.valueStatsApprox(Tables.events(s, d), "value", 10000)),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>

@@ -79,6 +79,24 @@ object Quality {
       round(max(col(valueCol)), 4).as("max"),
       round(expr(s"percentile($valueCol, 0.5)"), 4).as("median"))
 
+  /** Approximate value stats — the 100 TB twin of [[valueStats]]:
+    * exact `percentile` keeps every value in the aggregation buffer
+    * (ObjectHashAggregate, memory ∝ distinct values), which does not
+    * survive a 100 TB column. `approx_percentile` aggregates a bounded
+    * mergeable sketch (map-side partials, fixed memory set by
+    * `accuracy`), so the quantiles cost one streaming pass like the
+    * moments do. Error bound: rank error ≤ 1/accuracy. */
+  def valueStatsApprox(df: DataFrame, valueCol: String, accuracy: Int): DataFrame =
+    df.agg(
+      count(col(valueCol)).as("n"),
+      roundMeanE4(sum(round(col(valueCol) * 100, 0)), count(col(valueCol))).as("mean"),
+      round(stddev_samp(col(valueCol)), 4).as("std"),
+      round(min(col(valueCol)), 4).as("min"),
+      round(max(col(valueCol)), 4).as("max"),
+      round(expr(s"approx_percentile($valueCol, 0.5, $accuracy)"), 4).as("p50_approx"),
+      round(expr(s"approx_percentile($valueCol, 0.95, $accuracy)"), 4).as("p95_approx"),
+      round(expr(s"approx_percentile($valueCol, 0.99, $accuracy)"), 4).as("p99_approx"))
+
   /** Per-key statistics (data_validation.py:176-185). */
   def regionStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.groupBy(col(keyCol))

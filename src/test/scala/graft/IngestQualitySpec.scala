@@ -115,6 +115,22 @@ class IngestQualitySpec extends SparkSpec {
     assert(fromEmpty.count() == page.count())
   }
 
+  test("valueStatsApprox quantiles land within rank-error of exact") {
+    val ev = Tables.events(spark, sf)
+    val approx = Quality.valueStatsApprox(ev, "value", 10000).head()
+    val exact = Quality.valueStats(ev, "value").head()
+    // moments are identical (same formulas)
+    assert(approx.getAs[Long]("n") == exact.getAs[Long]("n"))
+    assert(approx.getAs[Double]("mean") == exact.getAs[Double]("mean"))
+    // p50 sketch vs exact median: rank error 1/10000 on this data is
+    // within a tight value tolerance
+    val spread = exact.getAs[Double]("max") - exact.getAs[Double]("min")
+    assert(math.abs(approx.getAs[Double]("p50_approx") - exact.getAs[Double]("median"))
+      <= spread * 0.01)
+    assert(approx.getAs[Double]("p95_approx") <= approx.getAs[Double]("p99_approx"))
+    assert(approx.getAs[Double]("p99_approx") <= approx.getAs[Double]("max"))
+  }
+
   test("validationVerdict applies error/warning thresholds") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").toInstant
     val rows = (0 until 100).map { i =>
