@@ -33,6 +33,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed tables (Sources.writeBucketed) land outside the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // native expressions as SQL functions (array_dot, array_norm2)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

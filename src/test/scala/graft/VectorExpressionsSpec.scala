@@ -65,6 +65,13 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("extensions expose array_dot / array_norm2 to SQL") {
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "array_norm2(array(3.0D, 4.0D)) AS n").head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 25.0)
+  }
+
   test("native expressions accept array<double> input too") {
     val ddf = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }.toDF("id", "vec")
     val got = ddf.select(VectorExpressions.arrayNorm2(col("vec")).as("n2"))
