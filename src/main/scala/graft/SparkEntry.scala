@@ -196,6 +196,9 @@ object SparkEntry {
       TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", 5)),
     "e21_redact" -> ((s, d) =>
       TextOps.redact(Tables.documents(s, d), "doc_id", "text")),
+    "e22_cosine_dup_lsh" -> ((s, d) =>
+      Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        16, 8, 0.25)),
 
     // ---------------- G. sources / sinks ----------------
     "g1_csv_roundtrip" -> ((s, d) => {

@@ -99,6 +99,51 @@ object Similarity {
   def lshSignature(vecCol: Column, numPlanes: Int, dim: Int): Column =
     VectorExpressions.planeSignature(vecCol, planeMatrix(numPlanes, dim))
 
+  /** Embedding near-duplicate pairs with LSH-bucket blocking — the
+    * 100 TB form of [[cosineDupPairs]]: instead of a caller-supplied
+    * block column (O(block²) when blocks grow), candidates come only
+    * from shared (band, signature-chunk) buckets of the hyperplane LSH,
+    * so pair generation is linear-ish in bucket sizes at any corpus
+    * scale. Degenerate buckets above `maxBucket` (all-near-zero or
+    * boilerplate embeddings) are dropped, mirroring the MinHash path.
+    * Exact cosine (native codegen'd dot) is computed only on
+    * candidates, so every emitted pair truly clears the threshold —
+    * blocking affects recall, never precision. */
+  def cosineDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int, bands: Int, threshold: Double,
+                        maxBucket: Int = 10000): DataFrame = {
+    require(numPlanes % bands == 0)
+    val per = numPlanes / bands
+    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val pre = withVecNorm(emb.select(col(idCol).as("id"), col(vecCol)), vecCol, "v", "n2")
+      .withColumn("sig", lshSignature(col("v"), numPlanes, dim))
+      .select(col("id"), col("v"), col("n2"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * per).bitwiseAND((1L << per) - 1L).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("v"), col("n2"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pruned = pre
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val a = pruned.select(col("band"), col("key"),
+      col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+    val b = pruned.select(col("band"), col("key"),
+      col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
+    // score before dedup: the native dot is cheaper per duplicate
+    // candidate (≤ bands copies) than shuffling the vectors through a
+    // distinct, and the dedup row is then just (id_a, id_b, cosine)
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (sqrt(col("na2")) * sqrt(col("nb2"))), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+
   /** ANN top-k via hyperplane-LSH buckets: exact cosine computed only
     * against same-bucket candidates. Recall/latency trades on
     * numPlanes; multi-probe = OR of per-band signatures. */

@@ -168,6 +168,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosineDupPairsLsh: perfect precision, bounded recall vs all-pairs") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val got = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 16, 8, 0.25)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact all-pairs reference on the small slice
+    val pre = emb.select(col("vec_id"), col("embedding"))
+    val all = pre.as("a").crossJoin(pre.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(graft.functions.cosineSim(col("a.embedding"), col("b.embedding")), 4).as("c"))
+      .filter(col("c") >= 0.25)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision 1.0: every emitted pair is a true pair with the exact score
+    got.foreach { case (k, c) => assert(all.get(k).contains(c), s"false positive $k") }
+    // blocking only limits recall, and 8 bands of 2 bits catch most
+    if (all.nonEmpty) {
+      val recall = got.keySet.intersect(all.keySet).size.toDouble / all.size
+      assert(recall >= 0.5, s"LSH-blocked recall too low: $recall (${all.size} true pairs)")
+    }
+  }
+
   test("annLshTopK achieves reasonable recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
