@@ -39,9 +39,12 @@ object Components {
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    // every node appears as src of the symmetric list
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // every node appears as src of the symmetric list; seeding with
+    // min(self, neighbors) costs the same single shuffle a distinct
+    // would and completes the first propagation round for free
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("node"), least(col("node"), col("__m")).as("component"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
