@@ -224,6 +224,17 @@ object SparkEntry {
         .select(col("event_id"), col("period"), col("user_id"),
           col("event_type").cast("string").as("event_type"), col("value"))
     }),
+    "g4_jsonl_roundtrip" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/jsonl_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writeJsonl(ev, tmp)
+      graft.sources.Sources.validRecords(
+        graft.sources.Sources.readJsonl(s, tmp,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, period TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")))
+    }),
     "g3_bucketed_join" -> ((s, d) => {
       // both fact sides written bucketed on the join key -> the join
       // below plans with zero Exchange (see SourcesSpec assertion)
@@ -733,6 +744,9 @@ object SparkEntry {
          lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
          FROM documents""",
     "g1_csv_roundtrip" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
+    "g4_jsonl_roundtrip" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
     "g2_partitioned_sink_prune" ->

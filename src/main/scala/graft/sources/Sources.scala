@@ -67,6 +67,28 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines sink (one object per line — the interchange format
+    * most raw corpora land in). Seconds-precision timestamps keep the
+    * roundtrip lossless for the canonical feed. */
+  def writeJsonl(df: DataFrame, path: String,
+                 timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", timestampFormat)
+      .json(path)
+
+  /** Schema-enforced JSON-lines read with PERMISSIVE corrupt-record
+    * quarantine — same contract as [[readCsv]]: explicit schema (no
+    * inference scan at 100 TB), malformed lines land in
+    * `_corrupt_record` instead of aborting. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("timestampFormat", timestampFormat)
+      .schema(schema.add(corruptCol, "string"))
+      .json(path)
+
   /** Bucketed table sink — the 100 TB fact-fact join layout: rows are
     * hash-bucketed (and sorted) on the join key at WRITE time, so a
     * later equi-join of two tables bucketed into the same count plans

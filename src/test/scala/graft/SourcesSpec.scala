@@ -36,6 +36,22 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("jsonl roundtrip preserves rows; corrupt lines quarantined") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/out"
+    Sources.writeJsonl(df, tmp)
+    val back = Sources.validRecords(Sources.readJsonl(spark, tmp, schema))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // corrupt line goes to quarantine, not a crash
+    val bad = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad, "part.json"),
+      "{\"id\": 1, \"name\": \"a\", \"value\": 1.5}\nnot json at all\n")
+    val raw = Sources.readJsonl(spark, bad, schema)
+    assert(Sources.validRecords(raw).count() == 1)
+    assert(Sources.corruptRecords(raw).count() == 1)
+  }
+
   test("bucketed tables join with zero Exchange") {
     import spark.implicits._
     val a = (0L until 100L).map(i => (i % 10, i)).toDF("k", "va")
