@@ -115,7 +115,7 @@ object SparkEntry {
       Forecast.modelSelection(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24,
         Seq(0.01, 0.1, 1.0, 10.0, 100.0), 0.7, 0.15)),
     "c16_window_samples" -> ((s, d) =>
-      TimeSeries.windowSamples(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
+      TimeSeries.windowSamplesFlat(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
     "c18_asof_join" -> ((s, d) => {
@@ -567,6 +567,24 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "c16_window_samples" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
+           row_number() OVER w AS rn,
+           count(value) OVER (w ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS c_in,
+           count(value) OVER (w ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING) AS c_tg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)),
+         a AS (SELECT user_id, period AS anchor_period, rn FROM t
+           WHERE c_in = 24 AND c_tg = 6 AND (rn - 24) % 4 = 0)
+         SELECT a.user_id, a.anchor_period, 'input' AS seq,
+           CAST(b.rn - a.rn + 23 AS INT) AS pos, b.value
+         FROM a JOIN t b ON b.user_id IS NOT DISTINCT FROM a.user_id
+           AND b.rn BETWEEN a.rn - 23 AND a.rn
+         UNION ALL
+         SELECT a.user_id, a.anchor_period, 'target',
+           CAST(b.rn - a.rn - 1 AS INT), b.value
+         FROM a JOIN t b ON b.user_id IS NOT DISTINCT FROM a.user_id
+           AND b.rn BETWEEN a.rn + 1 AND a.rn + 6""",
     "c17_ema_smooth" -> {
       val weights = graft.timeseries.TimeSeries.emaWeights(0.2, 24)
       val wvals = weights.zipWithIndex.map { case (w, j) => s"($j, $w)" }.mkString(", ")

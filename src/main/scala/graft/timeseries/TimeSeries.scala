@@ -151,6 +151,26 @@ object TimeSeries {
         col("input_seq"), col("target_seq"))
   }
 
+  /** [[windowSamples]] in exploded (long) layout: one row per sample
+    * element — (key, anchor_period, seq ∈ {input, target}, pos, value)
+    * — the hand-off shape for sinks that cannot carry nested arrays
+    * (CSV/JDBC exports, cross-engine verification). One extra narrow
+    * explode over the sample table; each sample contributes
+    * seqLen+horizon rows. The window pass runs once: both arrays are
+    * tagged and concatenated BEFORE the single explode. */
+  def windowSamplesFlat(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                        valueCol: String, seqLen: Int, horizon: Int, stride: Int): DataFrame = {
+    val ws = windowSamples(df, keyCol, tsCol, idCol, valueCol, seqLen, horizon, stride)
+    ws.select(col(keyCol), col("anchor_period"),
+        explode(concat(
+          transform(col("input_seq"),
+            (v, i) => struct(lit("input").as("seq"), i.as("pos"), v.as("value"))),
+          transform(col("target_seq"),
+            (v, i) => struct(lit("target").as("seq"), i.as("pos"), v.as("value"))))).as("e"))
+      .select(col(keyCol), col("anchor_period"),
+        col("e.seq").as("seq"), col("e.pos").as("pos"), col("e.value").as("value"))
+  }
+
   /** Exponentially-weighted moving average over the last `lookback`
     * rows per key (adjusted weights: newest row gets weight 1, the row
     * j steps back gets (1-alpha)^j, normalized by the weights present

@@ -168,6 +168,21 @@ class TimeSeriesSpec extends SparkSpec {
       (24 until 30).map(i => 100.0 + 2.0 * i))
   }
 
+  test("windowSamplesFlat explodes samples to (seq, pos, value) rows losslessly") {
+    val flat = TimeSeries.windowSamplesFlat(series, "key", "ts", "event_id", "value", 24, 6, 4)
+    val arr = TimeSeries.windowSamples(series, "key", "ts", "event_id", "value", 24, 6, 4)
+    // each sample contributes seqLen + horizon rows
+    assert(flat.count() == arr.count() * (24 + 6))
+    // the first A sample round-trips: input positions 0..23, target 0..5, same values
+    val a0 = flat.filter(col("key") === "A")
+      .orderBy("anchor_period", "seq", "pos").collect()
+    val inputs = a0.filter(_.getAs[String]("seq") == "input").take(24)
+    assert(inputs.map(_.getAs[Int]("pos")).toSeq == (0 until 24))
+    assert(inputs.map(_.getAs[Double]("value")).toSeq == (0 until 24).map(i => 100.0 + 2.0 * i))
+    val targets = a0.filter(_.getAs[String]("seq") == "target").take(6)
+    assert(targets.map(_.getAs[Double]("value")).toSeq == (24 until 30).map(i => 100.0 + 2.0 * i))
+  }
+
   test("asofJoin picks the latest reference at or before each row") {
     import graft.timeseries.AsOf
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
