@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,35 +19,67 @@ import org.apache.spark.sql.types._
   * over `ArrayData`, so dot products, norms, and nearest-centroid
   * argmin stay inside whole-stage codegen with zero boxing.
   *
-  * Element null slots are treated as 0.0 (the corpus vectors are
-  * dense; the cost of a per-element null branch is not worth paying on
-  * the 100 TB path — documented contract, enforced upstream by the
-  * `isNotNull` filters on the vector columns).
+  * Element null slots are treated as 0.0 on both the interpreted and
+  * codegen paths (the guard branch predicts perfectly on dense
+  * vectors); inputs that are not numeric arrays fail at analysis time
+  * via checkInputDataTypes rather than as runtime ClassCastExceptions.
   */
 object VectorExpressions {
 
-  private def elemJava(arr: String, et: DataType, i: String): String = et match {
-    case DoubleType => s"$arr.getDouble($i)"
-    case FloatType  => s"(double) $arr.getFloat($i)"
-    case LongType   => s"(double) $arr.getLong($i)"
-    case IntegerType => s"(double) $arr.getInt($i)"
-    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  private val supportedElems: Set[DataType] =
+    Set(DoubleType, FloatType, LongType, IntegerType)
+
+  /** Null slots read as 0.0 on BOTH paths (documented contract; the
+    * branch predicts perfectly on dense vectors, so the 100 TB cost is
+    * nil — and without it the interpreted path NPEs on a null slot
+    * while codegen reads garbage). */
+  private def elemJava(arr: String, et: DataType, i: String): String = {
+    val raw = et match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case LongType   => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    s"($arr.isNullAt($i) ? 0.0 : $raw)"
   }
 
-  private def elemScala(arr: ArrayData, et: DataType, i: Int): Double = et match {
-    case DoubleType => arr.getDouble(i)
-    case FloatType  => arr.getFloat(i).toDouble
-    case LongType   => arr.getLong(i).toDouble
-    case IntegerType => arr.getInt(i).toDouble
-    case other => throw new IllegalArgumentException(s"unsupported element type $other")
-  }
+  private def elemScala(arr: ArrayData, et: DataType, i: Int): Double =
+    if (arr.isNullAt(i)) 0.0
+    else et match {
+      case DoubleType => arr.getDouble(i)
+      case FloatType  => arr.getFloat(i).toDouble
+      case LongType   => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
 
   private def elementType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  /** Dot product of two numeric array columns, as primitive codegen. */
+  /** Analysis-time validation: every child must be array<numeric> with a
+    * supported element width — without this, bad inputs surface as raw
+    * ClassCastException from deep inside eval/codegen at runtime. */
+  private def checkNumericArrays(name: String, children: Seq[Expression]): TypeCheckResult = {
+    children.zipWithIndex.foreach { case (c, i) =>
+      c.dataType match {
+        case ArrayType(et, _) if supportedElems.contains(et) => ()
+        case other => return TypeCheckResult.TypeCheckFailure(
+          s"$name argument ${i + 1} must be array<double|float|bigint|int>, got " +
+            other.catalogString)
+      }
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Dot product of two numeric array columns, as primitive codegen.
+    * Mismatched lengths truncate to the shorter array (documented
+    * contract — equivalent to zero-padding the shorter vector, which is
+    * the conventional embedding semantics); null slots read as 0.0. */
   case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("array_dot", Seq(left, right))
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
       val (lt, rt) = (elementType(left), elementType(right))
@@ -74,6 +107,8 @@ object VectorExpressions {
   /** Sum of squares of a numeric array column (squared L2 norm). */
   case class ArrayNorm2(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("array_norm2", Seq(child))
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val et = elementType(child)
@@ -103,6 +138,8 @@ object VectorExpressions {
   case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("nearest_centroid", Seq(child))
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val et = elementType(child)
@@ -151,6 +188,8 @@ object VectorExpressions {
   case class CentroidDistances(child: Expression, centroids: Array[Array[Double]])
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("centroid_distances", Seq(child))
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val et = elementType(child)
@@ -198,6 +237,8 @@ object VectorExpressions {
   case class PlaneSignature(child: Expression, planes: Array[Array[Double]])
       extends UnaryExpression {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("plane_signature", Seq(child))
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val et = elementType(child)

@@ -26,9 +26,19 @@ object Components {
   /** Label every node of the pair graph with the minimum id reachable
     * from it. Emits (node, component); nodes absent from `pairs`
     * (singleton docs) are by definition their own component and are
-    * not emitted — [[keepCanonical]] treats absence as "keep". */
+    * not emitted — [[keepCanonical]] treats absence as "keep".
+    *
+    * Each round combines one neighbor-min propagation with one
+    * pointer-jumping shortcut (component ← label(component), the
+    * hash-to-min idea of Rastogi et al. ICDE'13 / the large-star move
+    * of Kiveris et al. SoCC'14), so convergence needs O(log diameter)
+    * rounds, not O(diameter) — a 1M-hop chain (the pathological
+    * near-dup shape) closes in ~20 rounds. If `maxIter` rounds still
+    * have not reached the fixpoint the call THROWS rather than return
+    * silently-split components: wrong labels poison every downstream
+    * keep/drop decision and are invisible to the caller. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     // symmetric edge list in ONE pass over `pairs` (a union of two
     // selects would evaluate the — possibly expensive — pair plan
     // twice); duplicate edges are harmless under min-aggregation, so
@@ -52,20 +62,38 @@ object Components {
       val nbMin = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("__nb"))
-      // LAZY checkpoint: the convergence count below is the round's one
-      // action — it materializes the checkpoint AND truncates lineage
-      // (labels appears twice in each round's plan, so without
-      // truncation the logical plan doubles per round)
-      val next = labels.join(nbMin, Seq("node"))
+      // LAZY checkpoints: the convergence count below is the round's one
+      // action — it materializes both checkpoints AND truncates lineage
+      // (each intermediate appears twice in the round's plan, so without
+      // truncation the logical plan doubles per round). `stepped` is
+      // checkpointed BEFORE the self-join so the edge join + groupBy run
+      // once, not twice.
+      val stepped = labels.join(nbMin, Seq("node"))
+        .select(col("node"), col("component").as("__old"),
+          least(col("component"), col("__nb")).as("__c1"))
+        .localCheckpoint(false)
+      // pointer jumping: component <- min(component, label(component)).
+      // Labels are always ids of nodes present in the table, so the
+      // lookup hits (left join + coalesce only guards the first round's
+      // transient states).
+      val next = stepped
+        .join(stepped.select(col("node").as("__c1"), col("__c1").as("__cc")),
+          Seq("__c1"), "left")
         .select(col("node"),
-          least(col("component"), col("__nb")).as("component"),
-          (col("__nb") < col("component")).as("__chg"))
+          least(col("__c1"), coalesce(col("__cc"), col("__c1"))).as("component"),
+          (col("__old") =!= least(col("__c1"), coalesce(col("__cc"), col("__c1"))))
+            .as("__chg"))
         .localCheckpoint(false)
       changed = next.filter(col("__chg")).count()
       labels = next.drop("__chg")
       i += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component labels would be " +
+          "silently wrong; raise maxIter")
     labels
   }
 

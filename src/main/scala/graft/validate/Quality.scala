@@ -148,18 +148,27 @@ object Quality {
                     toleranceFactor: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    // Null-safe group detection: a (key, NULL-period) group with >= 2
+    // rows is a duplicate group too (duplicateTimestamps and the DuckDB
+    // GROUP BY ... HAVING oracle both count it). Plain === skips it, and
+    // raw lag() is ambiguous at partition starts (a missing lag row and
+    // a present NULL period both read as NULL) — so periods travel
+    // wrapped in a struct: a missing row lags to a NULL STRUCT while a
+    // null period is a non-null struct, and struct <=> compares the
+    // inner period null-safely.
     val t = df
       .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
         col(idCol), col(valueCol))
-      .withColumn("__p1", lag(col("period"), 1).over(ow))
-      .withColumn("__p2", lag(col("period"), 2).over(ow))
+      .withColumn("__ps", struct(col("period")))
+      .withColumn("__s1", lag(col("__ps"), 1).over(ow))
+      .withColumn("__s2", lag(col("__ps"), 2).over(ow))
     val agg1 = t.agg(
       count(lit(1)).as("__total"),
       sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("__miss"),
-      sum(when(col("period") === col("__p1") &&
-        (col("__p2").isNull || col("__p2") =!= col("period")), 1L).otherwise(0L))
+      sum(when((col("__ps") <=> col("__s1")) &&
+        !(col("__ps") <=> col("__s2")), 1L).otherwise(0L))
         .as("__dups"),
-      sum(when(col("period").cast("long") - col("__p1").cast("long") >
+      sum(when(col("period").cast("long") - col("__s1.period").cast("long") >
         expectedSeconds * toleranceFactor, 1L).otherwise(0L)).as("__gaps"))
     val p99 = df.agg(expr(s"percentile($valueCol, 0.99)").as("__p99"))
     val outliers = df.select(col(valueCol)).crossJoin(broadcast(p99))

@@ -89,15 +89,21 @@ object Cluster {
     centroids.select(col("cluster"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
 
-  /** Assign every row to its nearest centroid; adds a `cluster` column.
-    * The centroid table is k rows — collected once, embedded as a
-    * literal, so assignment is shuffle-free. */
+  /** Assign every row to its nearest centroid; adds a `cluster` column
+    * carrying the centroid table's OWN cluster ids (which need not be
+    * contiguous — the argmin runs over matrix positions, then maps the
+    * position back through the id array; ties resolve to the lowest
+    * cluster id). The centroid table is k rows — collected once,
+    * embedded as a literal, so assignment is shuffle-free. */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
-    val centArr = centroidMatrix(collectCentroids(centroids))
+    val pairs = collectCentroids(centroids).sortBy(_._1)
+    val centArr = pairs.map(_._2.toArray)
+    val ids: Seq[Int] = pairs.toSeq.map(_._1)
     emb.select(col(idCol), asDouble(vecCol).as("v"))
       .filter(col("v").isNotNull)
-      .withColumn("cluster", nearestCluster(col("v"), centArr))
+      .withColumn("cluster",
+        element_at(typedLit(ids), nearestCluster(col("v"), centArr) + 1))
   }
 
   /** IVF ANN top-k: cluster the corpus, probe the `nprobe` nearest

@@ -32,6 +32,14 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = VectorExpressions.arrayDot(a, b)
 
+  /** Dimensionality probe: one 1-row job over a non-null vector (a null
+    * sampled row would NPE on getInt). Mixed-dimension inputs are out of
+    * contract — the probe just fixes the plane-matrix width. */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) inside blocks.
     * Block column bounds the pair space (use an LSH bucket or cluster id
     * at scale). */
@@ -114,8 +122,7 @@ object Similarity {
                         maxBucket: Int = 10000): DataFrame = {
     require(numPlanes % bands == 0)
     val per = numPlanes / bands
-    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = probeDim(emb, vecCol)
     val pre = withVecNorm(emb.select(col(idCol).as("id"), col(vecCol)), vecCol, "v", "n2")
       .withColumn("sig", lshSignature(col("v"), numPlanes, dim))
       .select(col("id"), col("v"), col("n2"),
@@ -153,8 +160,7 @@ object Similarity {
     val per = numPlanes / bands
     // dimensionality probe: one 1-row job, then the plane matrix is a
     // driver constant shipped with the task closures
-    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = probeDim(corpus, vecCol)
     def banded(df: DataFrame, role: String): DataFrame = {
       val pre = withVecNorm(df.select(col(idCol).as(s"${role}_id"), col(vecCol)),
         vecCol, s"${role}_v", s"${role}_n2")

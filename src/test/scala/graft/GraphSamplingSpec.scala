@@ -42,6 +42,25 @@ class GraphSamplingSpec extends SparkSpec {
     assert(got.values.forall(_ == 10L))
   }
 
+  test("pointer jumping closes a 64-hop chain within logarithmic rounds") {
+    // path 0-1-...-64: diameter 64; plain min-propagation needs ~64
+    // rounds, the shortcutting loop must finish within maxIter = 10
+    val edges = (0L until 64L).map(i => (i + 1, i))
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 64L).toSet)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents fails loudly when maxIter is hit before the fixpoint") {
+    val edges = (0L until 64L).map(i => (i + 1, i))
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("keepCanonical keeps one doc per cluster plus all singletons") {
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")

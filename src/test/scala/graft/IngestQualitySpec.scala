@@ -93,6 +93,23 @@ class IngestQualitySpec extends SparkSpec {
     assert(rep("null_value_pct") >= 0.0)
   }
 
+  test("qualityReport counts a null-timestamp duplicate group like duplicateTimestamps") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // two rows with (key=1, ts=NULL) form one duplicate group; the
+    // null-safe window comparison must count it exactly once
+    val ev = Seq(
+      (1L, 1L, null.asInstanceOf[Timestamp], 1.0),
+      (2L, 1L, null.asInstanceOf[Timestamp], 2.0),
+      (3L, 1L, t, 3.0),
+      (4L, 2L, t, 4.0)).toDF("event_id", "user_id", "ts", "value")
+    val rep = Quality.qualityReport(ev, "user_id", "ts", "event_id", "value", 3600L, 1.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rep("duplicate_timestamp_groups") ==
+      Quality.duplicateTimestamps(ev, "user_id", "ts").count().toDouble)
+    assert(rep("duplicate_timestamp_groups") == 1.0)
+  }
+
   test("valueStats on the real feed matches basic invariants") {
     val ev = Tables.events(spark, sf)
     val r = Quality.valueStats(ev, "value").head()

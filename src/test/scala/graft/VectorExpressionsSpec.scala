@@ -79,4 +79,47 @@ class VectorExpressionsSpec extends SparkSpec {
     val expect = vecs.map { case (_, v) => refDot(v, v.map(_.toDouble)) }.sum
     assert(math.abs(got - expect) < 1e-9)
   }
+
+  test("null element slots read as 0.0 on interpreted and codegen paths") {
+    val ndf = Seq((1L, Array[java.lang.Double](1.0, null, 3.0)))
+      .toDF("id", "vec")
+    // codegen path (whole-stage over a projection)
+    val cg = ndf.select(
+      VectorExpressions.arrayDot(col("vec"), col("vec")).as("d"),
+      VectorExpressions.arrayNorm2(col("vec")).as("n")).head()
+    assert(cg.getDouble(0) == 10.0 && cg.getDouble(1) == 10.0)
+    // interpreted path (force eval through a literal-only expression tree)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val arr = Literal.create(ArrayData.toArrayData(Array[Any](1.0, null, 3.0)),
+      ArrayType(DoubleType, containsNull = true))
+    assert(VectorExpressions.ArrayDot(arr, arr).eval(null) == 10.0)
+    assert(VectorExpressions.ArrayNorm2(arr).eval(null) == 10.0)
+  }
+
+  test("non-array input fails at analysis time, not as a runtime CCE") {
+    val bad = Seq((1L, "oops")).toDF("id", "vec")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorExpressions.arrayNorm2(col("vec"))).collect()
+    }
+    assert(e.getMessage.contains("array_norm2") || e.getMessage.contains("DATATYPE"))
+  }
+
+  test("assign maps matrix positions back to non-contiguous cluster ids") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("cluster", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    // ids 7 and 3 (unsorted, non-contiguous): rows near (1,0) must get 7
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(7, Seq(1.0, 0.0)), Row(3, Seq(0.0, 1.0))),
+      schema)
+    val pts = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f)))
+      .toDF("id", "vec")
+    val got = graft.vector.Cluster.assign(pts, "id", "vec", cents)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
+    assert(got(1L) == 7 && got(2L) == 3)
+  }
 }
