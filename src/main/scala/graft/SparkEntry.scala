@@ -118,6 +118,18 @@ object SparkEntry {
       TimeSeries.windowSamplesFlat(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
+    "c19_scaler_apply" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      TimeSeries.applyScaler(ev, TimeSeries.scalerParams(ev, "user_id", "value"),
+        "user_id", "ts", "event_id", "value", "standard")
+    }),
+    "c20_scaler_inverse" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val params = TimeSeries.scalerParams(ev, "user_id", "value")
+      val scaled = TimeSeries.applyScaler(ev, params,
+        "user_id", "ts", "event_id", "value", "minmax")
+      TimeSeries.inverseScaler(scaled, params, "user_id", "value_scaled", "minmax")
+    }),
     "c18_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
         date_trunc("second", col("ts")).as("period"), col("value"))
@@ -567,6 +579,27 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "c19_scaler_apply" ->
+      """WITH t AS (SELECT user_id, value, round(value * 100, 0) AS c FROM events),
+         p AS (SELECT user_id,
+             floor((sum(c) * 200 + count(*)) / (count(*) * 2)) / 10000.0 AS mu,
+             round(sqrt(greatest((sum(c * c) - sum(c) * sum(c) / count(*)) / count(*), 0))
+               / 100.0, 4) AS sd
+           FROM t GROUP BY 1)
+         SELECT e.event_id, e.user_id, date_trunc('second', e.ts) AS period, e.value AS value,
+           round(CASE WHEN p.sd = 0 THEN 0.0 ELSE (e.value - p.mu) / p.sd END, 4) AS value_scaled
+         FROM events e JOIN p ON e.user_id = p.user_id""",
+    "c20_scaler_inverse" ->
+      """WITH p AS (SELECT user_id, round(min(value), 4) AS mn, round(max(value), 4) AS mx
+           FROM events GROUP BY 1),
+         s AS (SELECT e.event_id, e.user_id, date_trunc('second', e.ts) AS period,
+             e.value AS value,
+             round(CASE WHEN p.mx = p.mn THEN 0.0
+               ELSE (e.value - p.mn) / (p.mx - p.mn) END, 6) AS value_scaled
+           FROM events e JOIN p ON e.user_id = p.user_id)
+         SELECT s.event_id, s.user_id, s.period, s.value, s.value_scaled,
+           round(s.value_scaled * (p.mx - p.mn) + p.mn, 4) AS value_restored
+         FROM s JOIN p ON s.user_id = p.user_id""",
     "c16_window_samples" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
            row_number() OVER w AS rn,

@@ -82,6 +82,59 @@ object TimeSeries {
               / count(lit(1)), lit(0.0))) / 100.0, 4).as("std"))
   }
 
+  /** Apply PERSISTED scaler parameters to a feed — the serving-path
+    * twin of [[scaleMinMax]]/[[scaleStandard]]: training computes
+    * [[scalerParams]] once; inference joins the (tiny, AQE-broadcast)
+    * params table back and applies the identical transform
+    * (model.py:197 `scaler.fit_transform` at train vs
+    * kubeflow_pipeline.py:108-109 `scaler.transform` at serve). Uses
+    * the persisted (4-decimal-rounded) params, exactly like a scaler
+    * deserialized from disk. `method`: "minmax" | "standard". Rows
+    * whose key has no params row are dropped (inner join — an unseen
+    * series has no fitted scaler). */
+  def applyScaler(df: DataFrame, params: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String, method: String): DataFrame = {
+    val p = scalerCols(params, keyCol)
+    val scaled = method match {
+      case "minmax" =>
+        round(when(col("__mx") === col("__mn"), 0.0)
+          .otherwise((col(valueCol) - col("__mn")) / (col("__mx") - col("__mn"))), 6)
+      case "standard" =>
+        round(when(col("__sd") === 0.0, 0.0)
+          .otherwise((col(valueCol) - col("__mu")) / col("__sd")), 4)
+      case other => throw new IllegalArgumentException(s"unknown scaler method $other")
+    }
+    df.select(col(idCol), col(keyCol),
+        date_trunc("second", col(tsCol)).as("period"), col(valueCol))
+      .join(p, Seq(keyCol))
+      .select(col(idCol), col(keyCol), col("period"), col(valueCol),
+        scaled.as("value_scaled"))
+  }
+
+  /** Inverse-transform a scaled column back to original units via the
+    * persisted params table (model.py:331-335 `scaler
+    * .inverse_transform` — the reference inverse-transforms every
+    * prediction it serves). Adds `value_restored`; all input columns
+    * pass through. */
+  def inverseScaler(df: DataFrame, params: DataFrame, keyCol: String,
+                    scaledCol: String, method: String): DataFrame = {
+    val p = scalerCols(params, keyCol)
+    val restored = method match {
+      case "minmax" =>
+        round(col(scaledCol) * (col("__mx") - col("__mn")) + col("__mn"), 4)
+      case "standard" =>
+        round(col(scaledCol) * col("__sd") + col("__mu"), 4)
+      case other => throw new IllegalArgumentException(s"unknown scaler method $other")
+    }
+    df.join(p, Seq(keyCol))
+      .withColumn("value_restored", restored)
+      .drop("__mn", "__mx", "__mu", "__sd")
+  }
+
+  private def scalerCols(params: DataFrame, keyCol: String): DataFrame =
+    params.select(col(keyCol), col("min").as("__mn"), col("max").as("__mx"),
+      col("mean").as("__mu"), col("std").as("__sd"))
+
   /** Ordered train/val/test split labels per key
     * (kubeflow_pipeline.py:127-132: 0.7/0.15/0.15 by time order). */
   def trainValTestSplit(df: DataFrame, keyCol: String, tsCol: String, idCol: String,

@@ -168,6 +168,42 @@ class TimeSeriesSpec extends SparkSpec {
       (24 until 30).map(i => 100.0 + 2.0 * i))
   }
 
+  test("inverseScaler undoes applyScaler to rounding for both methods") {
+    val params = TimeSeries.scalerParams(series, "key", "value")
+    for (method <- Seq("minmax", "standard")) {
+      val scaled = TimeSeries.applyScaler(series, params, "key", "ts", "event_id",
+        "value", method)
+      val restored = TimeSeries.inverseScaler(scaled, params, "key", "value_scaled", method)
+        .join(params.select(col("key"), (col("max") - col("min")).as("range"),
+          col("std")), Seq("key"))
+        .collect()
+      assert(restored.nonEmpty)
+      restored.foreach { r =>
+        val v = r.getAs[Double]("value")
+        val rec = r.getAs[Double]("value_restored")
+        // scaled is rounded to 6 (minmax) / 4 (standard) decimals, so the
+        // roundtrip error is bounded by half that step times the scale
+        val tol = method match {
+          case "minmax"   => 0.5e-6 * r.getAs[Double]("range") + 1e-4
+          case "standard" => 0.5e-4 * r.getAs[Double]("std") + 1e-4
+        }
+        assert(math.abs(rec - v) <= tol, s"$method: |$rec - $v| > $tol")
+      }
+    }
+  }
+
+  test("applyScaler standard matches persisted-params z-scores") {
+    val params = TimeSeries.scalerParams(series, "key", "value")
+    val p = params.filter(col("key") === "A").head()
+    val (mu, sd) = (p.getAs[Double]("mean"), p.getAs[Double]("std"))
+    val got = TimeSeries.applyScaler(series, params, "key", "ts", "event_id",
+      "value", "standard")
+      .filter(col("key") === "A").orderBy("period").head()
+    val v = got.getAs[Double]("value")
+    assert(math.abs(got.getAs[Double]("value_scaled") -
+      math.rint((v - mu) / sd * 1e4) / 1e4) < 1e-9)
+  }
+
   test("windowSamplesFlat explodes samples to (seq, pos, value) rows losslessly") {
     val flat = TimeSeries.windowSamplesFlat(series, "key", "ts", "event_id", "value", 24, 6, 4)
     val arr = TimeSeries.windowSamples(series, "key", "ts", "event_id", "value", 24, 6, 4)
