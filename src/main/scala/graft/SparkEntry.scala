@@ -283,8 +283,8 @@ object SparkEntry {
 
   // -----------------------------------------------------------------
   // DuckDB oracle SQL — identical aliases + identical rounding. Keys
-  // absent here (c11, c15, c16, e2, e3, e7, e13) are rows-only checked
-  // and carry differential/property ScalaTest specs instead.
+  // absent here (b11, e2, e3, e7, e13, e22) are rows-only checked and
+  // carry differential/property ScalaTest specs instead.
   // -----------------------------------------------------------------
 
   /** Shared normalized-text expression (matches graft.functions.normalizeText). */
@@ -554,6 +554,79 @@ object SparkEntry {
            round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse,
            round(avg(abs((value - prediction) / (value + 1e-8))) * 100, 4) AS mape
          FROM t GROUP BY 1, 2""",
+    // c11/c15: the gram sums are exact integers (cents), so both engines
+    // derive bit-identical doubles; the Cramer solve below mirrors
+    // Forecast.det3's operand order term by term.
+    "c11_ridge_lag_forecast" ->
+      """WITH f AS (
+           SELECT user_id, value,
+             lag(value, 1) OVER w AS x1, lag(value, 24) OVER w AS x2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)),
+         c AS (SELECT user_id, round(value * 100, 0) AS cy,
+             round(x1 * 100, 0) AS c1, round(x2 * 100, 0) AS c2
+           FROM f WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+         g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS s00,
+             sum(c1) / 100.0 AS s01, sum(c2) / 100.0 AS s02,
+             sum(c1 * c1) / 10000.0 AS s11, sum(c1 * c2) / 10000.0 AS s12,
+             sum(c2 * c2) / 10000.0 AS s22,
+             sum(cy) / 100.0 AS b0, sum(c1 * cy) / 10000.0 AS b1,
+             sum(c2 * cy) / 10000.0 AS b2
+           FROM c GROUP BY 1),
+         m AS (SELECT user_id, s00 + 1.0 AS a00, s01 AS a01, s02 AS a02,
+             s11 + 1.0 AS a11, s12 AS a12, s22 + 1.0 AS a22, b0, b1, b2 FROM g),
+         d AS (SELECT *,
+             a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det
+           FROM m)
+         SELECT user_id,
+           round(CASE WHEN abs(det) > 1e-12 THEN (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det ELSE 0.0 END, 4) AS intercept,
+           round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det ELSE 0.0 END, 6) AS coef_lag1,
+           round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (a11 * b2 - b1 * a12) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det ELSE 0.0 END, 6) AS coef_lag_season
+         FROM d""",
+    "c15_model_selection" ->
+      """WITH f AS (
+           SELECT user_id, event_id, date_trunc('second', ts) AS period, value,
+             lag(value, 1) OVER w AS x1, lag(value, 24) OVER w AS x2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)),
+         ff AS (SELECT user_id, value, x1, x2,
+             row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM f WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+         s AS (SELECT *, CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+             WHEN rn <= floor(n * 0.7) + floor(n * 0.15) THEN 'val'
+             ELSE 'test' END AS split FROM ff),
+         g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS s00,
+             sum(c1) / 100.0 AS s01, sum(c2) / 100.0 AS s02,
+             sum(c1 * c1) / 10000.0 AS s11, sum(c1 * c2) / 10000.0 AS s12,
+             sum(c2 * c2) / 10000.0 AS s22,
+             sum(cy) / 100.0 AS b0, sum(c1 * cy) / 10000.0 AS b1,
+             sum(c2 * cy) / 10000.0 AS b2
+           FROM (SELECT user_id, round(value * 100, 0) AS cy,
+               round(x1 * 100, 0) AS c1, round(x2 * 100, 0) AS c2
+             FROM s WHERE split = 'train')
+           GROUP BY 1),
+         l AS (SELECT g.*, lam.lambda FROM g,
+           (SELECT unnest(CAST([0.01, 0.1, 1.0, 10.0, 100.0] AS DOUBLE[])) AS lambda) lam),
+         m AS (SELECT user_id, lambda, s00 + lambda AS a00, s01 AS a01, s02 AS a02,
+             s11 + lambda AS a11, s12 AS a12, s22 + lambda AS a22, b0, b1, b2 FROM l),
+         d AS (SELECT *,
+             a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det
+           FROM m),
+         co AS (SELECT user_id, lambda,
+             CASE WHEN abs(det) > 1e-12 THEN (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det ELSE 0.0 END AS c0,
+             CASE WHEN abs(det) > 1e-12 THEN (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det ELSE 0.0 END AS c1,
+             CASE WHEN abs(det) > 1e-12 THEN (a00 * (a11 * b2 - b1 * a12) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det ELSE 0.0 END AS c2
+           FROM d),
+         sc AS (SELECT s.user_id, co.lambda,
+             sqrt(avg(CASE WHEN split = 'val' THEN pow(value - (c0 + c1 * x1 + c2 * x2), 2) END)) AS val_raw,
+             sqrt(avg(CASE WHEN split = 'test' THEN pow(value - (c0 + c1 * x1 + c2 * x2), 2) END)) AS test_raw
+           FROM s JOIN co ON s.user_id = co.user_id WHERE split <> 'train'
+           GROUP BY 1, 2)
+         SELECT user_id, lambda AS best_lambda,
+           round(val_raw, 4) AS val_rmse, round(test_raw, 4) AS test_rmse
+         FROM sc
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY val_raw, lambda) = 1""",
     "d1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
          round(sum(l_extendedprice), 4) AS sum_base_price,

@@ -128,39 +128,66 @@ object Forecast {
     */
   def ridgeLagForecast(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                        valueCol: String, season: Int, lambda: Double): DataFrame = {
-    val feats = df
-      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"), col(idCol), col(valueCol))
-      .withColumn("x1", lag(col(valueCol), 1).over(
-        Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))))
-      .withColumn("x2", lag(col(valueCol), season).over(
-        Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))))
+    val feats = lagFeats(df, keyCol, tsCol, idCol, valueCol, season)
+    // Gram matrix sums for features [1, x1, x2] — 6 unique entries + 3
+    // X'y — then a per-key closed-form Cramer solve as a codegen'd
+    // column expression (no typed map, native key type preserved).
+    val sums = gramSums(feats, keyCol, valueCol)
+    val (c0, c1, c2) = cramerCoefs(lit(lambda))
+    sums.select(col(keyCol),
+      round(c0, 4).as("intercept"),
+      round(c1, 6).as("coef_lag1"),
+      round(c2, 6).as("coef_lag_season"))
+  }
+
+  /** Per-key lag features [x1 = lag 1, x2 = lag season] over the
+    * second-truncated series; rows with either lag missing drop. */
+  private def lagFeats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                       valueCol: String, season: Int): DataFrame = {
+    val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    df.select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol))
+      .withColumn("x1", lag(col(valueCol), 1).over(ow))
+      .withColumn("x2", lag(col(valueCol), season).over(ow))
       .filter(col("x1").isNotNull && col("x2").isNotNull)
-    // Gram matrix sums for features [1, x1, x2] — 6 unique entries + 3 X'y.
-    val sums = feats.groupBy(col(keyCol)).agg(
+  }
+
+  /** Gram-matrix sums accumulated over EXACT INTEGER CENTS (inputs
+    * carry two decimals, so cents products are exact int64): partial
+    * aggregation order cannot perturb a single ulp, so the derived
+    * double sums — and everything the Cramer solve computes from them —
+    * are bit-identical across engines and partitionings. */
+  private def gramSums(feats: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val c1 = round(col("x1") * 100, 0).cast("long")
+    val c2 = round(col("x2") * 100, 0).cast("long")
+    val cy = round(col(valueCol) * 100, 0).cast("long")
+    feats.groupBy(col(keyCol)).agg(
       count(lit(1)).cast("double").as("s00"),
-      sum(col("x1")).as("s01"), sum(col("x2")).as("s02"),
-      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum(col(valueCol)).as("b0"),
-      sum(col("x1") * col(valueCol)).as("b1"),
-      sum(col("x2") * col(valueCol)).as("b2"))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keyIdx = sums.schema.fieldIndex(keyCol)
-    sums.map { r =>
-      val key = r.get(keyIdx).toString
-      val a = Array(
-        Array(r.getDouble(1) + lambda, r.getDouble(2), r.getDouble(3)),
-        Array(r.getDouble(2), r.getDouble(4) + lambda, r.getDouble(5)),
-        Array(r.getDouble(3), r.getDouble(5), r.getDouble(6) + lambda))
-      val b = Array(r.getDouble(7), r.getDouble(8), r.getDouble(9))
-      val x = solve3(a, b)
-      (key, x(0), x(1), x(2))
-    }.toDF(keyCol, "intercept", "coef_lag1", "coef_lag_season")
-      .select(col(keyCol),
-        round(col("intercept"), 4).as("intercept"),
-        round(col("coef_lag1"), 6).as("coef_lag1"),
-        round(col("coef_lag_season"), 6).as("coef_lag_season"))
+      (sum(c1).cast("double") / 100.0).as("s01"),
+      (sum(c2).cast("double") / 100.0).as("s02"),
+      (sum(c1 * c1).cast("double") / 10000.0).as("s11"),
+      (sum(c1 * c2).cast("double") / 10000.0).as("s12"),
+      (sum(c2 * c2).cast("double") / 10000.0).as("s22"),
+      (sum(cy).cast("double") / 100.0).as("b0"),
+      (sum(c1 * cy).cast("double") / 10000.0).as("b1"),
+      (sum(c2 * cy).cast("double") / 10000.0).as("b2"))
+  }
+
+  /** Closed-form ridge coefficients (Cramer's rule) over the bound
+    * gram-sum columns, for A = Gram + lambda*I — pure column
+    * expressions inside whole-stage codegen. */
+  private def cramerCoefs(lambdaCol: Column): (Column, Column, Column) = {
+    val a: IndexedSeq[IndexedSeq[Column]] = IndexedSeq(
+      IndexedSeq(col("s00") + lambdaCol, col("s01"), col("s02")),
+      IndexedSeq(col("s01"), col("s11") + lambdaCol, col("s12")),
+      IndexedSeq(col("s02"), col("s12"), col("s22") + lambdaCol))
+    val b = IndexedSeq(col("b0"), col("b1"), col("b2"))
+    val d = det3(a)
+    def solved(i: Int): Column = {
+      val ai = IndexedSeq.tabulate(3, 3)((r, c) => if (c == i) b(r) else a(r)(c))
+      when(abs(d) > 1e-12, det3(ai) / d).otherwise(0.0)
+    }
+    (solved(0), solved(1), solved(2))
   }
 
   /** Multi-horizon forecast table — the engine's headline output
@@ -229,41 +256,21 @@ object Forecast {
     // exact decimal split boundaries (see TimeSeries.trainValTestSplit)
     val trainBd = lit(java.math.BigDecimal.valueOf(trainFrac))
     val valBd = lit(java.math.BigDecimal.valueOf(valFrac))
-    val feats = df
-      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"), col(idCol), col(valueCol))
-      .withColumn("x1", lag(col(valueCol), 1).over(ow))
-      .withColumn("x2", lag(col(valueCol), season).over(ow))
-      .filter(col("x1").isNotNull && col("x2").isNotNull)
+    val feats = lagFeats(df, keyCol, tsCol, idCol, valueCol, season)
       .withColumn("__rn", row_number().over(ow))
       .withColumn("__n", count(lit(1)).over(cw))
       .withColumn("split",
         when(col("__rn") <= floor(col("__n") * trainBd), "train")
           .when(col("__rn") <= floor(col("__n") * trainBd) + floor(col("__n") * valBd), "val")
           .otherwise("test"))
-    val sums = feats.filter(col("split") === "train").groupBy(col(keyCol)).agg(
-      count(lit(1)).cast("double").as("s00"),
-      sum(col("x1")).as("s01"), sum(col("x2")).as("s02"),
-      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum(col(valueCol)).as("b0"),
-      sum(col("x1") * col(valueCol)).as("b1"),
-      sum(col("x2") * col(valueCol)).as("b2"))
+    val sums = gramSums(feats.filter(col("split") === "train"), keyCol, valueCol)
     // keys × lambdas rows; solve A x = b with A = Gram + lambda*I
     val lam = sums.select(col(keyCol), explode(typedLit(lambdas)).as("lambda"),
       col("s00"), col("s01"), col("s02"), col("s11"), col("s12"), col("s22"),
       col("b0"), col("b1"), col("b2"))
-    val a: IndexedSeq[IndexedSeq[Column]] = IndexedSeq(
-      IndexedSeq(col("s00") + col("lambda"), col("s01"), col("s02")),
-      IndexedSeq(col("s01"), col("s11") + col("lambda"), col("s12")),
-      IndexedSeq(col("s02"), col("s12"), col("s22") + col("lambda")))
-    val b = IndexedSeq(col("b0"), col("b1"), col("b2"))
-    val d = det3(a)
-    def solved(i: Int): Column = {
-      val ai = IndexedSeq.tabulate(3, 3)((r, c) => if (c == i) b(r) else a(r)(c))
-      when(abs(d) > 1e-12, det3(ai) / d).otherwise(0.0)
-    }
+    val (c0, c1, c2) = cramerCoefs(col("lambda"))
     val coefs = lam.select(col(keyCol), col("lambda"),
-      solved(0).as("__c0"), solved(1).as("__c1"), solved(2).as("__c2"))
+      c0.as("__c0"), c1.as("__c1"), c2.as("__c2"))
     val err = col(valueCol) - (col("__c0") + col("__c1") * col("x1") + col("__c2") * col("x2"))
     val scored = feats.filter(col("split") =!= "train")
       .join(coefs, Seq(keyCol))
@@ -278,28 +285,5 @@ object Forecast {
       .select(col(keyCol), col("__b.lambda").as("best_lambda"),
         round(col("__b.__val_rmse"), 4).as("val_rmse"),
         round(col("__b.__test_rmse"), 4).as("test_rmse"))
-  }
-
-  /** Gaussian elimination with partial pivoting for a 3×3 system. */
-  private def solve3(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
-    val n = 3
-    val m = Array.tabulate(n, n + 1)((i, j) => if (j < n) a(i)(j) else b(i))
-    for (c <- 0 until n) {
-      val p = (c until n).maxBy(r => math.abs(m(r)(c)))
-      val tmp = m(c); m(c) = m(p); m(p) = tmp
-      if (math.abs(m(c)(c)) > 1e-12) {
-        for (r <- c + 1 until n) {
-          val f = m(r)(c) / m(c)(c)
-          for (j <- c to n) m(r)(j) -= f * m(c)(j)
-        }
-      }
-    }
-    val x = new Array[Double](n)
-    for (r <- (n - 1) to 0 by -1) {
-      var s = m(r)(n)
-      for (j <- r + 1 until n) s -= m(r)(j) * x(j)
-      x(r) = if (math.abs(m(r)(r)) > 1e-12) s / m(r)(r) else 0.0
-    }
-    x
   }
 }
