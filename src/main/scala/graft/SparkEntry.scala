@@ -283,8 +283,9 @@ object SparkEntry {
 
   // -----------------------------------------------------------------
   // DuckDB oracle SQL — identical aliases + identical rounding. Keys
-  // absent here (b11, e2, e3, e7, e13, e22) are rows-only checked and
-  // carry differential/property ScalaTest specs instead.
+  // absent here (b11, e13) are rows-only checked and carry
+  // differential/property ScalaTest specs instead (b11 is a bounded
+  // sketch; e13's iterative k-means means are float-sum order-sensitive).
   // -----------------------------------------------------------------
 
   /** Shared normalized-text expression (matches graft.functions.normalizeText). */
@@ -312,6 +313,49 @@ object SparkEntry {
             round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
           FROM pairs JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
           WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.6)"""
+
+  /** Poly rolling hash of a string expression (matches
+    * graft.functions.polyFingerprint — the e11-proven parity form). */
+  private def polyHashSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       (acc, c) -> (acc * 31 + c) % ${graft.text.Dedup.PolyP})"""
+
+  /** (a_i*h0 + b_i) mod AffineP with the SAME driver-derived constants
+    * the Spark plan embeds (Dedup.hashConst). */
+  private def affineHashSql(h0: String, salt: String, i: Int): String = {
+    val (a, b) = (graft.text.Dedup.hashConst(s"$salt-a", i),
+      graft.text.Dedup.hashConst(s"$salt-b", i))
+    s"($a * $h0 + $b) % ${graft.text.Dedup.AffineP}"
+  }
+
+  /** Order-sensitive fold of minhash columns into a band signature
+    * (mirrors Dedup.foldSig). */
+  private def foldSigSql(cols: Seq[String]): String =
+    cols.foldLeft("CAST(0 AS BIGINT)")((acc, c) =>
+      s"(($acc * 31 + $c) % ${graft.text.Dedup.PolyP})")
+
+  /** Hyperplane matrix as a VALUES list — components are exactly n/1e6,
+    * so the %.6f literal parses to the identical double. */
+  private def planesValuesSql(numPlanes: Int, dim: Int): String =
+    graft.vector.Similarity.planeMatrix(numPlanes, dim).zipWithIndex.map {
+      case (row, p) =>
+        s"($p, CAST([${row.map(v => f"$v%.6f").mkString(",")}] AS DOUBLE[]))"
+    }.mkString(", ")
+
+  /** Shared LSH CTEs: per-vector sign signature over the embedded
+    * planes, then per-band sub-keys (mirrors Similarity.lshSignature +
+    * banding). */
+  private def lshBandCte(numPlanes: Int, bands: Int): String = {
+    val per = numPlanes / bands
+    s"""planes(p, vec) AS (VALUES ${planesValuesSql(numPlanes, 64)}),
+        sigs AS (SELECT e.vec_id,
+            CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.vec")} >= 0
+              THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS sig
+          FROM embeddings e CROSS JOIN planes p GROUP BY 1),
+        bnd AS (SELECT vec_id, band, (sig >> (band * $per)) & ${(1L << per) - 1} AS key
+          FROM sigs, (SELECT unnest(range($bands)) AS band) b)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest_typed" ->
@@ -744,6 +788,76 @@ object SparkEntry {
     "e1_exact_dedup" ->
       s"""SELECT md5($normSql) AS text_hash, min(doc_id) AS keep_doc_id,
           count(*) AS dup_count FROM documents GROUP BY 1""",
+    "e2_minhash_lsh_pairs" -> {
+      val mhAggs = (0 until 16).map(i =>
+        s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+                  FROM w WHERE len(words) >= 3)),
+          h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
+          mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
+          bnd AS ($bandSelects),
+          pruned AS (SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pruned a JOIN pruned b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+    },
+    "e3_simhash" -> {
+      val voteAggs = (0 until 64).map(b =>
+        s"CAST(sum(((${affineHashSql("h0", "sim", b)}) & 1) * 2 - 1) AS BIGINT) AS v_$b")
+        .mkString(", ")
+      val chunkCols = (0 until 4).map { c =>
+        val bits = (0 until 16).map(j =>
+          s"(CASE WHEN v_${c * 16 + j} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"CAST($bits AS BIGINT) AS c$c"
+      }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+            FROM documents),
+          h AS (SELECT doc_id, ${polyHashSql("token")} AS h0 FROM tok),
+          v AS (SELECT doc_id, $voteAggs FROM h GROUP BY 1),
+          ch AS (SELECT doc_id, $chunkCols FROM v),
+          e AS (SELECT doc_id, c0, c1, c2, c3,
+              unnest([0, 1, 2, 3]) AS chunk, unnest([c0, c1, c2, c3]) AS key FROM ch),
+          pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+              bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
+            FROM e a JOIN e b
+              ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3"""
+    },
+    "e7_ann_lsh" ->
+      s"""WITH ${lshBandCte(16, 4)},
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bnd c JOIN bnd q ON c.band = q.band AND c.key = q.key
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          scored AS (SELECT query_id, neighbor_id,
+              round(${dotSql("qe.embedding", "ce.embedding")} /
+                (${normVecSql("qe.embedding")} * ${normVecSql("ce.embedding")}), 6) AS cos6
+            FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+          SELECT query_id, neighbor_id, round(cos6, 4) AS cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+          FROM scored QUALIFY rank <= 5""",
+    "e22_cosine_dup_lsh" ->
+      s"""WITH ${lshBandCte(16, 8)},
+          pruned AS (SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000),
+          pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM pruned a JOIN pruned b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+          scored AS (SELECT id_a, id_b,
+              round(${dotSql("ea.embedding", "eb.embedding")} /
+                (${normVecSql("ea.embedding")} * ${normVecSql("eb.embedding")}), 4) AS cosine
+            FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
+              JOIN embeddings eb ON eb.vec_id = pairs.id_b)
+          SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= 0.25""",
     "e4_ngram_jaccard" ->
       s"""WITH $ngramPairCte
           SELECT doc_a, doc_b, jaccard FROM jpairs""",

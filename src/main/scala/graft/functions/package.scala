@@ -27,13 +27,11 @@ package object functions {
 
   /** Polynomial rolling-hash fingerprint of a string, mod 1e9+7.
     * Wraparound-free (fits int64) so DuckDB (which raises on BIGINT
-    * overflow) can compute the identical value for the oracle.
-    */
+    * overflow) can compute the identical value for the oracle. Native
+    * codegen'd byte loop ([[StringExpressions.PolyHash]]) — the HOF
+    * char fold was interpreted and dominated hash-per-shingle paths. */
   def polyFingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31L + c) % 1000000007L)
+    StringExpressions.polyHash(text)
 
   /** Half-up 4-decimal rounding of the mean `sumCents / (100 * n)`,
     * computed in exact integer arithmetic: floor((200*s + n) / (2n)) / 1e4.

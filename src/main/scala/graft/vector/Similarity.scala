@@ -97,8 +97,11 @@ object Similarity {
     (((h % m) + m) % m - 1000000L).toDouble / 1000000.0
   }
 
-  /** The hyperplane matrix for a given dimensionality. */
-  private def planeMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] =
+  /** The hyperplane matrix for a given dimensionality. Public so the
+    * DuckDB oracle can embed the identical plane values as SQL
+    * literals (every component is exactly n/1e6, which both a decimal
+    * literal parse and this division round to the same double). */
+  def planeMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)((p, i) => planeComponent(p, i))
 
   /** Random-hyperplane LSH bucket signature (numPlanes sign bits) —
