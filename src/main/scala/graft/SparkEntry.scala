@@ -78,6 +78,8 @@ object SparkEntry {
       Quality.validationVerdict(Tables.events(s, d), "user_id", "ts", "event_id", "value", 5.0, 2.0)),
     "b11_value_stats_approx" -> ((s, d) =>
       Quality.valueStatsApprox(Tables.events(s, d), "value", 10000)),
+    "b12_gap_summary" -> ((s, d) =>
+      Quality.gapSummary(Tables.events(s, d), "user_id", "ts", "event_id", 3600L, 1.5)),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -442,10 +444,20 @@ object SparkEntry {
            WHERE g > 3600 * 1.5
          UNION ALL SELECT 'extreme_outlier_count', CAST(count(*) AS DOUBLE)
            FROM events, (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
-           WHERE value >= p99 * 3""",
+           WHERE value >= p99 * 3
+         UNION ALL SELECT 'date_range_start_epoch',
+           CAST(epoch(min(date_trunc('second', ts))) AS DOUBLE) FROM events
+         UNION ALL SELECT 'date_range_end_epoch',
+           CAST(epoch(max(date_trunc('second', ts))) AS DOUBLE) FROM events
+         UNION ALL SELECT 'unique_regions', CAST(count(DISTINCT user_id) AS DOUBLE) FROM events""",
     "b10_validation_verdict" ->
       """WITH a AS (SELECT count(*) AS total_records,
-           round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) AS missing_value_pct
+           round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) AS missing_value_pct,
+           min(date_trunc('second', ts)) AS date_range_start,
+           max(date_trunc('second', ts)) AS date_range_end,
+           count(DISTINCT user_id) AS unique_regions,
+           (SELECT string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id)
+              FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) du) AS regions
            FROM events),
          d AS (SELECT count(*) AS duplicate_groups FROM
            (SELECT user_id, date_trunc('second', ts) AS p FROM events
@@ -459,8 +471,17 @@ object SparkEntry {
             CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) AS error_count,
            CASE WHEN round(n_out * 100.0 / total_records, 4) > 2.0 THEN 1 ELSE 0 END AS warning_count,
            (CASE WHEN missing_value_pct > 5.0 THEN 1 ELSE 0 END +
-            CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) = 0 AS is_valid
+            CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) = 0 AS is_valid,
+           date_range_start, date_range_end, unique_regions, regions
          FROM a, d, o""",
+    "b12_gap_summary" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id FROM events),
+         g AS (SELECT user_id,
+           CAST(epoch(period) - epoch(lag(period) OVER
+             (PARTITION BY user_id ORDER BY period, event_id)) AS BIGINT) AS gap_seconds
+           FROM t)
+         SELECT user_id, count(*) AS gap_count, max(gap_seconds) AS max_gap_seconds
+         FROM g WHERE gap_seconds > 3600 * 1.5 GROUP BY 1""",
     "c14_multi_horizon_forecast" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          r AS (SELECT user_id, period, event_id, value,

@@ -53,11 +53,23 @@ object Binary {
           "UTF-8"), 256).as("frame_sha"))
   }
 
-  /** STUB feature extractor: stands in for image decode + resize +
-    * embed. Deterministic fake features derived from payload bytes so
-    * the distributed plumbing (schema, batching, partition locality) is
-    * fully exercised. A real deployment swaps `fakeDecode` for a JNI
-    * decoder; nothing else changes. */
+  /** Feature extractor over opaque payloads: a REAL minimal decode
+    * kernel (no native media libs required) running partition-locally.
+    *
+    * - `width`/`height` come from parsing actual container headers:
+    *   PNG (IHDR, big-endian u32 at offset 16 after the 8-byte
+    *   signature), GIF87a/89a (little-endian u16 logical screen
+    *   descriptor at offset 6), BMP (little-endian i32 at offset 18 in
+    *   BITMAPINFOHEADER). Unrecognized payloads (e.g. plain text)
+    *   decode to (0, 0) — the honest "not an image" answer.
+    * - `features` is the payload's REAL normalized byte-value histogram
+    *   folded into `featDim` buckets; `entropy` is the Shannon entropy
+    *   (bits/byte) of the full 256-bucket distribution — standard
+    *   content-sniffing features (compressed/encrypted ≈ 8, text ≈ 4-5).
+    *
+    * A heavier deployment swaps `decodeKernel` for a JNI/ffmpeg decoder;
+    * the distributed shape (schema, batching, partition locality) is
+    * unchanged. */
   def decodeFeatures(df: DataFrame, idCol: String, payloadStrCol: String,
                      featDim: Int): DataFrame = {
     val spark = df.sparkSession
@@ -65,27 +77,66 @@ object Binary {
       StructField("id", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
+      StructField("entropy", DoubleType),
       StructField("features", ArrayType(DoubleType))))
     val base = df.select(col(idCol).cast("long"), col(payloadStrCol))
     val rdd = base.rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
-        val (w, h, feats) = fakeDecode(bytes, featDim)
-        Row(id, w, h, feats.toSeq)
+        val (w, h, entropy, feats) = decodeKernel(bytes, featDim)
+        Row(id, w, h, entropy, feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** ??? real decoder goes here — deterministic byte-histogram fake. */
-  private def fakeDecode(bytes: Array[Byte], featDim: Int): (Int, Int, Array[Double]) = {
-    val w = 64 + (if (bytes.isEmpty) 0 else math.abs(bytes(0).toInt) % 64)
-    val h = 64 + (if (bytes.length < 2) 0 else math.abs(bytes(1).toInt) % 64)
-    val hist = new Array[Double](featDim)
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def leU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def leI32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Header-parse dimensions for the three self-describing formats.
+    * Package-visible so the spec can assert binary-exact parses. */
+  private[graft] def parseDims(b: Array[Byte]): (Int, Int) =
+    if (b.length >= 24 && b.startsWith(PngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      (beU32(b, 16).toInt, beU32(b, 20).toInt)
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      (leU16(b, 6), leU16(b, 8))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      // BITMAPINFOHEADER: height may be negative (top-down rows)
+      (leI32(b, 18), math.abs(leI32(b, 22)))
+    else (0, 0)
+
+  /** The real kernel: header-sniffed dims + byte-distribution features. */
+  private def decodeKernel(bytes: Array[Byte], featDim: Int): (Int, Int, Double, Array[Double]) = {
+    val (w, h) = parseDims(bytes)
+    val counts = new Array[Long](256)
     var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) % featDim) += 1.0; i += 1 }
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
     val n = math.max(bytes.length, 1).toDouble
-    (w, h, hist.map(_ / n))
+    var entropy = 0.0
+    val folded = new Array[Double](featDim)
+    var v = 0
+    while (v < 256) {
+      val c = counts(v)
+      if (c > 0) {
+        val p = c / n
+        entropy -= p * math.log(p) / math.log(2.0)
+        folded(v % featDim) += p
+      }
+      v += 1
+    }
+    (w, h, math.rint(entropy * 1e6) / 1e6, folded)
   }
 }

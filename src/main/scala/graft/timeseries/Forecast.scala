@@ -133,11 +133,10 @@ object Forecast {
     // X'y — then a per-key closed-form Cramer solve as a codegen'd
     // column expression (no typed map, native key type preserved).
     val sums = gramSums(feats, keyCol, valueCol)
-    val (c0, c1, c2) = cramerCoefs(lit(lambda))
-    sums.select(col(keyCol),
-      round(c0, 4).as("intercept"),
-      round(c1, 6).as("coef_lag1"),
-      round(c2, 6).as("coef_lag_season"))
+    appendCramerCoefs(sums, lit(lambda)).select(col(keyCol),
+      round(col("__c0"), 4).as("intercept"),
+      round(col("__c1"), 6).as("coef_lag1"),
+      round(col("__c2"), 6).as("coef_lag_season"))
   }
 
   /** Per-key lag features [x1 = lag 1, x2 = lag season] over the
@@ -173,22 +172,46 @@ object Forecast {
       (sum(c2 * cy).cast("double") / 10000.0).as("b2"))
   }
 
-  /** Closed-form ridge coefficients (Cramer's rule) over the bound
-    * gram-sum columns, for A = Gram + lambda*I — pure column
-    * expressions inside whole-stage codegen. */
-  private def cramerCoefs(lambdaCol: Column): (Column, Column, Column) = {
-    val a: IndexedSeq[IndexedSeq[Column]] = IndexedSeq(
-      IndexedSeq(col("s00") + lambdaCol, col("s01"), col("s02")),
-      IndexedSeq(col("s01"), col("s11") + lambdaCol, col("s12")),
-      IndexedSeq(col("s02"), col("s12"), col("s22") + lambdaCol))
-    val b = IndexedSeq(col("b0"), col("b1"), col("b2"))
-    val d = det3(a)
-    def solved(i: Int): Column = {
-      val ai = IndexedSeq.tabulate(3, 3)((r, c) => if (c == i) b(r) else a(r)(c))
-      when(abs(d) > 1e-12, det3(ai) / d).otherwise(0.0)
-    }
-    (solved(0), solved(1), solved(2))
-  }
+  /** Closed-form ridge coefficients (Cramer's rule) for
+    * A = Gram + lambda*I, appended as columns __c0/__c1/__c2.
+    *
+    * The naive formulation inlined the 3×3 determinant subtrees into
+    * every output column (det(A) alone appeared six times: inside the
+    * singularity guard AND the division of each coefficient), so one
+    * generated projection carried ~12 expanded determinant trees and
+    * Janino compile time dominated the query (r3 bench: 0.39 s → 2.27 s).
+    * Here the shared cofactors/minors of the SYMMETRIC matrix are staged
+    * through intermediate projections; every alias below is referenced
+    * more than once downstream, so CollapseProject keeps the stages
+    * (it only re-inlines cheap or single-use aliases) and each subterm
+    * is generated exactly once. The groupings mirror the naive
+    * cofactor expansion term-for-term (negation is exact in IEEE
+    * arithmetic), so results are bit-identical to the previous form. */
+  private def appendCramerCoefs(sums: DataFrame, lambdaCol: Column): DataFrame =
+    sums
+      .withColumn("__a00", col("s00") + lambdaCol)
+      .withColumn("__a11", col("s11") + lambdaCol)
+      .withColumn("__a22", col("s22") + lambdaCol)
+      // minors shared between det(A) and the Cramer numerators
+      .withColumn("__m00", col("__a11") * col("__a22") - col("s12") * col("s12"))
+      .withColumn("__m01", col("s01") * col("__a22") - col("s12") * col("s02"))
+      .withColumn("__m02", col("s01") * col("s12") - col("__a11") * col("s02"))
+      .withColumn("__u", col("b1") * col("__a22") - col("s12") * col("b2"))
+      .withColumn("__v", col("s01") * col("b2") - col("b1") * col("s02"))
+      .withColumn("__w", col("__a11") * col("b2") - col("b1") * col("s12"))
+      .withColumn("__d",
+        col("__a00") * col("__m00") - col("s01") * col("__m01") + col("s02") * col("__m02"))
+      .withColumn("__n0",
+        col("b0") * col("__m00") - col("s01") * col("__u") - col("s02") * col("__w"))
+      .withColumn("__n1",
+        col("__a00") * col("__u") - col("b0") * col("__m01") + col("s02") * col("__v"))
+      .withColumn("__n2",
+        col("__a00") * col("__w") - col("s01") * col("__v") + col("b0") * col("__m02"))
+      .withColumn("__c0", when(abs(col("__d")) > 1e-12, col("__n0") / col("__d")).otherwise(0.0))
+      .withColumn("__c1", when(abs(col("__d")) > 1e-12, col("__n1") / col("__d")).otherwise(0.0))
+      .withColumn("__c2", when(abs(col("__d")) > 1e-12, col("__n2") / col("__d")).otherwise(0.0))
+      .drop("__a00", "__a11", "__a22", "__m00", "__m01", "__m02",
+        "__u", "__v", "__w", "__d", "__n0", "__n1", "__n2")
 
   /** Multi-horizon forecast table — the engine's headline output
     * (model.py:52 output_size=24; kubeflow_pipeline.py:112-124
@@ -228,13 +251,6 @@ object Forecast {
           .as("trend_prediction"))
   }
 
-  /** 3×3 determinant as a Column expression (for the closed-form ridge
-    * solve — Cramer's rule stays inside whole-stage codegen). */
-  private def det3(a: IndexedSeq[IndexedSeq[Column]]): Column =
-    a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
-      a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
-      a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
-
   /** Distributed hyperparameter sweep + model selection — the engine's
     * analog of the reference's Katib search (train_katib.py:60-160:
     * grid over model hyperparameters, best picked by validation RMSE).
@@ -268,9 +284,8 @@ object Forecast {
     val lam = sums.select(col(keyCol), explode(typedLit(lambdas)).as("lambda"),
       col("s00"), col("s01"), col("s02"), col("s11"), col("s12"), col("s22"),
       col("b0"), col("b1"), col("b2"))
-    val (c0, c1, c2) = cramerCoefs(col("lambda"))
-    val coefs = lam.select(col(keyCol), col("lambda"),
-      c0.as("__c0"), c1.as("__c1"), c2.as("__c2"))
+    val coefs = appendCramerCoefs(lam, col("lambda"))
+      .select(col(keyCol), col("lambda"), col("__c0"), col("__c1"), col("__c2"))
     val err = col(valueCol) - (col("__c0") + col("__c1") * col("x1") + col("__c2") * col("x2"))
     val scored = feats.filter(col("split") =!= "train")
       .join(coefs, Seq(keyCol))

@@ -3,7 +3,7 @@ package graft.timeseries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.roundMeanE4
+import graft.functions.{roundMeanE4, VectorExpressions}
 
 /** Time-series preparation operators.
   *
@@ -245,11 +245,14 @@ object TimeSeries {
         col(idCol), col(valueCol))
       .withColumn("__arr",
         reverse(collect_list(col(valueCol)).over(ow.rowsBetween(-(lookback - 1), 0))))
+      // native codegen'd dot (the zip_with/aggregate HOF chain it
+      // replaces is CodegenFallback: interpreted, boxed). ArrayDot
+      // truncates to the shorter input, so dotting the s-element window
+      // against the full lookback-length weight literal multiplies
+      // exactly the first s weights — same left-to-right sum order as
+      // the old fold, so results are bit-identical.
       .withColumn("ema", round(
-        aggregate(
-          zip_with(col("__arr"), slice(typedLit(weights), lit(1), size(col("__arr"))),
-            (v, w) => v * w),
-          lit(0.0d), (acc, x) => acc + x) /
+        VectorExpressions.arrayDot(col("__arr"), typedLit(weights)) /
           element_at(typedLit(prefix), size(col("__arr"))), 4))
       .drop("__arr")
   }

@@ -61,6 +61,17 @@ object Quality {
       .select(col(keyCol), col("prev_period"), col("period"), col("gap_seconds"))
   }
 
+  /** Per-key gap summary — the warning payload shape the reference
+    * reports (data_validation.py:129-131): gap COUNT plus the largest
+    * gap per key, folded from [[gapDetection]]'s row-per-gap output by
+    * one more partial-aggregated groupBy on the same key. */
+  def gapSummary(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 expectedSeconds: Long, toleranceFactor: Double): DataFrame =
+    gapDetection(df, keyCol, tsCol, idCol, expectedSeconds, toleranceFactor)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("gap_count"),
+        max(col("gap_seconds")).as("max_gap_seconds"))
+
   /** Duplicate (key, second-truncated ts) detection
     * (data_validation.py:149-154). */
   def duplicateTimestamps(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
@@ -169,7 +180,12 @@ object Quality {
         !(col("__ps") <=> col("__s2")), 1L).otherwise(0L))
         .as("__dups"),
       sum(when(col("period").cast("long") - col("__s1.period").cast("long") >
-        expectedSeconds * toleranceFactor, 1L).otherwise(0L)).as("__gaps"))
+        expectedSeconds * toleranceFactor, 1L).otherwise(0L)).as("__gaps"),
+      // reference report summary stats (data_validation.py:157-173):
+      // date range + distinct-key count, folded into the same pass
+      min(col("period")).cast("long").cast("double").as("__dstart"),
+      max(col("period")).cast("long").cast("double").as("__dend"),
+      count_distinct(col(keyCol)).cast("double").as("__ureg"))
     val p99 = df.agg(expr(s"percentile($valueCol, 0.99)").as("__p99"))
     val outliers = df.select(col(valueCol)).crossJoin(broadcast(p99))
       .agg(sum(when(col(valueCol) >= col("__p99") * 3, 1L).otherwise(0L)).as("__out"))
@@ -177,10 +193,12 @@ object Quality {
       .select(lit("total_records").as("metric"), col("__total").cast("double").as("value"),
         round(col("__miss") * lit(100.0d) / col("__total"), 4).as("__npct"),
         col("__dups").cast("double").as("__d"), col("__gaps").cast("double").as("__g"),
-        coalesce(col("__out"), lit(0L)).cast("double").as("__o"))
-      .selectExpr("stack(5, 'total_records', value, 'null_value_pct', __npct, " +
+        coalesce(col("__out"), lit(0L)).cast("double").as("__o"),
+        col("__dstart"), col("__dend"), col("__ureg"))
+      .selectExpr("stack(8, 'total_records', value, 'null_value_pct', __npct, " +
         "'duplicate_timestamp_groups', __d, 'gap_count', __g, " +
-        "'extreme_outlier_count', __o) as (metric, value)")
+        "'extreme_outlier_count', __o, 'date_range_start_epoch', __dstart, " +
+        "'date_range_end_epoch', __dend, 'unique_regions', __ureg) as (metric, value)")
   }
 
   /** Thresholded validation verdict — the gate a pipeline actually
@@ -194,7 +212,16 @@ object Quality {
                         outlierPctWarn: Double): DataFrame = {
     val base = df.agg(
       count(lit(1)).as("total_records"),
-      sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("__miss"))
+      sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("__miss"),
+      // reference report summary block (data_validation.py:157-173):
+      // period range, distinct keys, and the sorted key list. The list
+      // is bounded by the key cardinality (a dimension, not the data) —
+      // same contract as the reference's `sorted(df.region.unique())`.
+      min(date_trunc("second", col(tsCol))).as("date_range_start"),
+      max(date_trunc("second", col(tsCol))).as("date_range_end"),
+      count_distinct(col(keyCol)).as("unique_regions"),
+      array_join(transform(array_sort(collect_set(col(keyCol))),
+        _.cast("string")), ",").as("regions"))
     val dups = duplicateTimestamps(df, keyCol, tsCol).agg(count(lit(1)).as("duplicate_groups"))
     val outs = extremeOutliers(df, idCol, valueCol).agg(count(lit(1)).as("__out"))
     base.crossJoin(broadcast(dups)).crossJoin(broadcast(outs))
@@ -209,7 +236,9 @@ object Quality {
         when(col("extreme_outlier_pct") > outlierPctWarn, 1).otherwise(0))
       .select(col("total_records"), col("missing_value_pct"), col("duplicate_groups"),
         col("extreme_outlier_pct"), col("error_count"), col("warning_count"),
-        (col("error_count") === 0).as("is_valid"))
+        (col("error_count") === 0).as("is_valid"),
+        col("date_range_start"), col("date_range_end"),
+        col("unique_regions"), col("regions"))
   }
 
   /** Missing-value percentage per column (data_validation.py:138-147). */
