@@ -702,7 +702,8 @@ object SparkEntry {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01' GROUP BY 1, 2""",
     "d2_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue,
+         count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -734,10 +735,16 @@ object SparkEntry {
              e.value AS value,
              round(CASE WHEN p.mx = p.mn THEN 0.0
                ELSE (e.value - p.mn) / (p.mx - p.mn) END, 6) AS value_scaled
-           FROM events e JOIN p ON e.user_id = p.user_id)
-         SELECT s.event_id, s.user_id, s.period, s.value, s.value_scaled,
-           round(s.value_scaled * (p.mx - p.mn) + p.mn, 4) AS value_restored
-         FROM s JOIN p ON s.user_id = p.user_id""",
+           FROM events e JOIN p ON e.user_id = p.user_id),
+         t AS (SELECT s.*,
+             CAST(round(s.value_scaled * 1000000, 0) AS BIGINT)
+               * CAST(round((p.mx - p.mn) * 10000, 0) AS BIGINT)
+               + CAST(round(p.mn * 10000, 0) AS BIGINT) * 1000000 AS tt
+           FROM s JOIN p ON s.user_id = p.user_id)
+         SELECT event_id, user_id, period, value, value_scaled,
+           (CASE WHEN tt < 0 THEN -((-tt + 500000) // 1000000)
+                 ELSE (tt + 500000) // 1000000 END) / 10000.0 AS value_restored
+         FROM t""",
     "c16_window_samples" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
            row_number() OVER w AS rn,

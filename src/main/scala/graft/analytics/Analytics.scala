@@ -71,7 +71,11 @@ object Analytics {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        // exact integer ten-thousandths, like revenueRollup: a plain
+        // double sum is summation-order-dependent, and at ~1e10 revenue
+        // magnitude the engine-vs-engine drift reaches the 4th decimal
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")) / 10000.0).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 

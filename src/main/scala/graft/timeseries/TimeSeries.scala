@@ -115,15 +115,37 @@ object TimeSeries {
     * persisted params table (model.py:331-335 `scaler
     * .inverse_transform` — the reference inverse-transforms every
     * prediction it serves). Adds `value_restored`; all input columns
-    * pass through. */
+    * pass through.
+    *
+    * The restore arithmetic runs on EXACT DECIMAL INTEGERS: the scaled
+    * value is a 6- (minmax) or 4- (standard) decimal and the params are
+    * 4-decimal, so s·span + offset is an exact integer in 1e-10 (resp.
+    * 1e-8) units, and the final half-up round to 4 decimals happens in
+    * integer arithmetic. Evaluating the same formula in binary doubles
+    * is engine-dependent exactly at ...5 rounding boundaries (a double
+    * a hair under the boundary rounds down in engines that round the
+    * binary value, up in engines that round the shortest decimal
+    * representation) — a real sf1-scale mismatch this rewrite removes. */
   def inverseScaler(df: DataFrame, params: DataFrame, keyCol: String,
                     scaledCol: String, method: String): DataFrame = {
     val p = scalerCols(params, keyCol)
+    // exact half-up rounding of t (an integer in 1/unitsPerE4 * 1e-4
+    // units) to 4 decimals: sign-aware so negatives round away from zero
+    def roundE4(t: Column, unitsPerE4: Long): Column = {
+      val q = ((abs(t) + lit(unitsPerE4 / 2)) / lit(unitsPerE4)).cast("long")
+      when(t < 0, -q).otherwise(q) / 10000.0
+    }
     val restored = method match {
       case "minmax" =>
-        round(col(scaledCol) * (col("__mx") - col("__mn")) + col("__mn"), 4)
+        val s6 = round(col(scaledCol) * 1e6, 0).cast("long")
+        val d4 = round((col("__mx") - col("__mn")) * 1e4, 0).cast("long")
+        val m4 = round(col("__mn") * 1e4, 0).cast("long")
+        roundE4(s6 * d4 + m4 * lit(1000000L), 1000000L)
       case "standard" =>
-        round(col(scaledCol) * col("__sd") + col("__mu"), 4)
+        val s4 = round(col(scaledCol) * 1e4, 0).cast("long")
+        val sd4 = round(col("__sd") * 1e4, 0).cast("long")
+        val mu4 = round(col("__mu") * 1e4, 0).cast("long")
+        roundE4(s4 * sd4 + mu4 * lit(10000L), 10000L)
       case other => throw new IllegalArgumentException(s"unknown scaler method $other")
     }
     df.join(p, Seq(keyCol))

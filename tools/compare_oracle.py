@@ -32,11 +32,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
+        path = f"{sfdir}/{t}.parquet"
+        # Spark-written tables (ScaleGen output) are directories of part
+        # files, and their events.ts is a raw nanos-since-epoch BIGINT
+        # (the shape Spark reads via nanosAsLong) — glob the parts and
+        # restore the timestamp type for the oracle SQL.
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW __raw_{t} AS FROM {src}")
+        cols = {r[0]: r[1] for r in con.sql(f"DESCRIBE __raw_{t}").fetchall()}
+        if t == "events" and cols.get("ts") == "BIGINT":
+            # ns -> us truncation, exactly Spark's `ts div 1000` narrowing
+            con.sql(f"""CREATE VIEW {t} AS
+                SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM __raw_{t}""")
+        else:
+            con.sql(f"CREATE VIEW {t} AS FROM __raw_{t}")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
+        if not os.path.isdir(f"{outdir}/{name}"):
+            continue  # targeted Verify run dumped a subset
         try:
             got = pd.read_parquet(f"{outdir}/{name}")
             want = con.sql(oracle[name]).df()
