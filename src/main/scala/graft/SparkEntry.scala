@@ -786,7 +786,7 @@ object SparkEntry {
            ON e.user_id = h.user_id AND date_trunc('second', e.ts) >= h.bucket""",
     "d3_top_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 10""",

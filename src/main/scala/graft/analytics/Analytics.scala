@@ -85,10 +85,16 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
+    // revenue from exact integer ten-thousandths (see revenueByNation),
+    // half-up rounded to cents in integer arithmetic: the top-N CUTOFF
+    // compares these values across engines, so a 4th-decimal drift in a
+    // double sum could reorder rank 10 vs 11
+    val t = sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+      .cast("long"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg((((t + lit(50L)) / lit(100L)).cast("long") / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(topN)
   }

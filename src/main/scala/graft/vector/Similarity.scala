@@ -110,16 +110,39 @@ object Similarity {
   def lshSignature(vecCol: Column, numPlanes: Int, dim: Int): Column =
     VectorExpressions.planeSignature(vecCol, planeMatrix(numPlanes, dim))
 
+  /** Plane count keeping expected LSH bucket occupancy ≤ targetBucket
+    * at corpus size n, with `bands` OR-amplification bands: bits per
+    * band = max(2, ceil(log2(n / targetBucket))), capped so a band key
+    * fits the 64-bit signature. Deployments re-derive this as the
+    * corpus grows; the driver-gate configs (16, 8) are exactly
+    * autoPlanes(n ≤ 2000, 8, 500). */
+  def autoPlanes(n: Long, bands: Int, targetBucket: Long = 500L): Int = {
+    val bits = math.max(2,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    bands * math.min(bits, 64 / bands)
+  }
+
   /** Embedding near-duplicate pairs with LSH-bucket blocking — the
     * 100 TB form of [[cosineDupPairs]]: instead of a caller-supplied
     * block column (O(block²) when blocks grow), candidates come only
-    * from shared (band, signature-chunk) buckets of the hyperplane LSH,
-    * so pair generation is linear-ish in bucket sizes at any corpus
-    * scale. Degenerate buckets above `maxBucket` (all-near-zero or
+    * from shared (band, signature-chunk) buckets of the hyperplane LSH.
+    * Degenerate buckets above `maxBucket` (all-near-zero or
     * boilerplate embeddings) are dropped, mirroring the MinHash path.
     * Exact cosine (native codegen'd dot) is computed only on
     * candidates, so every emitted pair truly clears the threshold —
-    * blocking affects recall, never precision. */
+    * blocking affects recall, never precision.
+    *
+    * SCALING RULE (measured at sf1, BASELINE.md): bucket occupancy is
+    * n / 2^(numPlanes/bands) per band, and candidate volume grows with
+    * occupancy SQUARED — so bits-per-band must grow as
+    * log2(n / targetBucket) or a 10× corpus costs ~100× the pair work.
+    * [[autoPlanes]] computes that. The recall/bits trade-off is set by
+    * how similar the pairs you must keep are (P[bit agrees] =
+    * 1 − θ/π per plane): tight thresholds (0.8+, true near-dups)
+    * tolerate wide bands; loose thresholds approach random sign
+    * agreement, where the candidate set — like the output itself — is
+    * inherently near-quadratic and no blocking scheme is sub-quadratic
+    * in the output. */
   def cosineDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                         numPlanes: Int, bands: Int, threshold: Double,
                         maxBucket: Int = 10000): DataFrame = {

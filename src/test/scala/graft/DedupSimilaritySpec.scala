@@ -230,4 +230,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.25))
     assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
+
+  test("autoPlanes widens LSH bands with corpus size and caps at 64 bits") {
+    // the driver-gate config (16 planes, 8 bands) at every tested SF <= 0.1
+    assert(Similarity.autoPlanes(200, 8) == 16)
+    assert(Similarity.autoPlanes(2000, 8) == 16)
+    // sf1: 6 bits/band restores linear candidate growth (BASELINE.md)
+    assert(Similarity.autoPlanes(20000, 8) == 48)
+    // band keys can never outgrow the 64-bit signature
+    assert(Similarity.autoPlanes(1L << 40, 8) == 64)
+  }
 }

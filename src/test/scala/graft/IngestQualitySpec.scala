@@ -93,6 +93,42 @@ class IngestQualitySpec extends SparkSpec {
     assert(rep("null_value_pct") >= 0.0)
   }
 
+  test("gapSummary folds gapDetection rows to per-key count and max") {
+    val ev = Tables.events(spark, sf)
+    val summary = Quality.gapSummary(ev, "user_id", "ts", "event_id", 3600L, 1.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Quality.gapDetection(ev, "user_id", "ts", "event_id", 3600L, 1.5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val expect = rows.groupBy(_._1).map { case (k, g) =>
+      k -> (g.length.toLong, g.map(_._2).max) }
+    assert(summary == expect)
+    assert(summary.nonEmpty)
+  }
+
+  test("qualityReport carries the reference report's summary block") {
+    val ev = Tables.events(spark, sf)
+    val rep = Quality.qualityReport(ev, "user_id", "ts", "event_id", "value", 3600L, 1.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val range = ev.agg(
+      min(date_trunc("second", col("ts"))).cast("long").cast("double"),
+      max(date_trunc("second", col("ts"))).cast("long").cast("double"),
+      countDistinct(col("user_id")).cast("double")).head()
+    assert(rep("date_range_start_epoch") == range.getDouble(0))
+    assert(rep("date_range_end_epoch") == range.getDouble(1))
+    assert(rep("unique_regions") == range.getDouble(2))
+  }
+
+  test("validationVerdict emits the sorted region list and date range") {
+    val ev = Tables.events(spark, sf)
+    val r = Quality.validationVerdict(ev, "user_id", "ts", "event_id", "value", 5.0, 2.0).head()
+    val regions = r.getAs[String]("regions").split(",").map(_.toLong)
+    assert(regions.toSeq == regions.sorted.toSeq)
+    assert(regions.distinct.length == regions.length)
+    assert(r.getAs[Long]("unique_regions") == regions.length.toLong)
+    assert(!r.getAs[java.sql.Timestamp]("date_range_start")
+      .after(r.getAs[java.sql.Timestamp]("date_range_end")))
+  }
+
   test("qualityReport counts a null-timestamp duplicate group like duplicateTimestamps") {
     import java.sql.Timestamp
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
