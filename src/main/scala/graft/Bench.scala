@@ -33,9 +33,13 @@ object Bench {
     // on this box carry multi-second scheduling/GC outliers that land on
     // random queries; the min of two independent runs (cache cleared
     // between, so no result reuse) is the steady-state number. 
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must be VISIBLE, not a suspiciously fast timing
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop persisted intermediates so the next measurement is cold and
       // later queries are not timed under the accumulated heap
@@ -43,7 +47,7 @@ object Bench {
       dt
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     // 3-decimal fixed-point keeps the one-line JSON compact enough that
     // the driver's bounded stdout tail captures every query (r3's full-

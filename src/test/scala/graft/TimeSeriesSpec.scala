@@ -266,4 +266,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(Seq(0.01, 1.0).contains(r.getAs[Double]("best_lambda")))
     assert(r.getAs[Double]("val_rmse") >= 0.0 && r.getAs[Double]("test_rmse") >= 0.0)
   }
+
+  test("emaSmooth plan carries no scalar CodegenFallback expressions") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    // the per-row hot path must stay inside whole-stage codegen: the HOF
+    // chain this operator used to carry (zip_with/aggregate) is
+    // interpreted with boxed elements. Aggregate functions (the windowed
+    // collect_list) are object-based by design and excluded.
+    val df = SparkEntry.queries("c17_ema_smooth")(spark, sf)
+    val fallback = df.queryExecution.optimizedPlan.flatMap(p =>
+      p.expressions.flatMap(_.collect {
+        case e: CodegenFallback if !e.isInstanceOf[AggregateFunction] =>
+          e.getClass.getSimpleName
+      }))
+    assert(fallback.isEmpty, s"interpreted scalar expressions in plan: $fallback")
+  }
 }
