@@ -68,40 +68,60 @@ object ScaleGen {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
+    // keys from different replicas must never collide, or joins pair
+    // rows ACROSS replicas and the scaled dataset measures a different
+    // (partly merged) problem with no signal — fail fast instead
+    def requireBelowShift(df: DataFrame, keys: String*): Unit = keys.foreach { k =>
+      val mx = df.agg(max(col(k).cast("long"))).head().getLong(0)
+      require(mx < Shift, s"source $k max $mx >= replica shift $Shift — raise Shift")
+    }
+
     // dimensions: unchanged (real corpora scale facts, not dims)
     Seq("region", "nation", "supplier", "part").foreach { t =>
       write(Tables.table(spark, src, t), t)
     }
 
-    write(replicate(Tables.table(spark, src, "customer"), reps) { (t, r) =>
+    val customer = Tables.table(spark, src, "customer")
+    requireBelowShift(customer, "c_custkey")
+    write(replicate(customer, reps) { (t, r) =>
       t.withColumn("c_custkey", col("c_custkey") + lit(r * Shift))
     }, "customer")
 
-    write(replicate(Tables.table(spark, src, "orders"), reps) { (t, r) =>
+    val orders = Tables.table(spark, src, "orders")
+    requireBelowShift(orders, "o_orderkey", "o_custkey")
+    write(replicate(orders, reps) { (t, r) =>
       t.withColumn("o_orderkey", col("o_orderkey") + lit(r * Shift))
         .withColumn("o_custkey", col("o_custkey") + lit(r * Shift))
     }, "orders")
 
-    write(replicate(Tables.table(spark, src, "lineitem"), reps) { (t, r) =>
+    val lineitem = Tables.table(spark, src, "lineitem")
+    requireBelowShift(lineitem, "l_orderkey")
+    write(replicate(lineitem, reps) { (t, r) =>
       t.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
     }, "lineitem")
 
     // events.ts stays a nanos-since-epoch long (the nanosAsLong read),
     // so the scaled table round-trips through Tables.events identically
-    write(replicate(Tables.table(spark, src, "events"), reps) { (t, r) =>
+    val events = Tables.table(spark, src, "events")
+    requireBelowShift(events, "event_id", "user_id")
+    write(replicate(events, reps) { (t, r) =>
       t.withColumn("event_id", col("event_id") + lit(r * Shift))
         .withColumn("user_id", col("user_id") + lit(r * Shift))
     }, "events")
 
-    write(replicate(Tables.table(spark, src, "documents"), reps) { (t, r) =>
+    val documents = Tables.table(spark, src, "documents")
+    requireBelowShift(documents, "doc_id")
+    write(replicate(documents, reps) { (t, r) =>
       t.withColumn("doc_id", col("doc_id") + lit(r * Shift))
         .withColumn("text", translate(col("text"), cipherFrom, cipherTo(r)))
     }, "documents")
 
-    val dim = Tables.table(spark, src, "embeddings")
+    val embeddings = Tables.table(spark, src, "embeddings")
+    requireBelowShift(embeddings, "vec_id")
+    val dim = embeddings
       .filter(col("embedding").isNotNull)
       .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
-    write(replicate(Tables.table(spark, src, "embeddings"), reps) { (t, r) =>
+    write(replicate(embeddings, reps) { (t, r) =>
       val s = signs(r, dim)
       t.withColumn("vec_id", col("vec_id") + lit(r * Shift))
         .withColumn("embedding",

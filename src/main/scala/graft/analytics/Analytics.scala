@@ -94,7 +94,7 @@ object Analytics {
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .agg((((t + lit(50L)) / lit(100L)).cast("long") / 100.0).as("revenue"))
+      .agg((graft.functions.divLong(t + lit(50L), lit(100L)) / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(topN)
   }

@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Shared column-level building blocks.
   *
@@ -40,6 +42,14 @@ package object functions {
     * shortest decimal repr, DuckDB rounds the raw binary double). */
   def roundMeanE4(sumCents: Column, n: Column): Column =
     floor((sumCents * 200 + n) / (n * 2)) / 10000.0
+
+  /** Exact integral division (SQL `div`) of two long columns. Column
+    * `/` casts both operands to double, so quotients drift once the
+    * dividend passes 2^53 — this stays exact at any int64 magnitude.
+    * Truncates toward zero: equal to floor division only for
+    * non-negative operands, so callers keep sign handling explicit. */
+  def divLong(a: Column, b: Column): Column =
+    ColumnBridge.column(IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Lower-cased, punctuation-stripped, whitespace-normalized text —
     * the canonical form used by dedup and fingerprinting. */

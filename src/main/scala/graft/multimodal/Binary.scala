@@ -67,10 +67,16 @@ object Binary {
     *   (bits/byte) of the full 256-bucket distribution — standard
     *   content-sniffing features (compressed/encrypted ≈ 8, text ≈ 4-5).
     *
+    * The payload column may be a true `binary` column (the 100 TB media
+    * catalog shape — bytes reach the kernel verbatim, so image headers
+    * parse) or a string column (text corpora — re-encoded UTF-8, where
+    * the expected decode answer is (0, 0): multi-byte re-encoding means
+    * a real image header cannot round-trip through a string column).
+    *
     * A heavier deployment swaps `decodeKernel` for a JNI/ffmpeg decoder;
     * the distributed shape (schema, batching, partition locality) is
     * unchanged. */
-  def decodeFeatures(df: DataFrame, idCol: String, payloadStrCol: String,
+  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String,
                      featDim: Int): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
@@ -79,11 +85,14 @@ object Binary {
       StructField("height", IntegerType),
       StructField("entropy", DoubleType),
       StructField("features", ArrayType(DoubleType))))
-    val base = df.select(col(idCol).cast("long"), col(payloadStrCol))
+    val isBinary = df.schema(payloadCol).dataType == BinaryType
+    val base = df.select(col(idCol).cast("long"), col(payloadCol))
     val rdd = base.rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+        val bytes =
+          if (isBinary) Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+          else Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
         val (w, h, entropy, feats) = decodeKernel(bytes, featDim)
         Row(id, w, h, entropy, feats.toSeq)
       }
@@ -113,7 +122,11 @@ object Binary {
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       (leU16(b, 6), leU16(b, 8))
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+        // the DIB header size field must hold a known header size —
+        // without this check any text starting with "BM" (e.g. "BMW
+        // dealership…") would "parse" garbage nonzero dimensions
+        Set(40, 52, 56, 64, 108, 124).contains(leI32(b, 14)))
       // BITMAPINFOHEADER: height may be negative (top-down rows)
       (leI32(b, 18), math.abs(leI32(b, 22)))
     else (0, 0)

@@ -130,9 +130,11 @@ object TimeSeries {
                     scaledCol: String, method: String): DataFrame = {
     val p = scalerCols(params, keyCol)
     // exact half-up rounding of t (an integer in 1/unitsPerE4 * 1e-4
-    // units) to 4 decimals: sign-aware so negatives round away from zero
+    // units) to 4 decimals: sign-aware so negatives round away from
+    // zero, integral division (not `/`, which detours through doubles
+    // and drifts past 2^53) so the quotient is exact at any magnitude
     def roundE4(t: Column, unitsPerE4: Long): Column = {
-      val q = ((abs(t) + lit(unitsPerE4 / 2)) / lit(unitsPerE4)).cast("long")
+      val q = graft.functions.divLong(abs(t) + lit(unitsPerE4 / 2), lit(unitsPerE4))
       when(t < 0, -q).otherwise(q) / 10000.0
     }
     val restored = method match {

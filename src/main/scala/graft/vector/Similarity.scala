@@ -117,6 +117,8 @@ object Similarity {
     * corpus grows; the driver-gate configs (16, 8) are exactly
     * autoPlanes(n ≤ 2000, 8, 500). */
   def autoPlanes(n: Long, bands: Int, targetBucket: Long = 500L): Int = {
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
+    require(targetBucket >= 1, s"targetBucket must be positive, got $targetBucket")
     val bits = math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
     bands * math.min(bits, 64 / bands)

@@ -60,16 +60,28 @@ class EntrySpec extends SparkSpec {
     // GIF89a: LE u16 width=320 height=200 in the logical screen descriptor
     val gif = (Array('G'.toInt, 'I'.toInt, 'F'.toInt, '8'.toInt, '9'.toInt, 'a'.toInt,
       0x40, 0x01, 0xc8, 0x00) ++ Array.fill(6)(0)).map(_.toByte)
-    // BMP: 'BM', LE i32 width=100 at offset 18, height=-50 (top-down) at 22
-    val bmp = (Array('B'.toInt, 'M'.toInt) ++ Array.fill(16)(0) ++
+    // BMP: 'BM', DIB header size 40 at offset 14, LE i32 width=100 at
+    // offset 18, height=-50 (top-down) at 22
+    val bmp = (Array('B'.toInt, 'M'.toInt) ++ Array.fill(12)(0) ++ Array(40, 0, 0, 0) ++
       Array(100, 0, 0, 0, 0xce, 0xff, 0xff, 0xff)).map(_.toByte)
     assert(Binary.parseDims(png) == (640, 480))
     assert(Binary.parseDims(gif) == (320, 200))
     assert(Binary.parseDims(bmp) == (100, 50))
     assert(Binary.parseDims("plain text".getBytes("UTF-8")) == (0, 0))
+    // text that merely STARTS like a BMP must not parse garbage dims
+    assert(Binary.parseDims("BMW dealership quarterly report 2024 Q3".getBytes("UTF-8")) == (0, 0))
     // entropy of a uniform 4-symbol payload is exactly 2 bits/byte
     val d = Seq((1L, "abcd" * 64)).toDF("doc_id", "text")
     val r = Binary.decodeFeatures(d, "doc_id", "text", 16).collect().head
     assert(math.abs(r.getDouble(3) - 2.0) < 1e-9)
+    // end-to-end through a TRUE binary payload column the header survives
+    // (a string column re-encodes UTF-8, so images only ride as binary)
+    val bin = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L, png)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val rb = Binary.decodeFeatures(bin, "doc_id", "payload", 16).collect().head
+    assert((rb.getInt(1), rb.getInt(2)) == (640, 480))
   }
 }

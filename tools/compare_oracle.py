@@ -8,7 +8,7 @@ corresponding oracle SQL (from oracle_sql.json) in DuckDB over views of
 the sf tables, and compares: columns sorted by name, rows sorted by all
 columns, values compared exactly (floats via repr after float64 cast).
 """
-import json, sys, glob, math
+import json, sys, glob, math, os
 import duckdb
 import pandas as pd
 import numpy as np
@@ -31,8 +31,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query subset, matching a targeted
+    # graft.Verify run. Without it, a missing result dir is a FAILURE —
+    # it means the query threw during Verify and must not read as green.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
-    import os
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         # Spark-written tables (ScaleGen output) are directories of part
@@ -51,8 +54,11 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         if not os.path.isdir(f"{outdir}/{name}"):
-            continue  # targeted Verify run dumped a subset
+            results[name] = "MISSING result dir (query threw during Verify?)"
+            continue
         try:
             got = pd.read_parquet(f"{outdir}/{name}")
             want = con.sql(oracle[name]).df()
@@ -82,7 +88,6 @@ def main():
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}" + ("" if v == "OK" else f"  {v}"))
     print(f"\n{npass}/{len(results)} oracle queries match")
     # rows-only queries (no oracle): report row counts
-    import os
     for d in sorted(glob.glob(f"{outdir}/*")):
         name = os.path.basename(d)
         if os.path.isdir(d) and name not in oracle:
