@@ -131,8 +131,9 @@ object Binary {
       (leI32(b, 18), math.abs(leI32(b, 22)))
     else (0, 0)
 
-  /** The real kernel: header-sniffed dims + byte-distribution features. */
-  private def decodeKernel(bytes: Array[Byte], featDim: Int): (Int, Int, Double, Array[Double]) = {
+  /** The real kernel: header-sniffed dims + byte-distribution features.
+    * Package-visible for the fuzz spec. */
+  private[graft] def decodeKernel(bytes: Array[Byte], featDim: Int): (Int, Int, Double, Array[Double]) = {
     val (w, h) = parseDims(bytes)
     val counts = new Array[Long](256)
     var i = 0

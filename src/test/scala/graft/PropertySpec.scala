@@ -1,0 +1,85 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Binary
+import graft.timeseries.TimeSeries
+import graft.vector.Similarity
+
+/** Seeded-fuzz property checks for the pure kernels: exact-decimal
+  * restore arithmetic, header parsing, and LSH sizing. Deterministic
+  * (fixed seed) so failures reproduce. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("decode kernel never throws and keeps entropy/feature invariants on arbitrary bytes") {
+    val pngPrefix = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    for (_ <- 1 to 2000) {
+      val len = rnd.nextInt(64)
+      val bytes = rnd.nextInt(4) match {
+        case 0 => Array.fill(len)(rnd.nextInt(256).toByte)
+        // truncated / corrupted headers must parse as "not an image",
+        // never throw
+        case 1 => (pngPrefix ++ Array.fill(len)(rnd.nextInt(256).toByte)).take(rnd.nextInt(30))
+        case 2 => ("GIF8" + ("7a9".charAt(rnd.nextInt(3))) + "a").getBytes("UTF-8").take(rnd.nextInt(7)) ++
+          Array.fill(len)(rnd.nextInt(256).toByte)
+        case _ => "BM".getBytes("UTF-8") ++ Array.fill(len)(rnd.nextInt(256).toByte)
+      }
+      // the call itself must not throw on any input; dims are whatever
+      // the header claims (garbage headers are the caller's problem)
+      val (_, _, entropy, feats) = Binary.decodeKernel(bytes, 16)
+      assert(entropy >= 0.0 && entropy <= 8.0, s"entropy $entropy out of range")
+      assert(feats.length == 16)
+      if (bytes.nonEmpty)
+        assert(math.abs(feats.sum - 1.0) < 1e-9, s"histogram not normalized: ${feats.sum}")
+      else assert(feats.sum == 0.0)
+    }
+  }
+
+  test("inverseScaler matches exact BigDecimal half-up rounding on random decimals") {
+    def dec(v: Double, scale: Int): JBigDecimal =
+      new JBigDecimal(v).setScale(scale, RoundingMode.HALF_UP)
+    val rows = (1 to 500).map { i =>
+      val mn = dec(rnd.nextDouble() * 2000 - 1000, 4)
+      val mx = mn.add(dec(rnd.nextDouble() * 1000, 4))
+      val s = dec(rnd.nextDouble() * 5 - 2, 6) // allow out-of-[0,1] scaled values
+      (i.toLong, mn, mx, s)
+    }
+    val params = rows.map { case (k, mn, mx, _) =>
+      (k, mn.doubleValue, mx.doubleValue, 0.0, 1.0) }
+      .toDF("key", "min", "max", "mean", "std")
+    val scaled = rows.map { case (k, _, _, s) => (k, s.doubleValue) }
+      .toDF("key", "value_scaled")
+    val got = TimeSeries.inverseScaler(scaled, params, "key", "value_scaled", "minmax")
+      .select(col("key"), col("value_restored"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (k, mn, mx, s) =>
+      val want = s.multiply(mx.subtract(mn)).add(mn)
+        .setScale(4, RoundingMode.HALF_UP).doubleValue
+      assert(got(k) == want, s"key=$k s=$s mn=$mn mx=$mx: got ${got(k)} want $want")
+    }
+  }
+
+  test("autoPlanes is monotone in n, divisible by bands, and 64-bit bounded") {
+    var prev = 0
+    for (exp <- 0 to 40) {
+      val n = 1L << exp
+      val p = Similarity.autoPlanes(n, 8)
+      assert(p % 8 == 0 && p / 8 <= 8 && p >= 16)
+      assert(p >= prev, s"autoPlanes not monotone at n=$n")
+      prev = p
+    }
+    for (bands <- Seq(1, 2, 4, 16, 32, 64)) {
+      val p = Similarity.autoPlanes(1L << 30, bands)
+      // per-band key bits never exceed the 64-bit signature's share
+      assert(p % bands == 0 && p / bands >= 1 && p <= 64,
+        s"bands=$bands planes=$p violates signature bound")
+    }
+    intercept[IllegalArgumentException](Similarity.autoPlanes(1000, 0))
+    intercept[IllegalArgumentException](Similarity.autoPlanes(1000, 128))
+  }
+}
