@@ -213,6 +213,13 @@ object SparkEntry {
     "e22_cosine_dup_lsh" -> ((s, d) =>
       Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         16, 8, 0.25)),
+    "e23_sequence_pack" -> ((s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), "doc_id", "text", "source", 1024)),
+    "e24_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50), "doc_id", "text", 5, 3)
+    }),
 
     // ---------------- G. sources / sinks ----------------
     "g1_csv_roundtrip" -> ((s, d) => {
@@ -998,6 +1005,32 @@ object SparkEntry {
            greatest(CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 4) AS tokens_per_word
          FROM documents""",
+    "e23_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tokens
+         FROM documents),
+         p AS (SELECT doc_id, source, tokens,
+           CAST(coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         FROM t)
+         SELECT doc_id, source, tokens, start_offset,
+           start_offset // 1024 AS bin, start_offset % 1024 AS bin_offset
+         FROM p""",
+    "e24_decontaminate" -> {
+      def gramCte(name: String, pred: String, alias: String) =
+        s"""${name}_w AS (SELECT doc_id, string_split($normSql, ' ') AS words
+              FROM documents WHERE $pred),
+            $name AS (SELECT DISTINCT doc_id AS $alias,
+                ${polyHashSql("array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 4], ' ')")} AS g
+              FROM (SELECT doc_id, words, unnest(range(1, len(words) - 3)) AS i
+                    FROM ${name}_w WHERE len(words) >= 5))"""
+      s"""WITH ${gramCte("bs", "doc_id < 50", "bench_id")},
+          ${gramCte("ts", "doc_id >= 50", "train_id")}
+          SELECT t.train_id AS doc_id, b.bench_id, count(*) AS shared_ngrams
+          FROM ts t JOIN bs b ON t.g = b.g
+          GROUP BY 1, 2 HAVING count(*) >= 3"""
+    },
     "e11_fingerprint" ->
       s"""SELECT doc_id,
           list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -52,6 +52,30 @@ object TextOps {
       round(bpe.cast("double") / greatest(ws, lit(1)), 4).as("tokens_per_word"))
   }
 
+  /** Budget-quantized contiguous sequence packing — the LLM-training
+    * prep step that packs documents into fixed-token-budget training
+    * sequences. Within each group (deterministic id order), a document
+    * starts at the running-token offset of its predecessors; its bin is
+    * that offset div `budget`. Documents may straddle a bin boundary —
+    * the chunk-then-concat pipelines this feeds split them anyway, and
+    * the no-straddle greedy variant is a sequential fold (inherently
+    * order-stateful), deliberately not distributed. One window shuffle
+    * per group key; groups pack in parallel across the cluster. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val toks = when(length(trim(t)) === 0, 0)
+      .otherwise(size(split(trim(t), "\\s+"))).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(groupCol), toks.as("tokens"))
+      .withColumn("start_offset", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("bin", graft.functions.divLong(col("start_offset"), lit(budget.toLong)))
+      .withColumn("bin_offset", col("start_offset") % budget)
+  }
+
   /** N-gram/stopword-heuristic language ID. Scores each candidate
     * language by marker-word/script hits; deterministic argmax with
     * alphabetical tie-break. */

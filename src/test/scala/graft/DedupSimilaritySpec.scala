@@ -231,6 +231,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("contaminationPairs flags planted benchmark overlap and nothing else") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different benchmark question about astronomy and physics")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // contains bench doc 1's phrase verbatim -> many shared 5-grams
+      (100L, "noise prefix the quick brown fox jumps over the lazy dog tonight noise suffix"),
+      // shares fewer than minShared grams with anything
+      (101L, "an entirely unrelated training document about cooking pasta"),
+      // shares with doc 2
+      (102L, "completely different benchmark question about astronomy and physics indeed")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(train, bench, "doc_id", "text", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((100L, 1L), (102L, 2L)))
+    // "the quick brown fox jumps over the lazy dog tonight" = 10 words ->
+    // 6 distinct 5-grams, all present in train doc 100
+    assert(out((100L, 1L)) == 6L)
+    assert(out((102L, 2L)) >= 3L)
+  }
+
+  test("packSequences bins are the running-offset quotient per group") {
+    val docs = Seq(
+      (1L, "g1", "a b c"), (2L, "g1", "d e f g"), (3L, "g1", "h i"),
+      (4L, "g2", ""), (5L, "g2", "one two three four five")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.TextOps.packSequences(docs, "doc_id", "text", "source", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // g1: tokens 3,4,2 -> offsets 0,3,7 -> bins 0,0,1 at budget 4
+    assert(out(1L) == ((3L, 0L, 0L, 0L)))
+    assert(out(2L) == ((4L, 3L, 0L, 3L)))
+    assert(out(3L) == ((2L, 7L, 1L, 3L)))
+    // g2: empty doc = 0 tokens; offsets stay dense
+    assert(out(4L) == ((0L, 0L, 0L, 0L)))
+    assert(out(5L) == ((5L, 0L, 0L, 0L)))
+  }
+
   test("autoPlanes widens LSH bands with corpus size and caps at 64 bits") {
     // the driver-gate config (16 planes, 8 bands) at every tested SF <= 0.1
     assert(Similarity.autoPlanes(200, 8) == 16)
