@@ -1025,11 +1025,12 @@ object SparkEntry {
                 ${polyHashSql("array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 4], ' ')")} AS g
               FROM (SELECT doc_id, words, unnest(range(1, len(words) - 3)) AS i
                     FROM ${name}_w WHERE len(words) >= 5))"""
+      // count(DISTINCT) mirrors the Spark side's join-then-dedup order
       s"""WITH ${gramCte("bs", "doc_id < 50", "bench_id")},
           ${gramCte("ts", "doc_id >= 50", "train_id")}
-          SELECT t.train_id AS doc_id, b.bench_id, count(*) AS shared_ngrams
+          SELECT t.train_id AS doc_id, b.bench_id, count(DISTINCT t.g) AS shared_ngrams
           FROM ts t JOIN bs b ON t.g = b.g
-          GROUP BY 1, 2 HAVING count(*) >= 3"""
+          GROUP BY 1, 2 HAVING count(DISTINCT t.g) >= 3"""
     },
     "e11_fingerprint" ->
       s"""SELECT doc_id,
