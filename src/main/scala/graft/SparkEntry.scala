@@ -10,7 +10,7 @@ import graft.sample.Sampling
 import graft.multimodal.Binary
 import graft.streaming.Streams
 import graft.text.{Dedup, TextOps}
-import graft.timeseries.{Forecast, TimeSeries}
+import graft.timeseries.{Decompose, Forecast, TimeSeries}
 import graft.validate.Quality
 import graft.vector.Similarity
 
@@ -53,6 +53,18 @@ object SparkEntry {
       // exactly the full feed
       Ingest.incrementalIngest(ev.filter(col("event_id") < 600),
         ev.filter(col("event_id") >= 500), "event_id")
+    }),
+    "a6_cdc_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      // a CDC batch over the feed's tail: every 7th key a delete, the
+      // rest updates (value shifted so merged rows are distinguishable)
+      val changes = ev.filter(col("event_id") >= 7000)
+        .withColumn("value", col("value") + 10)
+        .withColumn("op", when(col("event_id") % 7 === 0, "D").otherwise("U"))
+      Ingest.cdcMerge(ev.filter(col("event_id") < 8000), changes,
+        "event_id", "op", "period", "event_id")
     }),
 
     // ---------------- B. validation / quality ----------------
@@ -118,6 +130,8 @@ object SparkEntry {
         Seq(0.01, 0.1, 1.0, 10.0, 100.0), 0.7, 0.15)),
     "c16_window_samples" -> ((s, d) =>
       TimeSeries.windowSamplesFlat(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
+    "c21_seasonal_decompose" -> ((s, d) =>
+      Decompose.seasonalDecompose(Tables.events(s, d), "user_id", "ts", "event_id", "value", 12)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
     "c19_scaler_apply" -> ((s, d) => {
@@ -148,6 +162,7 @@ object SparkEntry {
     "d1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "d2_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(s, d)),
     "d3_top_customers" -> ((s, d) => Analytics.topCustomers(s, d, 10)),
+    "d9_grouped_topn" -> ((s, d) => Analytics.groupedTopN(s, d, 3)),
     "d4_order_priority_exists" -> ((s, d) => Analytics.orderPriorityExists(s, d)),
     "d5_promo_share" -> ((s, d) => Analytics.promoShare(s, d)),
     "d6_events_user_funnel" -> ((s, d) => Analytics.eventsUserFunnel(Tables.events(s, d))),
@@ -220,6 +235,10 @@ object SparkEntry {
       Dedup.contaminationPairs(docs.filter(col("doc_id") >= 50),
         docs.filter(col("doc_id") < 50), "doc_id", "text", 5, 3)
     }),
+    "e25_repetition_stats" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+    "e26_chunk_text" -> ((s, d) =>
+      TextOps.chunkText(Tables.documents(s, d), "doc_id", "text", 64, 16)),
 
     // ---------------- G. sources / sinks ----------------
     "g1_csv_roundtrip" -> ((s, d) => {
@@ -287,7 +306,19 @@ object SparkEntry {
       Streams.streamDedup(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
           date_trunc("second", col("ts")).as("period"), col("value")),
-        Seq("user_id", "event_type", "period"), "event_id"))
+        Seq("user_id", "event_type", "period"), "event_id")),
+    "f5_hopping_window" -> ((s, d) =>
+      Streams.hoppingWindow(Tables.events(s, d), "ts", "value", "2 hours", "1 hour")),
+    "g5_orc_roundtrip" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/orc_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writeOrc(ev, tmp)
+      graft.sources.Sources.readOrc(s, tmp,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, period TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+    })
   )
 
   // -----------------------------------------------------------------
@@ -387,6 +418,19 @@ object SparkEntry {
     "a5_incremental_ingest" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
+    "a6_cdc_merge" ->
+      """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS period,
+           user_id, event_type, value FROM events),
+         ch AS (SELECT event_id, period, user_id, event_type,
+             value + 10 AS value,
+             CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM ev WHERE event_id >= 7000)
+         SELECT event_id, period, user_id, event_type, value FROM ev
+           WHERE event_id < 8000
+             AND event_id NOT IN (SELECT event_id FROM ch)
+         UNION ALL
+         SELECT event_id, period, user_id, event_type, value FROM ch
+           WHERE op <> 'D'""",
     "b1_schema_violations" ->
       """SELECT 'null_period' AS check_name, count(*) FILTER (WHERE ts IS NULL) AS violations FROM events
          UNION ALL SELECT 'null_respondent', count(*) FILTER (WHERE user_id IS NULL) FROM events
@@ -770,6 +814,29 @@ object SparkEntry {
            CAST(b.rn - a.rn - 1 AS INT), b.value
          FROM a JOIN t b ON b.user_id IS NOT DISTINCT FROM a.user_id
            AND b.rn BETWEEN a.rn + 1 AND a.rn + 6""",
+    "c21_seasonal_decompose" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+         FROM events WHERE ts IS NOT NULL),
+         w AS (SELECT *, count(cents) OVER win AS n, sum(cents) OVER win AS s FROM t
+           WINDOW win AS (PARTITION BY user_id ORDER BY period, event_id
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         d AS (SELECT *, CASE WHEN n = 25 THEN
+             CASE WHEN s * 100 < 0 THEN -(((-(s * 100)) + n // 2) // n)
+                  ELSE (s * 100 + n // 2) // n END END AS trend_e4 FROM w),
+         d2 AS (SELECT *, cents * 100 - trend_e4 AS det_e4, hour(period) AS hod FROM d),
+         s2 AS (SELECT *, count(det_e4) OVER hw AS m, sum(det_e4) OVER hw AS ssum,
+           CASE WHEN count(det_e4) OVER hw > 0 THEN
+             CASE WHEN sum(det_e4) OVER hw < 0
+               THEN -(((-(sum(det_e4) OVER hw)) + (count(det_e4) OVER hw) // 2) // (count(det_e4) OVER hw))
+               ELSE (sum(det_e4) OVER hw + (count(det_e4) OVER hw) // 2) // (count(det_e4) OVER hw) END
+           END AS season_e4
+           FROM d2 WINDOW hw AS (PARTITION BY user_id, hod))
+         SELECT user_id, period, event_id, value,
+           trend_e4 / 10000.0 AS trend,
+           season_e4 / 10000.0 AS seasonal,
+           (det_e4 - season_e4) / 10000.0 AS remainder
+         FROM s2""",
     "c17_ema_smooth" -> {
       val weights = graft.timeseries.TimeSeries.emaWeights(0.2, 24)
       val wvals = weights.zipWithIndex.map { case (w, j) => s"($j, $w)" }.mkString(", ")
@@ -797,6 +864,14 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "d9_grouped_topn" ->
+      """WITH r AS (SELECT c_nationkey, c_custkey,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+         SELECT c_nationkey, c_custkey, cents / 100.0 AS revenue, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY cents DESC, c_custkey) AS rank FROM r) q
+         WHERE rank <= 3""",
     "d4_order_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
@@ -1105,6 +1180,54 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS period, value
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id, event_type, date_trunc('second', ts)
-           ORDER BY event_id) = 1"""
+           ORDER BY event_id) = 1""",
+    "f5_hopping_window" ->
+      """SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS window_start,
+         date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) + to_hours(2) AS window_end,
+         count(*) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM events, (SELECT unnest([0, 1]) AS k) ks
+         WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    "g5_orc_roundtrip" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
+    "e25_repetition_stats" ->
+      s"""WITH base AS (SELECT doc_id,
+            list_filter(string_split($normSql, ' '), x -> x <> '') AS ws FROM documents),
+          wt AS (SELECT doc_id, unnest(ws) AS word FROM base),
+          wc AS (SELECT doc_id, word, count(*) AS c FROM wt GROUP BY 1, 2),
+          wstats AS (SELECT doc_id, sum(c) AS total, count(*) AS dstnct, max(c) AS topw
+            FROM wc GROUP BY 1),
+          bg AS (SELECT doc_id,
+              unnest(list_transform(list_zip(ws, ws[2:]), p -> p[1] || ' ' || p[2])) AS bigram
+            FROM base WHERE len(ws) >= 2),
+          bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+            WHERE bigram IS NOT NULL GROUP BY 1, 2),
+          bstats AS (SELECT doc_id, sum(c) AS btotal, max(c) AS topb FROM bc GROUP BY 1)
+          SELECT doc_id,
+            coalesce(total, 0) AS n_words,
+            coalesce(dstnct, 0) AS n_distinct,
+            CASE WHEN total > 0 THEN floor((topw * 20000 + total) / (total * 2)) / 10000.0
+                 ELSE 0.0 END AS top_word_frac,
+            CASE WHEN total > 0 THEN floor(((total - dstnct) * 20000 + total) / (total * 2)) / 10000.0
+                 ELSE 0.0 END AS dup_word_frac,
+            CASE WHEN btotal > 0 THEN floor((topb * 20000 + btotal) / (btotal * 2)) / 10000.0
+                 ELSE 0.0 END AS top_bigram_frac
+          FROM documents LEFT JOIN wstats USING (doc_id) LEFT JOIN bstats USING (doc_id)""",
+    "e26_chunk_text" ->
+      """WITH base AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END AS ws
+         FROM documents),
+         st AS (SELECT doc_id, ws, len(ws) AS n,
+             unnest(range(0, len(ws), 48)) AS chunk_start
+           FROM base WHERE len(ws) > 0),
+         f AS (SELECT doc_id, chunk_start,
+             ws[CAST(chunk_start AS INT) + 1 : least(CAST(chunk_start AS INT) + 64, CAST(n AS INT))] AS chunk
+           FROM st WHERE chunk_start = 0 OR chunk_start - 48 + 64 < n)
+         SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+         FROM f"""
   )
 }

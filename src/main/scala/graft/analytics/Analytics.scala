@@ -123,6 +123,30 @@ object Analytics {
             sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_share_pct"))
   }
 
+  /** Per-group top-N (top customers per nation by order revenue) — the
+    * grouped form of [[topCustomers]]' global top-N. Two-stage shape
+    * that survives 100 TB: aggregate revenue per (nation, customer)
+    * FIRST (the shuffle hashes on the fine-grained customer key — no
+    * skew from the coarse group), then rank the small aggregate with a
+    * window partitioned by nation. Ranking the raw joined fact rows
+    * instead would funnel the whole fact table through 25 window
+    * partitions. Revenue in exact integer cents so the rank cutoff is
+    * engine-independent; ties break on the customer key. */
+  def groupedTopN(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val agg = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("__cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("__cents").desc, col("c_custkey"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("c_nationkey"), col("c_custkey"),
+        (col("__cents") / 100.0).as("revenue"), col("rank"))
+  }
+
   /** Behavioral funnel over the event stream: per user, conditional
     * event-type counts + value rollup (single groupBy pass). */
   def eventsUserFunnel(events: DataFrame): DataFrame =

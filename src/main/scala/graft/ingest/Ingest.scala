@@ -73,4 +73,29 @@ object Ingest {
     val w = Window.partitionBy(col(groupCol)).orderBy(orderCol.desc, tieBreak.desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** CDC merge — lakehouse `MERGE INTO` semantics applied as a pure
+    * transform: a change batch with an op column (`D` = delete, anything
+    * else = upsert) supersedes the base snapshot by key. The latest
+    * change per key wins (version order, deterministic tie-break);
+    * superseded base rows drop via an anti-join against the change KEYS
+    * and surviving upserts union in.
+    *
+    * Scale shape: a CDC batch is tiny next to the accumulated base, so
+    * the anti-join side (distinct change keys — one narrow column) is
+    * broadcast: the 100 TB base never shuffles, never sorts, and the
+    * whole merge is one broadcast-anti pass plus the union. Callers with
+    * a change batch too big to broadcast remove the hint and get the
+    * standard shuffled anti-join on the same plan.
+    *
+    * The reference's pipeline re-lands full snapshots (data_extraction
+    * .py:135-172 overwrites the CSV); this is the incremental form a
+    * 100 TB corpus requires. */
+  def cdcMerge(base: DataFrame, changes: DataFrame, keyCol: String,
+               opCol: String, versionCol: String, tieBreak: String): DataFrame = {
+    val latest = dedupKeepLatest(changes, Seq(keyCol), versionCol, tieBreak)
+    val changedKeys = changes.select(col(keyCol)).distinct()
+    base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
+      .unionByName(latest.filter(col(opCol) =!= "D").drop(opCol))
+  }
 }

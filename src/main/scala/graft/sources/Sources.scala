@@ -89,6 +89,18 @@ object Sources {
       .schema(schema.add(corruptCol, "string"))
       .json(path)
 
+  /** ORC sink — the columnar interchange format for engines outside the
+    * parquet ecosystem (Hive/Trino warehouses). Same footprint rules as
+    * the parquet sink: columnar, compressed, splittable. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Schema-enforced ORC read — explicit schema like every other read
+    * here (no inference pass; ORC carries types but the declared schema
+    * is the contract drifting inputs are checked against). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Bucketed table sink — the 100 TB fact-fact join layout: rows are
     * hash-bucketed (and sorted) on the join key at WRITE time, so a
     * later equi-join of two tables bucketed into the same count plans

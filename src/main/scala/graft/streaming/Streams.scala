@@ -65,9 +65,40 @@ object Streams {
         sum(when(col(valueCol) < 0, 1L).otherwise(0L)).as("negative_values"),
         round(sum(col(valueCol)), 4).as("sum_value"))
 
+  /** Hopping (sliding) window aggregation (batch form): each event lands
+    * in `size/hop` overlapping windows — the smoothing/trend view a
+    * tumbling window can't give. Uses the SAME `window()` generator the
+    * streaming twin uses, so batch and stream share semantics by
+    * construction. Value mass in exact integer cents: the per-window sum
+    * is re-accumulated in a different order in every engine/run, and a
+    * double sum drifts in the 4th decimal. Shuffle is one groupBy on
+    * (window, nothing else) — at scale add a dimension column to the
+    * groupBy and the same plan holds. */
+  def hoppingWindow(events: DataFrame, tsCol: String, valueCol: String,
+                    size: String, hop: String): DataFrame =
+    events.filter(col(tsCol).isNotNull)
+      .groupBy(window(col(tsCol), size, hop).as("w"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n"), col("sum_value"))
+
   // ---------------------------------------------------------------------
   // Structured Streaming twins
   // ---------------------------------------------------------------------
+
+  /** Streaming twin of [[hoppingWindow]]: watermarked sliding-window
+    * aggregation — identical `window()` bucketing, windows emit as the
+    * watermark passes their end. */
+  def hoppingWindowStream(events: DataFrame, tsCol: String, valueCol: String,
+                          size: String, hop: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), size, hop).as("w"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n"), col("sum_value"))
 
   /** Streaming tumbling-window aggregation with watermarking. */
   def tumblingWindowStream(events: DataFrame, tsCol: String, dimCol: String,

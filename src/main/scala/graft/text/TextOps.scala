@@ -181,4 +181,92 @@ object TextOps {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       polyFingerprint(normalizeText(col(textCol))).as("fingerprint"))
+
+  /** Half-up e4-rounded ratio num/den of non-negative longs, in exact
+    * integer arithmetic (the roundMeanE4 idiom without the cents
+    * factor) — engine-portable at ...5 boundaries. */
+  private def fracE4(num: Column, den: Column): Column =
+    floor((num * 20000 + den) / (den * 2)) / 10000.0
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    * per doc, the fraction of words in the most-frequent word, the
+    * duplicate-word fraction, and the most-frequent-bigram fraction.
+    * High values flag boilerplate/spam for pretraining filters.
+    *
+    * Only FRACTIONS of the max count are emitted, so no tie-break on
+    * which gram is "top" ever matters. Fractions are exact-e4 half-up
+    * ratios of integer counts — bit-identical across engines.
+    *
+    * Scale shape: explode + two-level aggregation keyed on (doc, gram) —
+    * the shuffle key is fine-grained, so hot documents don't hot-spot a
+    * partition; bigrams come from a per-doc window lead over the
+    * exploded positions (same doc-keyed partitioning the aggregation
+    * wants). Docs with no words keep a row with zero counts via the
+    * left join from the id spine. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(normalizeText(col(textCol)), " ")))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    val wc = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val wstats = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("total"), count(lit(1)).as("dstnct"), max(col("c")).as("topw"))
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("next", lead(col("word"), 1).over(ordered))
+      .filter(col("next").isNotNull)
+      .select(col("doc_id"), concat(col("word"), lit(" "), col("next")).as("bigram"))
+    val bstats = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("btotal"), max(col("c")).as("topb"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(wstats, Seq("doc_id"), "left")
+      .join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total"), lit(0L)).as("n_words"),
+        coalesce(col("dstnct"), lit(0L)).as("n_distinct"),
+        when(col("total") > 0, fracE4(col("topw"), col("total")))
+          .otherwise(0.0).as("top_word_frac"),
+        when(col("total") > 0, fracE4(col("total") - col("dstnct"), col("total")))
+          .otherwise(0.0).as("dup_word_frac"),
+        when(col("btotal") > 0, fracE4(col("topb"), col("btotal")))
+          .otherwise(0.0).as("top_bigram_frac"))
+  }
+
+  /** Overlapping fixed-size chunking — the context-window prep step
+    * that splits long documents into `size`-word chunks advancing by
+    * `size − overlap` words. A tail start is suppressed when the
+    * previous chunk already reached the end of the document (its chunk
+    * would be a strict suffix of the predecessor's). Emits
+    * (doc_id, chunk_start, n_tokens, chunk_text).
+    *
+    * Fully narrow: per-row sequence of starts, explode, slice, join —
+    * no shuffle at any corpus size; chunk boundaries depend only on the
+    * row itself. */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val t = trim(col(textCol))
+    val ws = when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("__ws"))
+      .withColumn("__n", size2(col("__ws")))
+      .filter(col("__n") > 0)
+    base
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .filter(col("chunk_start") === 0 ||
+        col("chunk_start") - stride + size < col("__n"))
+      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+        slice(col("__ws"), col("chunk_start") + 1, lit(size)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_start"),
+        size2(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** `functions.size` under a name that doesn't collide with the
+    * chunker's `size` parameter. */
+  private def size2(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -25,4 +25,16 @@ class AnalyticsSpec extends SparkSpec {
       .agg(count(lit(1))).head().getLong(0)
     assert(nations.length == flat)
   }
+
+  test("groupedTopN ranks per group with contiguous ranks and descending revenue") {
+    val out = Analytics.groupedTopN(spark, sf, 3).collect()
+    val byNation = out.groupBy(_.getAs[Number]("c_nationkey").longValue)
+    byNation.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val revs = sorted.map(_.getAs[Double]("revenue"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

@@ -270,6 +270,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L, 0L, 0L)))
   }
 
+  test("repetitionStats computes exact word/bigram repetition fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),  // topw 3/4, dup (4-2)/4, top bigram "a a" 2/3
+      (2L, "x y"),      // no repetition; single bigram
+      (3L, "")          // empty doc keeps a zeroed row
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 4 && out(1L).getAs[Long]("n_distinct") == 2)
+    assert(out(1L).getAs[Double]("top_word_frac") == 0.75)
+    assert(out(1L).getAs[Double]("dup_word_frac") == 0.5)
+    assert(out(1L).getAs[Double]("top_bigram_frac") == 0.6667) // 2/3 half-up e4
+    assert(out(2L).getAs[Double]("top_word_frac") == 0.5)
+    assert(out(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(out(2L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(3L).getAs[Long]("n_words") == 0)
+    assert(out(3L).getAs[Double]("top_word_frac") == 0.0)
+  }
+
+  test("chunkText emits overlapping chunks and suppresses subsumed tails") {
+    val words11 = (1 to 11).map(i => s"w$i").mkString(" ")
+    val words12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words11), (2L, words12), (3L, "")).toDF("doc_id", "text")
+    // size 5, overlap 2 -> stride 3
+    val out = graft.text.TextOps.chunkText(docs, "doc_id", "text", 5, 2)
+      .collect().groupBy(_.getLong(0))
+    // 11 words: start 9 would re-cover only the tail the chunk at 6
+    // already reached (6+5=11 >= 11) -> suppressed
+    val d1 = out(1L).sortBy(_.getAs[Long]("chunk_start"))
+    assert(d1.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 3L, 6L))
+    assert(d1.last.getAs[String]("chunk_text") == "w7 w8 w9 w10 w11")
+    // 12 words: chunk at 9 reaches w12, kept as a short tail
+    val d2 = out(2L).sortBy(_.getAs[Long]("chunk_start"))
+    assert(d2.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(d2.last.getAs[Long]("n_tokens") == 3)
+    assert(d2.head.getAs[String]("chunk_text") == "w1 w2 w3 w4 w5")
+    assert(!out.contains(3L)) // empty doc -> no chunks
+  }
+
   test("autoPlanes widens LSH bands with corpus size and caps at 64 bits") {
     // the driver-gate config (16 planes, 8 bands) at every tested SF <= 0.1
     assert(Similarity.autoPlanes(200, 8) == 16)

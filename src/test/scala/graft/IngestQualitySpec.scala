@@ -213,4 +213,32 @@ class IngestQualitySpec extends SparkSpec {
     val ok = Quality.validationVerdict(clean, "key", "ts", "event_id", "value", 5.0, 2.0).head()
     assert(ok.getAs[Int]("error_count") == 0 && ok.getAs[Boolean]("is_valid"))
   }
+
+  test("cdcMerge applies upserts and deletes, latest change per key wins") {
+    val base = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (2L, ts("2024-01-01 00:00:00"), 20.0),
+      (3L, ts("2024-01-01 00:00:00"), 30.0)
+    ).toDF("id", "version", "value")
+    val changes = Seq(
+      (2L, ts("2024-01-02 00:00:00"), 21.0, "U"),
+      (2L, ts("2024-01-03 00:00:00"), 22.0, "U"), // later version supersedes
+      (3L, ts("2024-01-02 00:00:00"), 0.0, "D"),  // delete
+      (4L, ts("2024-01-02 00:00:00"), 40.0, "I")  // insert of a new key
+    ).toDF("id", "version", "value", "op")
+    val out = Ingest.cdcMerge(base, changes, "id", "op", "version", "id")
+    val m = out.select(col("id"), col("value")).as[(Long, Double)].collect().toMap
+    assert(m == Map(1L -> 10.0, 2L -> 22.0, 4L -> 40.0))
+  }
+
+  test("cdcMerge with a delete-then-reinsert keeps the latest op") {
+    val base = Seq((1L, 0L, 1.0)).toDF("id", "version", "value")
+    val changes = Seq(
+      (1L, 1L, 0.0, "D"),
+      (1L, 2L, 9.0, "I") // reinsert after the delete — latest wins
+    ).toDF("id", "version", "value", "op")
+    val out = Ingest.cdcMerge(base, changes, "id", "op", "version", "id")
+    assert(out.select(col("id"), col("value")).as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 9.0)))
+  }
 }

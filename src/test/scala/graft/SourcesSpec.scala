@@ -97,4 +97,20 @@ class SourcesSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("orc roundtrip preserves rows and types under the declared schema") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "click", -2.25)
+    ).toDF("id", "period", "kind", "value")
+    val path = "/tmp/graft_sources/orc_spec"
+    Sources.writeOrc(df, path)
+    val back = Sources.readOrc(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, period TIMESTAMP, kind STRING, value DOUBLE"))
+    assert(back.schema.map(f => (f.name, f.dataType.sql)) ==
+      df.schema.map(f => (f.name, f.dataType.sql)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
 }

@@ -81,6 +81,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hoppingWindow lands each event in size/hop windows, batch and stream agree") {
+    val hopEv = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:30:00"), 2.0)
+    ).toDF("event_id", "ts", "value")
+    val batch = Streams.hoppingWindow(hopEv, "ts", "value", "2 hours", "1 hour")
+      .orderBy("window_start").collect()
+    // windows: [09,11) {e1}, [10,12) {e1,e2}, [11,13) {e2}
+    assert(batch.length == 3)
+    assert(batch.map(_.getAs[Long]("n")).toSeq == Seq(1L, 2L, 1L))
+    assert(batch(1).getAs[Double]("sum_value") == 3.0)
+    assert(batch(1).getAs[Timestamp]("window_start") ==
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val stream = Streams.hoppingWindowStream(
+      input.toDF().toDF("ts", "value"), "ts", "value", "2 hours", "1 hour", "1 hour")
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("hoptest").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:30:00"), 1.0),
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 2.0))
+      q.processAllAvailable()
+      val res = spark.table("hoptest").orderBy("window_start").collect()
+      assert(res.map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSeq ==
+        batch.map(r => (r.getAs[Timestamp]("window_start"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSeq)
+    } finally q.stop()
+  }
+
   test("streamDedupStream drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]

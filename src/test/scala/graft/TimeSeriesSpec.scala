@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.timeseries.{Forecast, TimeSeries}
+import graft.timeseries.{Decompose, Forecast, TimeSeries}
 
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
@@ -281,5 +281,40 @@ class TimeSeriesSpec extends SparkSpec {
           e.getClass.getSimpleName
       }))
     assert(fallback.isEmpty, s"interpreted scalar expressions in plan: $fallback")
+  }
+
+  test("seasonalDecompose: constant series decomposes to flat trend, zero seasonal/remainder") {
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"), "A", 5.0))
+    val extra = (0 until 6).map(i => // second day so hods repeat
+      (100L + i, Timestamp.valueOf(f"2024-01-02 ${i % 24}%02d:00:00"), "A", 5.0))
+    val df = (rows ++ extra).toDF("event_id", "ts", "key", "value")
+    val out = Decompose.seasonalDecompose(df, "key", "ts", "event_id", "value", 2)
+      .orderBy("period", "event_id").collect()
+    // interior rows (complete 5-row window): trend = 5, seasonal = 0, remainder = 0
+    val interior = out.drop(2).dropRight(2)
+    assert(interior.nonEmpty)
+    interior.foreach { r =>
+      assert(r.getAs[Double]("trend") == 5.0)
+      assert(r.getAs[Double]("remainder") == 0.0)
+    }
+    // edge rows: trend (and so remainder) undefined
+    assert(out.take(2).forall(_.isNullAt(out.head.fieldIndex("trend"))))
+  }
+
+  test("seasonalDecompose: value == trend + seasonal + remainder exactly where trend exists") {
+    val rows = (0 until 72).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+        "A", (i * 37 % 100) / 10.0)) // 1-decimal values -> exact cents
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = Decompose.seasonalDecompose(df, "key", "ts", "event_id", "value", 12)
+    val checked = out.filter(col("trend").isNotNull)
+      .select(col("value"),
+        (col("trend") + col("seasonal") + col("remainder")).as("sum")).collect()
+    assert(checked.length == 72 - 24) // 12 null rows at each edge
+    // exact in e4 integer units (trend+det == cents*100); the double
+    // re-sum of the three parts can drift a few ulps
+    checked.foreach(r =>
+      assert(math.abs(r.getAs[Double]("value") - r.getAs[Double]("sum")) < 1e-9))
   }
 }
