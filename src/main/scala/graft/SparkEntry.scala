@@ -54,6 +54,14 @@ object SparkEntry {
       Ingest.incrementalIngest(ev.filter(col("event_id") < 600),
         ev.filter(col("event_id") >= 500), "event_id")
     }),
+    "a7_incremental_agg_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("value"), col("event_id"))
+      // persisted state from history, one new batch merged in — must
+      // equal the full recompute (which is exactly what the oracle runs)
+      Ingest.mergeAggState(
+        Ingest.aggState(ev.filter(col("event_id") < 7000), "user_id", "value"),
+        ev.filter(col("event_id") >= 7000), "user_id", "value")
+    }),
     "a6_cdc_merge" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -237,6 +245,8 @@ object SparkEntry {
     }),
     "e25_repetition_stats" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+    "e27_embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8Flat(Tables.embeddings(s, d), "vec_id", "embedding")),
     "e26_chunk_text" -> ((s, d) =>
       TextOps.chunkText(Tables.documents(s, d), "doc_id", "text", 64, 16)),
 
@@ -418,6 +428,24 @@ object SparkEntry {
     "a5_incremental_ingest" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
+    "a7_incremental_agg_merge" ->
+      """SELECT user_id, count(value) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value,
+         min(value) AS min_value, max(value) AS max_value,
+         floor((sum(round(value * 100, 0)) * 200 + count(value)) / (count(value) * 2)) / 10000.0 AS mean_value
+         FROM events GROUP BY 1""",
+    "e27_embedding_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+         FROM embeddings WHERE embedding IS NOT NULL),
+         e AS (SELECT vec_id, scale, embedding,
+           unnest(range(len(embedding))) AS pos FROM s)
+         SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+           CAST(CASE WHEN scale > 0
+             THEN floor(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) / scale * 127.0 + 0.5)
+             ELSE 0 END AS INT) AS code,
+           scale
+         FROM e""",
     "a6_cdc_merge" ->
       """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS period,
            user_id, event_type, value FROM events),

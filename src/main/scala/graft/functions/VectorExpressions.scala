@@ -278,6 +278,89 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Max absolute element value (the symmetric-quantization range).
+    * Empty arrays yield 0.0; null slots read as 0.0 like every other
+    * expression here. */
+  case class ArrayAbsMax(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("array_abs_max", Seq(child))
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elementType(child)
+      var m = 0.0; var i = 0
+      while (i < v.numElements()) {
+        val x = math.abs(elemScala(v, et, i)); if (x > m) m = x; i += 1
+      }
+      m
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (i, m, x) = (ctx.freshName("i"), ctx.freshName("m"), ctx.freshName("x"))
+        s"""
+           |double $m = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $x = java.lang.Math.abs(${elemJava(a, elementType(child), i)});
+           |  if ($x > $m) $m = $x;
+           |}
+           |${ev.value} = $m;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): ArrayAbsMax = copy(child = c)
+  }
+
+  /** Symmetric int8 quantization: code_i = floor(v_i / scale * 127 + 0.5)
+    * (round-half-up IN BINARY — `floor` on the identical double is
+    * engine-portable where decimal `round()` is not). |v_i| <= scale by
+    * construction when scale = ArrayAbsMax(v), so codes stay within
+    * [-127, 127] with no clamp branch. scale <= 0 (zero vector) yields
+    * all-zero codes. Output array<int>, accepted directly by
+    * ArrayDot/ArrayNorm2 — scales cancel in cosine, so quantized ANN
+    * reuses the existing primitives unchanged. */
+  case class QuantizeInt8(vec: Expression, scale: Expression) extends BinaryExpression {
+    override def left: Expression = vec
+    override def right: Expression = scale
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val arrOk = checkNumericArrays("quantize_int8", Seq(vec))
+      if (arrOk != TypeCheckResult.TypeCheckSuccess) arrOk
+      else if (scale.dataType != DoubleType)
+        TypeCheckResult.TypeCheckFailure(
+          s"quantize_int8 argument 2 must be double, got ${scale.dataType.catalogString}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val s = b.asInstanceOf[Double]
+      val et = elementType(vec)
+      val out = new Array[Int](v.numElements())
+      if (s > 0) {
+        var i = 0
+        while (i < v.numElements()) {
+          out(i) = math.floor(elemScala(v, et, i) / s * 127.0 + 0.5).toInt
+          i += 1
+        }
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (i, out) = (ctx.freshName("i"), ctx.freshName("out"))
+        s"""
+           |int[] $out = new int[$a.numElements()];
+           |if ($b > 0) {
+           |  for (int $i = 0; $i < $a.numElements(); $i++) {
+           |    $out[$i] = (int) java.lang.Math.floor(
+           |      ${elemJava(a, elementType(vec), i)} / $b * 127.0 + 0.5);
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizeInt8 =
+      copy(vec = l, scale = r)
+  }
+
   // ---------------- Column-level entry points ----------------
 
   def arrayDot(a: Column, b: Column): Column =
@@ -294,4 +377,10 @@ object VectorExpressions {
 
   def planeSignature(v: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(PlaneSignature(ColumnBridge.expression(v), planes))
+
+  def arrayAbsMax(a: Column): Column =
+    ColumnBridge.column(ArrayAbsMax(ColumnBridge.expression(a)))
+
+  def quantizeInt8(v: Column, scale: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v), ColumnBridge.expression(scale)))
 }

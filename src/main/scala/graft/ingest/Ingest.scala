@@ -74,6 +74,44 @@ object Ingest {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Per-key aggregate STATE for incremental maintenance: the
+    * distributive/algebraic partials (count, exact-cents sum, min, max)
+    * from which any downstream report derives mean/sum/extremes without
+    * rescanning history. The cents sum is an exact long, so merge order
+    * can never change a digit. */
+  def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(
+      count(col(valueCol)).as("n"),
+      sum(round(col(valueCol) * 100, 0).cast("long")).as("sum_cents"),
+      min(col(valueCol)).as("min_value"),
+      max(col(valueCol)).as("max_value"))
+
+  /** Incremental aggregate maintenance — merge a new batch's partial
+    * aggregate into a persisted state table and emit the refreshed
+    * per-key report (n, sum, min, max, exact-e4 mean). The result is
+    * IDENTICAL to re-aggregating all of history (the oracle checks
+    * exactly that), but the work is proportional to the batch: history
+    * is touched only as the (already tiny) state table.
+    *
+    * Scale shape: one shuffle of state ∪ batch-partials on the key. A
+    * state table this merge maintains is naturally stored bucketed on
+    * the key (the g3 layout), which removes even that exchange on the
+    * state side — the batch partials alone move. This is the 100 TB
+    * form of the reference's scheduled full-revalidation pass
+    * (data_validation.py recomputes global stats per run). */
+  def mergeAggState(state: DataFrame, batch: DataFrame, keyCol: String,
+                    valueCol: String): DataFrame =
+    state.unionByName(aggState(batch, keyCol, valueCol))
+      .groupBy(col(keyCol)).agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .select(col(keyCol), col("n"),
+        (col("sum_cents") / 100.0).as("sum_value"),
+        col("min_value"), col("max_value"),
+        graft.functions.roundMeanE4(col("sum_cents"), col("n")).as("mean_value"))
+
   /** CDC merge — lakehouse `MERGE INTO` semantics applied as a pure
     * transform: a change batch with an op column (`D` = delete, anything
     * else = upsert) supersedes the base snapshot by key. The latest

@@ -79,6 +79,54 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4×/8×
+    * (vs float/double) storage and shuffle-width reduction that makes
+    * billion-vector ANN corpora fit executor memory. Per vector:
+    * scale = max|v_i|, code_i = floor(v_i/scale·127 + 0.5) — native
+    * codegen'd expressions, no HOFs. Cosine is SCALE-INVARIANT, so the
+    * quantized codes feed the existing ArrayDot/ArrayNorm2 primitives
+    * directly (no dequantization pass); only magnitude-sensitive uses
+    * (L2 distance) need the scale back. Null vectors are excluded (no
+    * codes can exist for them). */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
+      .withColumn("scale", VectorExpressions.arrayAbsMax(col(vecCol)))
+      .withColumn("qvec", VectorExpressions.quantizeInt8(col(vecCol), col("scale")))
+      .drop(vecCol)
+
+  /** Exploded view of [[quantizeInt8]] for engine-parity checks:
+    * (vec_id, pos, code, scale) — one row per vector component. */
+  def quantizeInt8Flat(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(emb, idCol, vecCol)
+      .select(col(idCol), col("scale"), posexplode(col("qvec")).as(Seq("pos", "code")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("code"), col("scale"))
+
+  /** Brute-force cosine top-k over QUANTIZED codes — identical plan
+    * shape to [[bruteForceTopK]] (broadcast query side, corpus never
+    * shuffles) but every vector moves as int8-ranged codes instead of
+    * floats. Recall vs the exact float ranking is bounded by the
+    * quantization angle error (spec-checked), not by the plan. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("qv"),
+        VectorExpressions.arrayNorm2(col("qvec")).as("qn2"))
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("cv"),
+        VectorExpressions.arrayNorm2(col("qvec")).as("cn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 folded to [-1, 1). Computed ONCE on the driver with the
     * exact arithmetic of the catalyst `xxhash64(lit, lit, lit)`

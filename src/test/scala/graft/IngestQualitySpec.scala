@@ -214,6 +214,32 @@ class IngestQualitySpec extends SparkSpec {
     assert(ok.getAs[Int]("error_count") == 0 && ok.getAs[Boolean]("is_valid"))
   }
 
+  test("mergeAggState equals the full recompute, including new and all-null keys") {
+    val history = Seq(
+      (1L, "A", Some(1.0)), (2L, "A", Some(2.0)), (3L, "B", Some(5.0)),
+      (4L, "C", None: Option[Double])
+    ).toDF("event_id", "key", "value")
+    val batch = Seq(
+      (5L, "A", Some(4.0)),                 // existing key
+      (6L, "D", Some(7.0)),                 // brand-new key
+      (7L, "C", None: Option[Double])       // still all-null key
+    ).toDF("event_id", "key", "value")
+    val merged = Ingest.mergeAggState(
+      Ingest.aggState(history, "key", "value"), batch, "key", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val full = Ingest.mergeAggState(
+      Ingest.aggState(history.limit(0), "key", "value"),
+      history.union(batch), "key", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(merged.keySet == Set("A", "B", "C", "D"))
+    merged.keySet.foreach { k =>
+      assert(merged(k).toSeq == full(k).toSeq, s"key $k")
+    }
+    assert(merged("A").getAs[Long]("n") == 3 &&
+      merged("A").getAs[Double]("mean_value") == 2.3333)
+    assert(merged("C").getAs[Long]("n") == 0 && merged("C").isNullAt(2))
+  }
+
   test("cdcMerge applies upserts and deletes, latest change per key wins") {
     val base = Seq(
       (1L, ts("2024-01-01 00:00:00"), 10.0),

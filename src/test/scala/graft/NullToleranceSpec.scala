@@ -34,6 +34,34 @@ class NullToleranceSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4).count() == 0)
   }
 
+  test("repetitionStats and chunkText tolerate null/empty/short docs") {
+    val rep = TextOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep.size == 4) // one row per doc, including null/empty text
+    assert(rep(2L).getAs[Long]("n_words") == 0 &&
+      rep(2L).getAs[Double]("top_word_frac") == 0.0)
+    assert(rep(3L).getAs[Long]("n_words") == 0)
+    assert(rep(4L).getAs[Long]("n_words") == 1 &&
+      rep(4L).getAs[Double]("top_bigram_frac") == 0.0)
+    val chunks = TextOps.chunkText(docs, "doc_id", "text", 5, 2)
+    // null and empty docs simply emit no chunks
+    assert(chunks.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("seasonalDecompose tolerates null values and null timestamps") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 20).map { i =>
+      (i.toLong,
+        if (i == 5) None else Some(java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00")),
+        "A", if (i == 7) None else Some(10.0))
+    }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = graft.timeseries.Decompose.seasonalDecompose(df, "key", "ts", "event_id", "value", 2)
+    assert(out.count() == 19) // the null-ts row is dropped, null value kept
+    // windows containing the null value yield null trend, not a crash
+    assert(out.filter(col("event_id") === 7L).head().isNullAt(4))
+  }
+
   test("vector operators tolerate null embeddings") {
     val emb = Seq(
       (1L, Some(Array(1.0f, 0.0f)), "a"),

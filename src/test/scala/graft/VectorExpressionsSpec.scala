@@ -106,6 +106,40 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("array_norm2") || e.getMessage.contains("DATATYPE"))
   }
 
+  test("arrayAbsMax and quantizeInt8 match driver-side reference exactly") {
+    val out = df.select(col("id"),
+      VectorExpressions.arrayAbsMax(col("vec")).as("scale"),
+      VectorExpressions.quantizeInt8(col("vec"),
+        VectorExpressions.arrayAbsMax(col("vec"))).as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getAs[scala.collection.Seq[Int]](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max
+      val codes = v.map(x => math.floor(x.toDouble / scale * 127.0 + 0.5).toInt)
+      assert(out(id)._1 == scale)
+      assert(out(id)._2.toSeq == codes.toSeq)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+    }
+    // zero vector: scale 0, all-zero codes (no division)
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "vec")
+      .select(VectorExpressions.arrayAbsMax(col("vec")).as("s"),
+        VectorExpressions.quantizeInt8(col("vec"), lit(0.0)).as("q")).head()
+    assert(z.getDouble(0) == 0.0 && z.getAs[scala.collection.Seq[Int]](1).forall(_ == 0))
+  }
+
+  test("quantized cosine top-k agrees with exact float top-1 for most queries") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    def top1(dfr: org.apache.spark.sql.DataFrame) = dfr
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(graft.vector.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1))
+    val quant = top1(graft.vector.Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 1))
+    val agree = exact.count { case (q, n) => quant.get(q).contains(n) }
+    // int8 on 64 dims: angle error ~1e-3 — top-1 flips only on near-ties
+    assert(agree >= (exact.size * 8) / 10, s"top-1 agreement $agree/${exact.size}")
+  }
+
   test("assign maps matrix positions back to non-contiguous cluster ids") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
