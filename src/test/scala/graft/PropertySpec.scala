@@ -82,4 +82,58 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.autoPlanes(1000, 0))
     intercept[IllegalArgumentException](Similarity.autoPlanes(1000, 128))
   }
+
+  test("chunkText covers every word exactly, with correct overlap, on random docs") {
+    val docs = (1 to 60).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((size, overlap) <- Seq((5, 2), (8, 0), (4, 3))) {
+      val stride = size - overlap
+      val out = graft.text.TextOps.chunkText(docs, "doc_id", "text", size, overlap)
+        .collect().groupBy(_.getLong(0))
+      docs.collect().foreach { r =>
+        val (id, words) = (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty))
+        val chunks = out.getOrElse(id, Array.empty).sortBy(_.getAs[Long]("chunk_start"))
+        if (words.isEmpty) assert(chunks.isEmpty)
+        else {
+          // reconstruction: chunk at start s must equal words[s, s+size)
+          chunks.foreach { c =>
+            val s = c.getAs[Long]("chunk_start").toInt
+            assert(c.getAs[String]("chunk_text") ==
+              words.slice(s, s + size).mkString(" "), s"doc $id start $s size $size")
+          }
+          // coverage: the last kept chunk reaches the end of the doc
+          val lastStart = chunks.last.getAs[Long]("chunk_start").toInt
+          assert(lastStart + size >= words.length, s"doc $id uncovered tail")
+          // starts advance by exactly stride
+          val starts = chunks.map(_.getAs[Long]("chunk_start").toInt).toSeq
+          assert(starts == starts.indices.map(_ * stride), s"doc $id starts $starts")
+        }
+      }
+    }
+  }
+
+  test("repetitionStats fractions stay in [0,1] with exact distinct/dup complement") {
+    val docs = (1 to 100).map { i =>
+      val n = rnd.nextInt(40)
+      // small vocabulary forces repetition; vocab 1 forces max repetition
+      val vocab = 1 + rnd.nextInt(6)
+      (i.toLong, (1 to n).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.text.TextOps.repetitionStats(docs, "doc_id", "text").collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct"))
+      val (tw, dw, tb) = (r.getAs[Double]("top_word_frac"),
+        r.getAs[Double]("dup_word_frac"), r.getAs[Double]("top_bigram_frac"))
+      assert(d <= n)
+      assert(tw >= 0.0 && tw <= 1.0 && dw >= 0.0 && dw <= 1.0 && tb >= 0.0 && tb <= 1.0)
+      if (n > 0) {
+        assert(tw >= 1.0 / n - 1e-4)        // the top word has at least 1 hit
+        if (d == n) assert(dw == 0.0)       // all distinct -> no duplicate mass
+        if (d == 1L) assert(tw == 1.0)      // single-word vocab -> all mass on it
+      } else assert(tw == 0.0 && dw == 0.0 && tb == 0.0)
+    }
+  }
 }
