@@ -128,7 +128,13 @@ object Ingest {
     *
     * The reference's pipeline re-lands full snapshots (data_extraction
     * .py:135-172 overwrites the CSV); this is the incremental form a
-    * 100 TB corpus requires. */
+    * 100 TB corpus requires.
+    *
+    * Contract: merge keys and `op` are non-null (CDC feeds guarantee
+    * both). A null op filters out like a delete (`=!=` null semantics,
+    * identical in the SQL oracle's `op <> 'D'`); a null key never
+    * matches the anti-join, so the base row would survive alongside the
+    * change row. */
   def cdcMerge(base: DataFrame, changes: DataFrame, keyCol: String,
                opCol: String, versionCol: String, tieBreak: String): DataFrame = {
     val latest = dedupKeepLatest(changes, Seq(keyCol), versionCol, tieBreak)
