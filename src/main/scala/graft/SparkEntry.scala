@@ -319,6 +319,20 @@ object SparkEntry {
         Seq("user_id", "event_type", "period"), "event_id")),
     "f5_hopping_window" -> ((s, d) =>
       Streams.hoppingWindow(Tables.events(s, d), "ts", "value", "2 hours", "1 hour")),
+    "g6_schema_evolution" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/evo_${math.abs(d.hashCode)}"
+      // batch 1 written before the `value` column existed; batch 2 after
+      ev.filter(col("event_id") < 5000).drop("value")
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      ev.filter(col("event_id") >= 5000)
+        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+      graft.sources.Sources.readMergedParquet(s, tmp)
+        .select(col("event_id"), col("period"), col("user_id"),
+          col("event_type"), col("value"), col("batch").cast("long").as("batch"))
+    }),
     "g5_orc_roundtrip" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -1218,6 +1232,11 @@ object SparkEntry {
          WHERE ts IS NOT NULL GROUP BY 1, 2""",
     "g5_orc_roundtrip" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
+    "g6_schema_evolution" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type,
+         CASE WHEN event_id >= 5000 THEN value END AS value,
+         CAST(CASE WHEN event_id >= 5000 THEN 2 ELSE 1 END AS BIGINT) AS batch
          FROM events""",
     "e25_repetition_stats" ->
       s"""WITH base AS (SELECT doc_id,

@@ -89,6 +89,17 @@ object Sources {
       .schema(schema.add(corruptCol, "string"))
       .json(path)
 
+  /** Schema-evolution read: union the schemas of every file in a
+    * parquet sink whose batches were written under DIFFERENT (widening)
+    * schemas — columns absent in older batches surface as nulls. This
+    * is how a long-lived 100 TB corpus actually looks after a year of
+    * pipeline changes. `mergeSchema` reads every file FOOTER (not data)
+    * at planning time — bounded but not free at millions of files, so
+    * production tables pin the merged schema in a catalog; this read is
+    * the discovery/backfill path. */
+  def readMergedParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC sink — the columnar interchange format for engines outside the
     * parquet ecosystem (Hive/Trino warehouses). Same footprint rules as
     * the parquet sink: columnar, compressed, splittable. */

@@ -98,6 +98,18 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("mergeSchema read unions widening batch schemas, old rows null-filled") {
+    import spark.implicits._
+    val path = "/tmp/graft_sources/evo_spec"
+    Seq((1L, "a")).toDF("id", "k").write.mode("overwrite").parquet(s"$path/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "k", "v").write.mode("overwrite").parquet(s"$path/batch=2")
+    val merged = Sources.readMergedParquet(spark, path)
+    assert(merged.columns.toSet == Set("id", "k", "v", "batch"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v"))) // pre-evolution row
+    assert(rows(1).getAs[Double]("v") == 9.5)
+  }
+
   test("orc roundtrip preserves rows and types under the declared schema") {
     import spark.implicits._
     val df = Seq(
