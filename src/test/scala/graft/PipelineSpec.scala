@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Ingest
+import graft.timeseries.{Decompose, Forecast, TimeSeries}
+import graft.validate.Quality
+
+/** End-to-end composition mirroring the reference DAG's task order
+  * (airflow_dag.py:570-631: extract → validate → quality summary →
+  * train → params → retention cleanup): every stage is one of this
+  * library's operators chained on the previous stage's output, proving
+  * the operators compose the way the reference pipeline runs them —
+  * not just pass isolated oracles. */
+class PipelineSpec extends SparkSpec {
+
+  test("the reference DAG's task chain composes end-to-end on one feed") {
+    val raw = Tables.events(spark, sf)
+
+    // extract: typed canonical feed (data_extraction.py shape)
+    val feed = Ingest.typedIngest(raw, "event_id", "ts", "user_id", "event_type", "value")
+    val n = feed.count()
+    assert(n > 0)
+
+    // validate: thresholded verdict gates the rest of the DAG
+    val verdict = Quality.validationVerdict(raw, "user_id", "ts", "event_id",
+      "value", 50.0, 100.0).head()
+    assert(verdict.getAs[Boolean]("is_valid"))
+
+    // quality summary: the DAG's reporting step over the same feed
+    val report = Quality.qualityReport(raw, "user_id", "ts", "event_id", "value", 3600L, 1.5)
+    assert(report.count() >= 5)
+
+    // train prep: scale on the feed, lag features on the scaled series
+    val scaled = TimeSeries.scaleStandard(
+      feed.withColumnRenamed("record_id", "event_id")
+        .withColumnRenamed("period", "ts")
+        .withColumnRenamed("respondent", "user_id"),
+      "user_id", "ts", "event_id", "value")
+    assert(scaled.filter(col("value_scaled").isNull && col("value").isNotNull).count() == 0)
+
+    // "train"/evaluate: forecast on the prepared series + metrics, the
+    // evaluate() step of model.py in closed form
+    val forecast = Forecast.seasonalNaive(raw, "user_id", "ts", "event_id", "value", 24)
+    val metrics = Forecast.metrics(forecast, "user_id", "value", "prediction")
+    val m = metrics.collect()
+    assert(m.nonEmpty)
+    assert(m.forall(r => r.getAs[Double]("rmse") >= 0.0))
+
+    // params: persist fitted scaler params, re-apply them to the feed
+    // (the inference-time reuse path), and invert back exactly
+    val params = TimeSeries.scalerParams(raw, "user_id", "value")
+    val applied = TimeSeries.applyScaler(raw, params,
+      "user_id", "ts", "event_id", "value", "standard")
+    assert(applied.count() == raw.count())
+
+    // retention cleanup: the DAG's final keep-newest-N step
+    val cleaned = Ingest.retentionKeepLastN(raw, "user_id", col("ts"), col("event_id"), 10)
+    val maxPerKey = cleaned.groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerKey <= 10)
+
+    // diagnostic: the decomposition view over the same feed stays
+    // consistent (value = trend + seasonal + remainder where defined)
+    val dec = Decompose.seasonalDecompose(raw, "user_id", "ts", "event_id", "value", 12)
+      .filter(col("trend").isNotNull && col("value").isNotNull)
+      .withColumn("__resid",
+        abs(col("value") - col("trend") - col("seasonal") - col("remainder")))
+    assert(dec.agg(max("__resid")).head().getDouble(0) < 1e-9)
+  }
+}
