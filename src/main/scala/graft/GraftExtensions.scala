@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorExpressions.{ArrayDot, ArrayNorm2}
+import graft.functions.VectorExpressions.{ArrayAbsMax, ArrayDot, ArrayNorm2, QuantizeInt8}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("... array_dot(a, b) ...")` works anywhere
@@ -29,6 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "array_norm2 takes 1 argument")
         ArrayNorm2(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("array_abs_max"),
+      info("array_abs_max", "array_abs_max(a) - max absolute element of a numeric array (codegen'd)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "array_abs_max takes 1 argument")
+        ArrayAbsMax(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("quantize_int8"),
+      info("quantize_int8", "quantize_int8(a, scale) - symmetric int8 codes floor(v/scale*127+0.5) (codegen'd)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "quantize_int8 takes 2 arguments")
+        QuantizeInt8(args.head, args(1))
       }))
   }
 }

@@ -72,6 +72,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 25.0)
   }
 
+  test("extensions expose array_abs_max / quantize_int8 to SQL") {
+    val r = spark.sql(
+      "SELECT array_abs_max(array(0.5D, -2.0D, 1.0D)) AS m, " +
+        "quantize_int8(array(0.5D, -2.0D, 1.0D), 2.0D) AS q").head()
+    assert(r.getDouble(0) == 2.0)
+    // floor(0.25*127+0.5)=32, floor(-127+0.5)=-127, floor(63.5+0.5)=64
+    assert(r.getAs[scala.collection.Seq[Int]](1).toSeq == Seq(32, -127, 64))
+  }
+
   test("native expressions accept array<double> input too") {
     val ddf = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }.toDF("id", "vec")
     val got = ddf.select(VectorExpressions.arrayNorm2(col("vec")).as("n2"))
