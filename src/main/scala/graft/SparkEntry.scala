@@ -247,6 +247,8 @@ object SparkEntry {
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
     "e27_embedding_quantize" -> ((s, d) =>
       Similarity.quantizeInt8Flat(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "e28_pack_materialize" -> ((s, d) =>
+      TextOps.materializePacked(Tables.documents(s, d), "doc_id", "text", "source", 1024)),
     "e26_chunk_text" -> ((s, d) =>
       TextOps.chunkText(Tables.documents(s, d), "doc_id", "text", 64, 16)),
 
@@ -448,6 +450,19 @@ object SparkEntry {
          min(value) AS min_value, max(value) AS max_value,
          floor((sum(round(value * 100, 0)) * 200 + count(value)) / (count(value) * 2)) / 10000.0 AS mean_value
          FROM events GROUP BY 1""",
+    "e28_pack_materialize" ->
+      """WITH toks AS (SELECT doc_id, source, text,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+         FROM documents),
+         off AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           FROM toks),
+         b AS (SELECT *, start_offset // 1024 AS bin FROM off)
+         SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens,
+           string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+         FROM b GROUP BY 1, 2""",
     "e27_embedding_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale

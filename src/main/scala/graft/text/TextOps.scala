@@ -76,6 +76,29 @@ object TextOps {
       .withColumn("bin_offset", col("start_offset") % budget)
   }
 
+  /** Materialize [[packSequences]]' bin assignment into the actual
+    * training sequences: per (group, bin), the documents concatenated
+    * in deterministic id order plus doc/token counts — the artifact a
+    * trainer ingests. The per-group collect is bounded by the token
+    * budget (a bin holds ~budget tokens by construction), so the
+    * collect_list state is small no matter how large the corpus; the
+    * interpreted transform over it runs once per BIN, not per token.
+    * Same contract as packSequences: non-null text, deterministic
+    * id order. */
+  def materializePacked(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, budget: Int): DataFrame = {
+    val assigned = packSequences(docs, idCol, textCol, groupCol, budget)
+    assigned.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+            s => s.getField("t"))).as("packed_text"))
+  }
+
   /** N-gram/stopword-heuristic language ID. Scores each candidate
     * language by marker-word/script hits; deterministic argmax with
     * alphabetical tie-break. */

@@ -309,6 +309,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains(3L)) // empty doc -> no chunks
   }
 
+  test("materializePacked concatenates bins in id order with exact counts") {
+    val docs = Seq(
+      (1L, "g1", "a b c"), (2L, "g1", "d e f g"), (3L, "g1", "h i"),
+      (5L, "g2", "one two")
+    ).toDF("doc_id", "source", "text")
+    // budget 4: g1 offsets 0,3,7 -> bins 0,0,1
+    val out = graft.text.TextOps.materializePacked(docs, "doc_id", "text", "source", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("g1", 0L)).getAs[String]("packed_text") == "a b c d e f g")
+    assert(out(("g1", 0L)).getAs[Long]("n_docs") == 2)
+    assert(out(("g1", 0L)).getAs[Long]("n_tokens") == 7)
+    assert(out(("g1", 1L)).getAs[String]("packed_text") == "h i")
+    assert(out(("g2", 0L)).getAs[String]("packed_text") == "one two")
+    assert(out.size == 3)
+  }
+
   test("autoPlanes widens LSH bands with corpus size and caps at 64 bits") {
     // the driver-gate config (16 planes, 8 bands) at every tested SF <= 0.1
     assert(Similarity.autoPlanes(200, 8) == 16)
