@@ -62,7 +62,18 @@ object TextOps {
     * order-stateful), deliberately not distributed. One window shuffle
     * per group key; groups pack in parallel across the cluster. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    groupCol: String, budget: Int): DataFrame = {
+                    groupCol: String, budget: Int): DataFrame =
+    binAssign(docs, idCol, textCol, groupCol, budget, carryText = false)
+
+  /** Shared bin-assignment pass for e23/e28: running-token offsets per
+    * group (deterministic id order) quantized by the budget. With
+    * `carryText` the document text rides along in `__text`, so the
+    * materializer needs NO join back to the corpus — the window's
+    * hash(group) partitioning already satisfies the downstream
+    * (group, bin) grouping, keeping the whole pipeline on one
+    * exchange. */
+  private def binAssign(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, budget: Int, carryText: Boolean): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
@@ -70,7 +81,10 @@ object TextOps {
       .otherwise(size(split(trim(t), "\\s+"))).cast("long")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), col(groupCol), toks.as("tokens"))
+    val base =
+      if (carryText) docs.select(col(idCol), col(groupCol), t.as("__text"), toks.as("tokens"))
+      else docs.select(col(idCol), col(groupCol), toks.as("tokens"))
+    base
       .withColumn("start_offset", coalesce(sum(col("tokens")).over(w), lit(0L)))
       .withColumn("bin", graft.functions.divLong(col("start_offset"), lit(budget.toLong)))
       .withColumn("bin_offset", col("start_offset") % budget)
@@ -79,25 +93,25 @@ object TextOps {
   /** Materialize [[packSequences]]' bin assignment into the actual
     * training sequences: per (group, bin), the documents concatenated
     * in deterministic id order plus doc/token counts — the artifact a
-    * trainer ingests. The per-group collect is bounded by the token
-    * budget (a bin holds ~budget tokens by construction), so the
-    * collect_list state is small no matter how large the corpus; the
-    * interpreted transform over it runs once per BIN, not per token.
-    * Same contract as packSequences: non-null text, deterministic
-    * id order. */
+    * trainer ingests. Text rides through the bin-assignment window
+    * (see [[binAssign]]), so this is ONE shuffle end to end: the
+    * window's hash(group) partitioning already co-locates every
+    * (group, bin) group for the final aggregation. The per-bin collect
+    * state is bounded by the token budget no matter how large the
+    * corpus; the interpreted transform over it runs once per BIN, not
+    * per token. Same contract as packSequences: non-null text,
+    * deterministic id order. */
   def materializePacked(docs: DataFrame, idCol: String, textCol: String,
-                        groupCol: String, budget: Int): DataFrame = {
-    val assigned = packSequences(docs, idCol, textCol, groupCol, budget)
-    assigned.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+                        groupCol: String, budget: Int): DataFrame =
+    binAssign(docs, idCol, textCol, groupCol, budget, carryText = true)
       .groupBy(col(groupCol), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("tokens")).as("n_tokens"),
         concat_ws(" ",
           transform(
-            array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+            array_sort(collect_list(struct(col(idCol).as("i"), col("__text").as("t")))),
             s => s.getField("t"))).as("packed_text"))
-  }
 
   /** N-gram/stopword-heuristic language ID. Scores each candidate
     * language by marker-word/script hits; deterministic argmax with
