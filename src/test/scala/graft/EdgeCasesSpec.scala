@@ -50,4 +50,35 @@ class EdgeCasesSpec extends SparkSpec {
       .select("ema").as[Double].collect()
     assert(out.toSeq == Seq(100.0))
   }
+
+  test("round-4 operators tolerate empty inputs end to end") {
+    import graft.ingest.Ingest
+    import graft.text.TextOps
+    import graft.vector.Similarity
+    import graft.streaming.Streams
+    import graft.timeseries.Decompose
+    val noEvents = hourly(0)
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+    // empty base, empty changes, and both
+    assert(Ingest.cdcMerge(hourly(0),
+      hourly(0).withColumn("op", lit("U")), "event_id", "op", "ts", "event_id").count() == 0)
+    assert(Ingest.cdcMerge(hourly(3),
+      hourly(0).withColumn("op", lit("U")), "event_id", "op", "ts", "event_id").count() == 3)
+    assert(Ingest.mergeAggState(
+      Ingest.aggState(noEvents, "key", "value"), noEvents, "key", "value").count() == 0)
+    assert(Ingest.mergeAggState(
+      Ingest.aggState(hourly(5), "key", "value"), noEvents, "key", "value").count() == 1)
+
+    assert(Decompose.seasonalDecompose(noEvents, "key", "ts", "event_id", "value", 2).count() == 0)
+    assert(Streams.hoppingWindow(noEvents, "ts", "value", "2 hours", "1 hour").count() == 0)
+
+    assert(TextOps.repetitionStats(noDocs, "doc_id", "text").count() == 0)
+    assert(TextOps.chunkText(noDocs, "doc_id", "text", 8, 2).count() == 0)
+    assert(TextOps.materializePacked(noDocs, "doc_id", "text", "source", 64).count() == 0)
+
+    assert(Similarity.quantizeInt8Flat(noVecs, "vec_id", "embedding").count() == 0)
+    assert(Similarity.quantizedTopK(noVecs, noVecs, "vec_id", "embedding", 3).count() == 0)
+  }
 }
