@@ -171,6 +171,7 @@ object SparkEntry {
     "d2_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(s, d)),
     "d3_top_customers" -> ((s, d) => Analytics.topCustomers(s, d, 10)),
     "d9_grouped_topn" -> ((s, d) => Analytics.groupedTopN(s, d, 3)),
+    "d10_big_orders" -> ((s, d) => Analytics.bigOrders(s, d, 200L)),
     "d4_order_priority_exists" -> ((s, d) => Analytics.orderPriorityExists(s, d)),
     "d5_promo_share" -> ((s, d) => Analytics.promoShare(s, d)),
     "d6_events_user_funnel" -> ((s, d) => Analytics.eventsUserFunnel(Tables.events(s, d))),
@@ -921,6 +922,13 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "d10_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+           sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS total_qty
+         FROM lineitem GROUP BY 1
+         HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 > 200)
+         SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey""",
     "d9_grouped_topn" ->
       """WITH r AS (SELECT c_nationkey, c_custkey,
            sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents

@@ -147,6 +147,24 @@ object Analytics {
         (col("__cents") / 100.0).as("revenue"), col("rank"))
   }
 
+  /** Q18-style "large orders": orders whose total line quantity exceeds
+    * a threshold — the aggregate-subquery-as-filter plan shape. The
+    * aggregation runs FIRST (map-side partial combine on l_orderkey),
+    * so the join input is the small filtered aggregate, not the fact
+    * table; AQE turns it into a broadcast join of the aggregate when it
+    * fits. Quantity summed in exact integer hundredths so the threshold
+    * cut is engine-independent. */
+  def bigOrders(spark: SparkSession, dir: String, qtyThreshold: Long): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg((sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0).as("total_qty"))
+      .filter(col("total_qty") > qtyThreshold)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
   /** Behavioral funnel over the event stream: per user, conditional
     * event-type counts + value rollup (single groupBy pass). */
   def eventsUserFunnel(events: DataFrame): DataFrame =

@@ -26,6 +26,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(nations.length == flat)
   }
 
+  test("bigOrders keeps exactly the orders whose line quantity exceeds the threshold") {
+    val out = Analytics.bigOrders(spark, sf, 200L).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("total_qty") > 200.0))
+    // spot-check completeness against a direct recount
+    val li = Tables.lineitem(spark, sf)
+    val expect = li.groupBy(col("l_orderkey"))
+      .agg((sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0).as("q"))
+      .filter(col("q") > 200).count()
+    assert(out.length.toLong == expect)
+  }
+
   test("groupedTopN ranks per group with contiguous ranks and descending revenue") {
     val out = Analytics.groupedTopN(spark, sf, 3).collect()
     val byNation = out.groupBy(_.getAs[Number]("c_nationkey").longValue)
