@@ -322,6 +322,9 @@ object SparkEntry {
         Seq("user_id", "event_type", "period"), "event_id")),
     "f5_hopping_window" -> ((s, d) =>
       Streams.hoppingWindow(Tables.events(s, d), "ts", "value", "2 hours", "1 hour")),
+    "f6_interval_join" -> ((s, d) =>
+      Streams.intervalJoin(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", "value", "purchase", 1800L)),
     "g6_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -1246,6 +1249,15 @@ object SparkEntry {
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id, event_type, date_trunc('second', ts)
            ORDER BY event_id) = 1""",
+    "f6_interval_join" ->
+      """SELECT e.event_id, date_trunc('second', e.ts) AS period, e.user_id,
+         count(p.event_id) AS n_matched,
+         coalesce(sum(CAST(round(p.value * 100, 0) AS BIGINT)), 0) / 100.0 AS matched_value
+         FROM events e LEFT JOIN events p
+           ON p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND date_trunc('second', p.ts) >= date_trunc('second', e.ts) - INTERVAL 1800 SECOND
+           AND date_trunc('second', p.ts) <= date_trunc('second', e.ts)
+         GROUP BY 1, 2, 3""",
     "f5_hopping_window" ->
       """SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS window_start,
          date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) + to_hours(2) AS window_end,

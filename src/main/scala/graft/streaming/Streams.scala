@@ -83,9 +83,55 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("n"), col("sum_value"))
 
+  /** Interval-join enrichment (batch form): for every event, aggregate
+    * the same key's events of a given type within the PRECEDING
+    * `windowSeconds` — the bounded-history feature join every
+    * feature-store pipeline needs ("purchases in the last 30 min").
+    * Self-inclusive: a qualifying event sees itself. Equi-join on the
+    * key with a time-range residual: both sides shuffle once on the
+    * key, and per-pair work is bounded by per-key activity in the
+    * window (salt the key upstream if one key dominates). Value mass in
+    * exact integer cents. The streaming twin is a watermarked
+    * stream-stream interval join ([[intervalJoinStream]]). */
+  def intervalJoin(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   typeCol: String, valueCol: String, matchType: String,
+                   windowSeconds: Long): DataFrame = {
+    val e = events.select(col(idCol), date_trunc("second", col(tsCol)).as("period"),
+      col(keyCol), col(typeCol), col(valueCol))
+    val p = events.filter(col(typeCol) === matchType)
+      .select(col(keyCol).as("__pk"), date_trunc("second", col(tsCol)).as("__pts"),
+        col(idCol).as("__pid"), col(valueCol).as("__pv"))
+    e.join(p,
+        col(keyCol) === col("__pk") &&
+          col("__pts") >= col("period") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+          col("__pts") <= col("period"),
+        "left")
+      .groupBy(col(idCol), col("period"), col(keyCol))
+      .agg(
+        count(col("__pid")).as("n_matched"),
+        (coalesce(sum(round(col("__pv") * 100, 0).cast("long")), lit(0L)) / 100.0)
+          .as("matched_value"))
+  }
+
   // ---------------------------------------------------------------------
   // Structured Streaming twins
   // ---------------------------------------------------------------------
+
+  /** Streaming twin of [[intervalJoin]]: watermarked stream-stream
+    * interval join (append mode) — emits each (event, match) pair as
+    * the watermark admits it; the downstream aggregation is the
+    * stateful half a real pipeline composes on top. State retention is
+    * bounded by watermark + interval, the standard Spark
+    * stream-stream-join state contract. */
+  def intervalJoinStream(events: DataFrame, matches: DataFrame,
+                         keyCol: String, tsCol: String,
+                         matchKeyCol: String, matchTsCol: String,
+                         windowSeconds: Long, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .join(matches.withWatermark(matchTsCol, watermark),
+        col(keyCol) === col(matchKeyCol) &&
+          col(matchTsCol) >= col(tsCol) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+          col(matchTsCol) <= col(tsCol))
 
   /** Streaming twin of [[hoppingWindow]]: watermarked sliding-window
     * aggregation — identical `window()` bucketing, windows emit as the

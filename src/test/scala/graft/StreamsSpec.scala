@@ -114,6 +114,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin counts same-key matches within the preceding window, batch and stream agree") {
+    val iv = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "purchase", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:20:00"), 7L, "view", 1.0),  // sees purchase @10:00
+      (3L, Timestamp.valueOf("2024-01-01 10:40:00"), 7L, "view", 1.0),  // 40min later: sees nothing
+      (4L, Timestamp.valueOf("2024-01-01 10:20:00"), 8L, "view", 1.0)   // other user: nothing
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Streams.intervalJoin(iv, "user_id", "ts", "event_id",
+      "event_type", "value", "purchase", 1800L)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_matched"), r.getAs[Double]("matched_value"))).toMap
+    assert(out(1L) == ((1L, 10.0))) // the purchase sees itself
+    assert(out(2L) == ((1L, 10.0)))
+    assert(out(3L) == ((0L, 0.0)))
+    assert(out(4L) == ((0L, 0.0)))
+
+    // stream-stream interval join twin emits the matched pairs
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("buy_user", "buy_ts", "buy_value"),
+      "user_id", "ts", "buy_user", "buy_ts", 1800L, "1 minute")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ivjtest").start()
+    try {
+      buys.addData((7L, Timestamp.valueOf("2024-01-01 10:00:00"), 10.0))
+      clicks.addData(
+        (7L, Timestamp.valueOf("2024-01-01 10:20:00")),  // inside the 30-min window
+        (7L, Timestamp.valueOf("2024-01-01 10:40:00")),  // outside
+        (8L, Timestamp.valueOf("2024-01-01 10:20:00")))  // wrong key
+      q.processAllAvailable()
+      val res = spark.table("ivjtest").collect()
+      assert(res.length == 1)
+      assert(res.head.getAs[Long]("user_id") == 7L &&
+        res.head.getAs[Double]("buy_value") == 10.0)
+    } finally q.stop()
+  }
+
   test("streamDedupStream drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
