@@ -462,7 +462,7 @@ object SparkEntry {
          off AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
            FROM toks),
-         b AS (SELECT *, start_offset // 1024 AS bin FROM off)
+         b AS (SELECT *, start_offset // 1024 AS bin FROM off WHERE tokens > 0)
          SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
            CAST(sum(tokens) AS BIGINT) AS n_tokens,
            string_agg(text, ' ' ORDER BY doc_id) AS packed_text

@@ -100,10 +100,15 @@ object TextOps {
     * state is bounded by the token budget no matter how large the
     * corpus; the interpreted transform over it runs once per BIN, not
     * per token. Same contract as packSequences: non-null text,
-    * deterministic id order. */
+    * deterministic id order. Zero-token documents are EXCLUDED: they
+    * contribute nothing to a training sequence, don't move the running
+    * offset, and — since they all share their predecessor's offset — a
+    * corpus with millions of empties would otherwise collect them into
+    * one unbounded bin. */
   def materializePacked(docs: DataFrame, idCol: String, textCol: String,
                         groupCol: String, budget: Int): DataFrame =
     binAssign(docs, idCol, textCol, groupCol, budget, carryText = true)
+      .filter(col("tokens") > 0)
       .groupBy(col(groupCol), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),

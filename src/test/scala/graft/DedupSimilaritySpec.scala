@@ -312,6 +312,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("materializePacked concatenates bins in id order with exact counts") {
     val docs = Seq(
       (1L, "g1", "a b c"), (2L, "g1", "d e f g"), (3L, "g1", "h i"),
+      (4L, "g2", ""),      // zero-token doc: excluded, moves no offset
       (5L, "g2", "one two")
     ).toDF("doc_id", "source", "text")
     // budget 4: g1 offsets 0,3,7 -> bins 0,0,1
