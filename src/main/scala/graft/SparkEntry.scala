@@ -1287,8 +1287,8 @@ object SparkEntry {
             WHERE bigram IS NOT NULL GROUP BY 1, 2),
           bstats AS (SELECT doc_id, sum(c) AS btotal, max(c) AS topb FROM bc GROUP BY 1)
           SELECT doc_id,
-            coalesce(total, 0) AS n_words,
-            coalesce(dstnct, 0) AS n_distinct,
+            CAST(coalesce(total, 0) AS BIGINT) AS n_words,
+            CAST(coalesce(dstnct, 0) AS BIGINT) AS n_distinct,
             CASE WHEN total > 0 THEN floor((topw * 20000 + total) / (total * 2)) / 10000.0
                  ELSE 0.0 END AS top_word_frac,
             CASE WHEN total > 0 THEN floor(((total - dstnct) * 20000 + total) / (total * 2)) / 10000.0
