@@ -234,9 +234,16 @@ object SparkEntry {
       TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", 5)),
     "e21_redact" -> ((s, d) =>
       TextOps.redact(Tables.documents(s, d), "doc_id", "text")),
-    "e22_cosine_dup_lsh" -> ((s, d) =>
-      Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        16, 8, 0.25)),
+    "e22_cosine_dup_lsh" -> ((s, d) => {
+      // scale-safe gate config: banding derives from the corpus count
+      // (at sf0.01 this is autoPlanes(500,8)=16, the former fixed
+      // config; at sf1 it self-tunes to the wider banding BASELINE.md
+      // showed is needed). The count() is one column-pruned metadata
+      // job — a catalog row-count stat on a real deployment.
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
+        Similarity.autoPlanes(emb.count(), 8), 8, 0.25)
+    }),
     "e23_sequence_pack" -> ((s, d) =>
       TextOps.packSequences(Tables.documents(s, d), "doc_id", "text", "source", 1024)),
     "e24_decontaminate" -> ((s, d) => {
@@ -412,6 +419,30 @@ object SparkEntry {
       case (row, p) =>
         s"($p, CAST([${row.map(v => f"$v%.6f").mkString(",")}] AS DOUBLE[]))"
     }.mkString(", ")
+
+  /** LSH CTEs with the e22 gate's self-tuning banding: bits per band
+    * re-derived from `count(*)` with the identical integer rule as
+    * [[graft.vector.Similarity.autoPlanes]] (smallest b in [2, 64/bands]
+    * with targetBucket·2^b ≥ n), so Spark and the oracle agree at every
+    * scale factor without editing the SQL. The full 64/bands·bands-plane
+    * matrix is embedded; the signature only folds planes < bands·per. */
+  private def lshBandCteAuto(bands: Int, targetBucket: Long = 500L): String = {
+    val maxPer = 64 / bands
+    s"""planes(p, vec) AS (VALUES ${planesValuesSql(bands * maxPer, 64)}),
+        cfg AS (SELECT coalesce(
+            (SELECT min(bb.b) FROM (SELECT unnest(range(2, ${maxPer + 1})) AS b) bb
+             WHERE $targetBucket * (CAST(1 AS BIGINT) << bb.b) >= (SELECT count(*) FROM embeddings)),
+            $maxPer) AS per),
+        sigs AS (SELECT e.vec_id,
+            CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.vec")} >= 0
+              THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS sig
+          FROM embeddings e CROSS JOIN planes p CROSS JOIN cfg
+          WHERE p.p < $bands * cfg.per GROUP BY 1),
+        bnd AS (SELECT vec_id, band,
+            (sig >> (band * cfg.per)) & ((CAST(1 AS BIGINT) << cfg.per) - 1) AS key
+          FROM sigs CROSS JOIN cfg
+          CROSS JOIN (SELECT unnest(range($bands)) AS band) b)"""
+  }
 
   /** Shared LSH CTEs: per-vector sign signature over the embedded
     * planes, then per-band sub-keys (mirrors Similarity.lshSignature +
@@ -1024,7 +1055,7 @@ object SparkEntry {
             row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
           FROM scored QUALIFY rank <= 5""",
     "e22_cosine_dup_lsh" ->
-      s"""WITH ${lshBandCte(16, 8)},
+      s"""WITH ${lshBandCteAuto(8)},
           pruned AS (SELECT * FROM bnd
             QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000),
           pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

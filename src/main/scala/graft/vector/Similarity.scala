@@ -160,16 +160,21 @@ object Similarity {
 
   /** Plane count keeping expected LSH bucket occupancy ≤ targetBucket
     * at corpus size n, with `bands` OR-amplification bands: bits per
-    * band = max(2, ceil(log2(n / targetBucket))), capped so a band key
-    * fits the 64-bit signature. Deployments re-derive this as the
-    * corpus grows; the driver-gate configs (16, 8) are exactly
-    * autoPlanes(n ≤ 2000, 8, 500). */
+    * band = the smallest b ≥ 2 with targetBucket·2^b ≥ n (i.e.
+    * max(2, ceil(log2(n / targetBucket)))), capped so a band key fits
+    * the 64-bit signature. Integer-exact on purpose: the DuckDB oracle
+    * re-derives the same count from its own `count(*)`, and a float
+    * `ceil(log2(...))` can flip at exact powers of two. Deployments
+    * re-derive this as the corpus grows; the e22 driver gate does
+    * exactly that from the corpus count. */
   def autoPlanes(n: Long, bands: Int, targetBucket: Long = 500L): Int = {
     require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
     require(targetBucket >= 1, s"targetBucket must be positive, got $targetBucket")
-    val bits = math.max(2,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
-    bands * math.min(bits, 64 / bands)
+    val maxBits = 64 / bands
+    // ((n-1) >> b) < targetBucket  ⟺  targetBucket * 2^b >= n, overflow-free
+    var bits = 2
+    while (bits < maxBits && ((n - 1) >> bits) >= targetBucket) bits += 1
+    bands * math.min(bits, maxBits)
   }
 
   /** Embedding near-duplicate pairs with LSH-bucket blocking — the
