@@ -131,6 +131,15 @@ object SparkEntry {
       TimeSeries.rollingStats(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24)),
     "c11_ridge_lag_forecast" -> ((s, d) =>
       Forecast.ridgeLagForecast(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 1.0)),
+    "c22_coeff_apply" -> ((s, d) => {
+      // train -> apply in one entry (the gate has no cross-query
+      // persistence); the round-trip through a parquet artifact is
+      // spec'd in TimeSeriesSpec
+      val ev = Tables.events(s, d)
+      Forecast.applyCoefficients(ev,
+        Forecast.ridgeLagForecast(ev, "user_id", "ts", "event_id", "value", 24, 1.0),
+        "user_id", "ts", "event_id", "value", 24)
+    }),
     "c14_multi_horizon_forecast" -> ((s, d) =>
       Forecast.multiHorizonForecast(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 3600L)),
     "c15_model_selection" -> ((s, d) =>
@@ -791,6 +800,38 @@ object SparkEntry {
            round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det ELSE 0.0 END, 6) AS coef_lag1,
            round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (a11 * b2 - b1 * a12) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det ELSE 0.0 END, 6) AS coef_lag_season
          FROM d""",
+    // c22: c11's coefficient table (rounded exactly as persisted —
+    // inference consumes the artifact, not the raw solve) applied back
+    // to the lag-feature rows
+    "c22_coeff_apply" ->
+      """WITH f AS (
+           SELECT user_id, event_id, date_trunc('second', ts) AS period, value,
+             lag(value, 1) OVER w AS x1, lag(value, 24) OVER w AS x2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)),
+         ff AS (SELECT * FROM f WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+         c AS (SELECT user_id, round(value * 100, 0) AS cy,
+             round(x1 * 100, 0) AS c1, round(x2 * 100, 0) AS c2 FROM ff),
+         g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS s00,
+             sum(c1) / 100.0 AS s01, sum(c2) / 100.0 AS s02,
+             sum(c1 * c1) / 10000.0 AS s11, sum(c1 * c2) / 10000.0 AS s12,
+             sum(c2 * c2) / 10000.0 AS s22,
+             sum(cy) / 100.0 AS b0, sum(c1 * cy) / 10000.0 AS b1,
+             sum(c2 * cy) / 10000.0 AS b2
+           FROM c GROUP BY 1),
+         m AS (SELECT user_id, s00 + 1.0 AS a00, s01 AS a01, s02 AS a02,
+             s11 + 1.0 AS a11, s12 AS a12, s22 + 1.0 AS a22, b0, b1, b2 FROM g),
+         d AS (SELECT *,
+             a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det
+           FROM m),
+         co AS (SELECT user_id,
+             round(CASE WHEN abs(det) > 1e-12 THEN (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det ELSE 0.0 END, 4) AS intercept,
+             round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det ELSE 0.0 END, 6) AS coef_lag1,
+             round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (a11 * b2 - b1 * a12) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det ELSE 0.0 END, 6) AS coef_lag_season
+           FROM d)
+         SELECT ff.event_id, ff.user_id, ff.period, ff.value,
+           round(co.intercept + co.coef_lag1 * ff.x1 + co.coef_lag_season * ff.x2, 4) AS prediction
+         FROM ff JOIN co ON ff.user_id = co.user_id""",
     "c15_model_selection" ->
       """WITH f AS (
            SELECT user_id, event_id, date_trunc('second', ts) AS period, value,

@@ -139,6 +139,28 @@ object Forecast {
       round(col("__c2"), 6).as("coef_lag_season"))
   }
 
+  /** Inference-time ridge apply — the load_model + predict half of the
+    * reference's artifact persistence (model.py:337-380 save/load,
+    * :318 predict): a persisted coefficient table from
+    * [[ridgeLagForecast]] (or a [[modelSelection]] winner renamed to
+    * the same columns) is applied to FRESH data. The model-side
+    * counterpart of [[TimeSeries.applyScaler]] for c12 scalers.
+    *
+    * Scale shape: training scans the full history once to fit; daily
+    * inference (airflow_dag.py's cadence) re-reads only the new data.
+    * The coefficient table is one row per key, so it broadcasts — the
+    * fresh 100 TB side shuffles once for its own lag window and never
+    * for the join. Predictions round to 4 decimals like every other
+    * forecast surface. */
+  def applyCoefficients(fresh: DataFrame, coefs: DataFrame, keyCol: String,
+                        tsCol: String, idCol: String, valueCol: String,
+                        season: Int): DataFrame =
+    lagFeats(fresh, keyCol, tsCol, idCol, valueCol, season)
+      .join(broadcast(coefs), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col("period"), col(valueCol),
+        round(col("intercept") + col("coef_lag1") * col("x1") +
+          col("coef_lag_season") * col("x2"), 4).as("prediction"))
+
   /** Per-key lag features [x1 = lag 1, x2 = lag season] over the
     * second-truncated series; rows with either lag missing drop. */
   private def lagFeats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,

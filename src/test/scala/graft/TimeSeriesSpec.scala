@@ -104,6 +104,25 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("applyCoefficients round-trips through a persisted artifact and matches the fit") {
+    // train -> persist to parquet -> reload -> apply must equal applying
+    // the in-memory coefficient table (the model.py save/load contract),
+    // and on the AR(1)-exact series the predictions track the truth
+    val coefs = Forecast.ridgeLagForecast(series, "key", "ts", "event_id", "value", 24, 1e-6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-coeffs").toString
+    coefs.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val applied = Forecast.applyCoefficients(series, reloaded, "key", "ts", "event_id", "value", 24)
+    val inline = Forecast.applyCoefficients(series, coefs, "key", "ts", "event_id", "value", 24)
+    assert(applied.exceptAll(inline).isEmpty && inline.exceptAll(applied).isEmpty)
+    // series is value(t) = value(t-1) + 2 exactly: predictions within
+    // regularization slack of the actuals, for every row and both keys
+    assert(applied.count() == 2 * (100 - 24))
+    applied.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("prediction") - r.getAs[Double]("value")) < 1.0)
+    }
+  }
+
   test("backtest scores a perfect seasonal series as zero error in every fold") {
     // strict 24-periodicity -> seasonal-naive is exact in all folds
     val rows = for {
