@@ -23,8 +23,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated subset for targeted profiling
+    // (SPARK_GRAFT_QUERIES unset -> the full driver-contract run)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val queries = SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
@@ -46,7 +50,7 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     // 3-decimal fixed-point keeps the one-line JSON compact enough that
@@ -59,9 +63,11 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Truncation-proof record (r4 captured only 71/90 per-query times
     // from stdout): persist the complete map to a file the judge can
-    // read regardless of how much of the console tail survives.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
+    // read regardless of how much of the console tail survives. Only
+    // full runs write it — a targeted profile must not shadow the map.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
     // stop Spark BEFORE printing so the JSON is the process's final
     // stdout line — nothing can push it out of a bounded tail capture
     spark.stop()

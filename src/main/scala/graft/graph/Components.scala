@@ -51,49 +51,68 @@ object Components {
       .persist()
     // every node appears as src of the symmetric list; seeding with
     // min(self, neighbors) costs the same single shuffle a distinct
-    // would and completes the first propagation round for free
-    var labels = edges.groupBy(col("src").as("node"))
+    // would and completes the first propagation round for free — and
+    // pointer-jumping the seed INSIDE the same job (one more tiny
+    // self-join before the checkpoint) starts the loop at 2-hop reach,
+    // which shaves a full round off typical shallow near-dup graphs
+    val seed0 = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("__m"))
-      .select(col("node"), least(col("node"), col("__m")).as("component"))
+      .select(col("node"), least(col("node"), col("__m")).as("__c1"))
+    var labels = seed0
+      .join(seed0.select(col("__c1").as("__cc"), col("node").as("__c1")),
+        Seq("__c1"), "left")
+      .select(col("node"),
+        least(col("__c1"), coalesce(col("__cc"), col("__c1"))).as("component"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence via the LABEL-SUM SIGNATURE: min-propagation only ever
+    // DECREASES a label, so sum(component) is strictly decreasing until
+    // the fixpoint and equality between rounds proves no label moved —
+    // one scalar aggregate per round instead of carrying the previous
+    // label through an extra join and filter-counting the diffs.
+    // Decimal(38,0) keeps the sum exact out to ~1e19 graph nodes.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbMin = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("component")).as("__nb"))
-      // LAZY checkpoints: the convergence count below is the round's one
-      // action — it materializes both checkpoints AND truncates lineage
-      // (each intermediate appears twice in the round's plan, so without
-      // truncation the logical plan doubles per round). `stepped` is
-      // checkpointed BEFORE the self-join so the edge join + groupBy run
-      // once, not twice.
-      val stepped = labels.join(nbMin, Seq("node"))
-        .select(col("node"), col("component").as("__old"),
-          least(col("component"), col("__nb")).as("__c1"))
+    while (!converged && i < maxIter) {
+      // one propagation + pointer jump per round, O(log diameter) total.
+      // Neighbor components and own component fold through a single
+      // union + min-aggregation (least(own, neighborMin) as one shuffle,
+      // not a groupBy plus a join back). LAZY checkpoint: the round's
+      // sum action materializes it AND truncates lineage (`prop` feeds
+      // both sides of the jump join, so without truncation the logical
+      // plan doubles per round).
+      val prop = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("component"))
+        .unionByName(labels)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("__c1"))
         .localCheckpoint(false)
       // pointer jumping: component <- min(component, label(component)).
       // Labels are always ids of nodes present in the table, so the
       // lookup hits (left join + coalesce only guards the first round's
       // transient states).
-      val next = stepped
-        .join(stepped.select(col("node").as("__c1"), col("__c1").as("__cc")),
+      val next = prop
+        .join(prop.select(col("__c1").as("__cc"), col("node").as("__c1")),
           Seq("__c1"), "left")
         .select(col("node"),
-          least(col("__c1"), coalesce(col("__cc"), col("__c1"))).as("component"),
-          (col("__old") =!= least(col("__c1"), coalesce(col("__cc"), col("__c1"))))
-            .as("__chg"))
+          least(col("__c1"), coalesce(col("__cc"), col("__c1"))).as("component"))
         .localCheckpoint(false)
-      changed = next.filter(col("__chg")).count()
-      labels = next.drop("__chg")
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       i += 1
     }
     edges.unpersist()
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — component labels would be " +
-          "silently wrong; raise maxIter")
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component labels would be silently wrong; raise maxIter")
     labels
   }
 
