@@ -270,11 +270,15 @@ object SparkEntry {
       TextOps.chunkText(Tables.documents(s, d), "doc_id", "text", 64, 16)),
 
     // ---------------- G. sources / sinks ----------------
+    // (scratch paths/table names derive from the sanitized dataset dir
+    // itself — abs(hashCode) could collide across dirs and stays
+    // negative for Int.MinValue, letting one run's batches bleed into
+    // another's read)
     "g1_csv_roundtrip" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
         col("user_id"), col("event_type"), col("value"))
-      val tmp = s"/tmp/graft_sources/csv_${math.abs(d.hashCode)}"
+      val tmp = s"/tmp/graft_sources/csv_${pathTag(d)}"
       graft.sources.Sources.writeCsv(ev, tmp)
       graft.sources.Sources.validRecords(
         graft.sources.Sources.readCsv(s, tmp,
@@ -285,7 +289,7 @@ object SparkEntry {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
         col("user_id"), col("event_type"), col("value"))
-      val tmp = s"/tmp/graft_sources/pq_${math.abs(d.hashCode)}"
+      val tmp = s"/tmp/graft_sources/pq_${pathTag(d)}"
       graft.sources.Sources.writePartitionedParquet(ev, tmp, Seq("event_type"))
       // the filter prunes to one partition directory at planning time
       graft.sources.Sources.readParquet(s, tmp)
@@ -297,7 +301,7 @@ object SparkEntry {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
         col("user_id"), col("event_type"), col("value"))
-      val tmp = s"/tmp/graft_sources/jsonl_${math.abs(d.hashCode)}"
+      val tmp = s"/tmp/graft_sources/jsonl_${pathTag(d)}"
       graft.sources.Sources.writeJsonl(ev, tmp)
       graft.sources.Sources.validRecords(
         graft.sources.Sources.readJsonl(s, tmp,
@@ -307,7 +311,7 @@ object SparkEntry {
     "g3_bucketed_join" -> ((s, d) => {
       // both fact sides written bucketed on the join key -> the join
       // below plans with zero Exchange (see SourcesSpec assertion)
-      val sfx = math.abs(d.hashCode).toString
+      val sfx = pathTag(d)
       graft.sources.Sources.writeBucketed(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
         s"g3_orders_$sfx", "o_custkey", 8)
@@ -345,7 +349,7 @@ object SparkEntry {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
         col("user_id"), col("event_type"), col("value"))
-      val tmp = s"/tmp/graft_sources/evo_${math.abs(d.hashCode)}"
+      val tmp = s"/tmp/graft_sources/evo_${pathTag(d)}"
       // batch 1 written before the `value` column existed; batch 2 after
       ev.filter(col("event_id") < 5000).drop("value")
         .write.mode("overwrite").parquet(s"$tmp/batch=1")
@@ -359,7 +363,7 @@ object SparkEntry {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
         col("user_id"), col("event_type"), col("value"))
-      val tmp = s"/tmp/graft_sources/orc_${math.abs(d.hashCode)}"
+      val tmp = s"/tmp/graft_sources/orc_${pathTag(d)}"
       graft.sources.Sources.writeOrc(ev, tmp)
       graft.sources.Sources.readOrc(s, tmp,
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -420,6 +424,12 @@ object SparkEntry {
   private def foldSigSql(cols: Seq[String]): String =
     cols.foldLeft("CAST(0 AS BIGINT)")((acc, c) =>
       s"(($acc * 31 + $c) % ${graft.text.Dedup.PolyP})")
+
+  /** Scratch-path / table-name tag for the g-group sinks: the dataset
+    * dir itself, sanitized to [A-Za-z0-9_] — injective enough that two
+    * different dirs can never share a scratch location (abs(hashCode)
+    * could collide, and stays negative for Int.MinValue). */
+  private def pathTag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Hyperplane matrix as a VALUES list — components are exactly n/1e6,
     * so the %.6f literal parses to the identical double. */
@@ -507,15 +517,21 @@ object SparkEntry {
            CAST(sum(tokens) AS BIGINT) AS n_tokens,
            string_agg(text, ' ' ORDER BY doc_id) AS packed_text
          FROM b GROUP BY 1, 2""",
+    // null array SLOTS coalesce to 0.0 before abs/quantize — the
+    // engine's native expressions read null slots as 0.0 (documented
+    // contract on ArrayDot/ArrayAbsMax/QuantizeInt8), so the oracle
+    // must not propagate them to NULL codes
     "e27_embedding_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
-           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           list_max(list_transform(embedding,
+             x -> abs(coalesce(CAST(x AS DOUBLE), 0.0)))) AS scale
          FROM embeddings WHERE embedding IS NOT NULL),
          e AS (SELECT vec_id, scale, embedding,
            unnest(range(len(embedding))) AS pos FROM s)
          SELECT vec_id, CAST(pos AS BIGINT) AS pos,
            CAST(CASE WHEN scale > 0
-             THEN floor(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) / scale * 127.0 + 0.5)
+             THEN floor(coalesce(CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE), 0.0)
+               / scale * 127.0 + 0.5)
              ELSE 0 END AS INT) AS code,
            scale
          FROM e""",

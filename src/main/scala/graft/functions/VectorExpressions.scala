@@ -316,7 +316,13 @@ object VectorExpressions {
     * [-127, 127] with no clamp branch. scale <= 0 (zero vector) yields
     * all-zero codes. Output array<int>, accepted directly by
     * ArrayDot/ArrayNorm2 — scales cancel in cosine, so quantized ANN
-    * reuses the existing primitives unchanged. */
+    * reuses the existing primitives unchanged.
+    *
+    * NULL-SLOT CONTRACT: a null input element quantizes as 0.0 (code
+    * 0), like every expression in this file — the output therefore
+    * truly has containsNull=false, and the e27 oracle coalesces null
+    * elements to 0 to match. Callers needing null propagation must
+    * pre-filter. */
   case class QuantizeInt8(vec: Expression, scale: Expression) extends BinaryExpression {
     override def left: Expression = vec
     override def right: Expression = scale
