@@ -844,10 +844,20 @@ object SparkEntry {
              round(CASE WHEN abs(det) > 1e-12 THEN (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det ELSE 0.0 END, 4) AS intercept,
              round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det ELSE 0.0 END, 6) AS coef_lag1,
              round(CASE WHEN abs(det) > 1e-12 THEN (a00 * (a11 * b2 - b1 * a12) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det ELSE 0.0 END, 6) AS coef_lag_season
-           FROM d)
-         SELECT ff.event_id, ff.user_id, ff.period, ff.value,
-           round(co.intercept + co.coef_lag1 * ff.x1 + co.coef_lag_season * ff.x2, 4) AS prediction
-         FROM ff JOIN co ON ff.user_id = co.user_id""",
+           FROM d),
+         ci AS (SELECT user_id,
+             CAST(round(intercept * 10000, 0) AS BIGINT) AS i4,
+             CAST(round(coef_lag1 * 1000000, 0) AS BIGINT) AS c1i,
+             CAST(round(coef_lag_season * 1000000, 0) AS BIGINT) AS c2i
+           FROM co),
+         p AS (SELECT ff.event_id, ff.user_id, ff.period, ff.value,
+             ci.i4 * 10000 + ci.c1i * CAST(round(ff.x1 * 100, 0) AS BIGINT)
+               + ci.c2i * CAST(round(ff.x2 * 100, 0) AS BIGINT) AS p8
+           FROM ff JOIN ci ON ff.user_id = ci.user_id)
+         SELECT event_id, user_id, period, value,
+           (CASE WHEN p8 < 0 THEN -1.0 ELSE 1.0 END)
+             * floor((abs(p8) + 5000) / 10000.0) / 10000.0 AS prediction
+         FROM p""",
     "c15_model_selection" ->
       """WITH f AS (
            SELECT user_id, event_id, date_trunc('second', ts) AS period, value,

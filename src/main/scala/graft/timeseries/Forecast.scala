@@ -150,16 +150,31 @@ object Forecast {
     * inference (airflow_dag.py's cadence) re-reads only the new data.
     * The coefficient table is one row per key, so it broadcasts — the
     * fresh 100 TB side shuffles once for its own lag window and never
-    * for the join. Predictions round to 4 decimals like every other
-    * forecast surface. */
+    * for the join.
+    *
+    * Predictions are computed in EXACT FIXED POINT: the persisted
+    * coefficients carry 4/6 decimals and inputs carry 2, so
+    * intercept·1e8 + coef·1e6 · x·1e2 is an exact int64 in 1e-8 units
+    * and the half-up 4-decimal rounding is pure integer arithmetic —
+    * a binary-double sum can land a half-boundary ulp apart across
+    * engines and flip the 4th decimal (sf1 exposed exactly one such
+    * row). Magnitudes: |coef| < 1e3, |x| < 1e7 keeps every product
+    * under 2^53. */
   def applyCoefficients(fresh: DataFrame, coefs: DataFrame, keyCol: String,
                         tsCol: String, idCol: String, valueCol: String,
-                        season: Int): DataFrame =
+                        season: Int): DataFrame = {
+    val i4 = round(col("intercept") * 10000, 0).cast("long")
+    val c1i = round(col("coef_lag1") * 1000000, 0).cast("long")
+    val c2i = round(col("coef_lag_season") * 1000000, 0).cast("long")
+    val x1i = round(col("x1") * 100, 0).cast("long")
+    val x2i = round(col("x2") * 100, 0).cast("long")
+    val p8 = i4 * 10000L + c1i * x1i + c2i * x2i
+    val sgn = when(p8 < 0, -1.0).otherwise(1.0)
     lagFeats(fresh, keyCol, tsCol, idCol, valueCol, season)
       .join(broadcast(coefs), Seq(keyCol))
       .select(col(idCol), col(keyCol), col("period"), col(valueCol),
-        round(col("intercept") + col("coef_lag1") * col("x1") +
-          col("coef_lag_season") * col("x2"), 4).as("prediction"))
+        (sgn * floor((abs(p8) + 5000L) / 10000.0) / 10000.0).as("prediction"))
+  }
 
   /** Per-key lag features [x1 = lag 1, x2 = lag season] over the
     * second-truncated series; rows with either lag missing drop. */
