@@ -19,6 +19,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 64 MB broadcast budget (default 10 MB is sized for small-heap
+      // executors): lets AQE broadcast mid-size build sides it measures
+      // at runtime — e.g. e4's 50k-doc gram-array table at sf1 (~55 MB),
+      // which otherwise drags ~7 GB of candidate×array rows through a
+      // sort-merge shuffle. Sides that outgrow the budget at real scale
+      // fall back to shuffle automatically, so this is a per-run
+      // decision from measured sizes, not a plan-time gamble.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // collect_set/collect_list run on ObjectHashAggregate, which falls
       // back to SORT-based aggregation after only 128 distinct groups per
       // partition — every signature-building aggregation (gram sets,

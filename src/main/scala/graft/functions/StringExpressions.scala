@@ -56,4 +56,68 @@ object StringExpressions {
 
   def polyHash(text: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(text)))
+
+  /** SORTED DISTINCT byte-packed character n-grams of a string — the
+    * PPJoin gram builder as ONE primitive pass per document. The HOF
+    * chain it replaces (split per char → transform(ascii) → transform
+    * with n element_at lookups per gram → array_distinct → array_sort)
+    * is CodegenFallback end to end: one UTF8String allocation per
+    * CHARACTER plus boxed lambdas per gram dominated the e4 base build
+    * (~half of its sf1 wall). Byte-for-byte identical to that chain on
+    * normalized text, which is ASCII by construction (the PolyHash
+    * precondition): each code-point lookup equals the UTF-8 byte, and
+    * the shifts mirror cp·2^(8·(n−1−i)). Empty result below n chars;
+    * 1 <= n <= 7 keeps codes in the top byte-slots of an int64. */
+  case class PackedGrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1 && n <= 7, s"gram packing supports 1 <= n <= 7, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"packed_grams argument must be string, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      GramPack.pack(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.GramPack.pack($a, $n);")
+    override protected def withNewChildInternal(c: Expression): PackedGrams =
+      copy(child = c)
+  }
+
+  def packedGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(PackedGrams(ColumnBridge.expression(text), n))
+}
+
+/** Shared packing kernel for [[StringExpressions.PackedGrams]] — a
+  * TOP-LEVEL object so the Scala compiler emits static forwarders and
+  * the generated Java can call `graft.functions.GramPack.pack(...)`
+  * directly: the whole-stage pipeline stays compiled while the per-doc
+  * work is one tight primitive pass. */
+object GramPack {
+  def pack(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    if (b.length < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val m = b.length - n + 1
+    val codes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var code = 0L
+      var j = 0
+      while (j < n) { code = (code << 8) | (b(i + j) & 0xffL); j += 1 }
+      codes(i) = code
+      i += 1
+    }
+    java.util.Arrays.sort(codes)
+    // in-place dedup of the sorted codes
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (codes(i) != codes(w - 1)) { codes(w) = codes(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(codes, w))
+  }
 }

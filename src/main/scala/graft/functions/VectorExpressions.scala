@@ -367,6 +367,65 @@ object VectorExpressions {
       copy(vec = l, scale = r)
   }
 
+  /** Intersection size of two SORTED array<bigint> columns — the
+    * PPJoin verification kernel. A single allocation-free two-pointer
+    * merge per row, compared against `array_intersect` + `size` which
+    * builds a hash set per row and boxes every element (at sf1 the e4
+    * scoring of ~6M candidate pairs spent most of its CPU there).
+    *
+    * CONTRACT: both inputs ascending-sorted, 64-bit exact (compared as
+    * longs — gram codes can exceed 2^53, so the double-based helpers
+    * above are not used). Duplicate elements count once per matching
+    * position pair (min multiplicity), which equals distinct-intersect
+    * semantics on the distinct arrays the dedup pipeline builds. Null
+    * slots read as 0L like every expression in this file. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      Seq(left, right).zipWithIndex.foreach { case (c, i) =>
+        c.dataType match {
+          case ArrayType(LongType, _) => ()
+          case other => return TypeCheckResult.TypeCheckFailure(
+            s"sorted_intersect_count argument ${i + 1} must be array<bigint>, got " +
+              other.catalogString)
+        }
+      }
+      TypeCheckResult.TypeCheckSuccess
+    }
+    private def elemLong(arr: ArrayData, i: Int): Long =
+      if (arr.isNullAt(i)) 0L else arr.getLong(i)
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      var i = 0; var j = 0; var c = 0
+      while (i < x.numElements() && j < y.numElements()) {
+        val xv = elemLong(x, i); val yv = elemLong(y, j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (i, j, c) = (ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("c"))
+        val (xv, yv) = (ctx.freshName("xv"), ctx.freshName("yv"))
+        s"""
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  long $xv = $a.isNullAt($i) ? 0L : $a.getLong($i);
+           |  long $yv = $b.isNullAt($j) ? 0L : $b.getLong($j);
+           |  if ($xv < $yv) { $i++; }
+           |  else if ($xv > $yv) { $j++; }
+           |  else { $c++; $i++; $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
   // ---------------- Column-level entry points ----------------
 
   def arrayDot(a: Column, b: Column): Column =
@@ -389,4 +448,7 @@ object VectorExpressions {
 
   def quantizeInt8(v: Column, scale: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v), ColumnBridge.expression(scale)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

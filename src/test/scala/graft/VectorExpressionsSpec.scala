@@ -107,6 +107,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(VectorExpressions.ArrayNorm2(arr).eval(null) == 10.0)
   }
 
+  test("sortedIntersectCount matches a driver-side set intersection") {
+    val rnd2 = new scala.util.Random(13)
+    val rows = (0 until 60).map { i =>
+      val a = Array.fill(rnd2.nextInt(50))(rnd2.nextInt(40).toLong).distinct.sorted
+      val b = Array.fill(rnd2.nextInt(50))(rnd2.nextInt(40).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }
+    // codegen path
+    val out = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(out(id) == a.toSet.intersect(b.toSet).size, s"row $id")
+    }
+    // interpreted path + 64-bit exactness above 2^53 (7-gram codes)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val big = Array((1L << 53) + 1L, (1L << 53) + 2L, (1L << 62))
+    val l1 = Literal.create(ArrayData.toArrayData(big),
+      ArrayType(LongType, containsNull = false))
+    val l2 = Literal.create(ArrayData.toArrayData(Array((1L << 53) + 2L, (1L << 62))),
+      ArrayType(LongType, containsNull = false))
+    assert(graft.functions.VectorExpressions.SortedIntersectCount(l1, l2).eval(null) == 2)
+    // a double-compared version would collapse 2^53+1 and 2^53+2
+    val l3 = Literal.create(ArrayData.toArrayData(Array((1L << 53) + 2L)),
+      ArrayType(LongType, containsNull = false))
+    assert(graft.functions.VectorExpressions.SortedIntersectCount(l1, l3).eval(null) == 1)
+  }
+
   test("non-array input fails at analysis time, not as a runtime CCE") {
     val bad = Seq((1L, "oops")).toDF("id", "vec")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
