@@ -87,6 +87,75 @@ object StringExpressions {
 
   def packedGrams(text: Column, n: Int): Column =
     ColumnBridge.column(PackedGrams(ColumnBridge.expression(text), n))
+
+  /** Polynomial hashes of every n-word shingle of a normalized string,
+    * in position order — the MinHash/decontamination shingle builder as
+    * ONE primitive pass. Because normalized text is single-space joined
+    * and trimmed (see [[graft.functions.normalizeText]]), each shingle
+    * STRING is a contiguous byte window of the parent text, so its
+    * [[PolyHash]] folds directly over the parent's bytes: no words
+    * array, no per-shingle slice/concat allocation (the HOF chain this
+    * replaces re-sliced and re-joined strings per shingle,
+    * interpreted). Bit-identical to polyHash(concat_ws(" ",
+    * slice(words, i, n))) on that input domain. Fewer than n words (or
+    * an empty string) yields an empty array — callers gate on word
+    * count anyway; note split()'s [""] for empty text makes the n = 1
+    * empty-input case diverge, so keep n >= 2 (enforced). */
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 2 && n <= 64, s"shingle size must be in [2, 64], got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes argument must be string, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      ShinglePack.hashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.ShinglePack.hashes($a, $n);")
+    override protected def withNewChildInternal(c: Expression): ShingleHashes =
+      copy(child = c)
+  }
+
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+}
+
+/** Shared kernel for [[StringExpressions.ShingleHashes]] — top-level so
+  * generated Java calls the static forwarder directly. */
+object ShinglePack {
+  private val P = 1000000007L
+  def hashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val empty = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    if (b.length == 0) return empty
+    // word k spans [starts(k), ends(k)); single-space separators only
+    var words = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' '.toByte) words += 1; i += 1 }
+    if (words < n) return empty
+    val starts = new Array[Int](words)
+    var w = 1
+    starts(0) = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val out = new Array[Long](words - n + 1)
+    var k = 0
+    while (k < out.length) {
+      val from = starts(k)
+      val until = if (k + n == words) b.length else starts(k + n) - 1
+      var acc = 0L
+      i = from
+      while (i < until) { acc = (acc * 31L + (b(i) & 0xff)) % P; i += 1 }
+      out(k) = acc
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }
 
 /** Shared packing kernel for [[StringExpressions.PackedGrams]] — a

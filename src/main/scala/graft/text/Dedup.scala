@@ -64,21 +64,16 @@ object Dedup {
                       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    // Shingles are generated by exploding positions and slicing a
-    // MATERIALIZED words array: putting `wordShingles(...)` straight in a
-    // lambda/explode would re-evaluate the normalize+split expression per
-    // shingle (HOF lambdas get no subexpression elimination) -- O(len^2)
-    // regex work per doc. Post-Generate, `words` is a bound attribute.
+    // Shingle hashes come from ONE native pass per doc
+    // ([[graft.functions.StringExpressions.ShingleHashes]]): each
+    // shingle string is a contiguous window of the normalized text, so
+    // its polynomial hash folds in place — the explode+slice+concat
+    // chain this replaces allocated a words array plus a string per
+    // shingle through interpreted lambdas.
     val shingled = docs
       .select(col(idCol).as("doc_id"),
-        split(normalizeText(col(textCol)), " ").as("words"))
-      .select(col("doc_id"), col("words"),
-        explode(when(size(col("words")) >= shingleSize,
-            sequence(lit(1), size(col("words")) - shingleSize + 1))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("words"), col("i"), lit(shingleSize))).as("shingle"))
-      .select(col("doc_id"), polyFingerprint(col("shingle")).as("h0"))
+        explode(graft.functions.StringExpressions.shingleHashes(
+          normalizeText(col(textCol)), shingleSize)).as("h0"))
     val mhAggs = (0 until numHashes).map(i =>
       min(affineHash(col("h0"), "mh", i)).as(s"mh_$i"))
     val minhashes = shingled.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
@@ -112,19 +107,15 @@ object Dedup {
     * narrow normalize+shingle pass into a broadcast-hash join — the
     * corpus never shuffles, and the only exchange is the partial-
     * aggregated (doc, bench) overlap count. Grams travel as packed
-    * poly-hash longs (never shingle strings). Same materialized-words
-    * layout as [[minhashLshPairs]] (no per-shingle regex re-eval). */
+    * poly-hash longs (never shingle strings), hashed in one native pass
+    * per doc like [[minhashLshPairs]] ([[graft.functions
+    * .StringExpressions.ShingleHashes]]). */
   def contaminationPairs(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int, minShared: Int): DataFrame = {
     def grams(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId),
-          split(normalizeText(col(textCol)), " ").as("__w"))
-        .select(col(outId), col("__w"),
-          explode(when(size(col("__w")) >= n,
-              sequence(lit(1), size(col("__w")) - n + 1))
-            .otherwise(array().cast("array<int>"))).as("__i"))
-        .select(col(outId),
-          polyFingerprint(concat_ws(" ", slice(col("__w"), col("__i"), lit(n)))).as("__g"))
+        explode(graft.functions.StringExpressions.shingleHashes(
+          normalizeText(col(textCol)), n)).as("__g"))
     // Dedup order matters at scale: distinct-ing the TRAIN gram table
     // first would shuffle the whole exploded corpus. Instead the raw
     // train grams broadcast-join against the (small, deduped) benchmark

@@ -138,6 +138,45 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(graft.functions.VectorExpressions.SortedIntersectCount(l1, l3).eval(null) == 1)
   }
 
+  test("packedGrams and shingleHashes match the HOF chains they replaced") {
+    import graft.functions.StringExpressions
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "abc", "ab", "", "single",
+      "repeat repeat repeat repeat")
+    val df2 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // reference: the original split/transform/ascii packing
+    val hof = df2.select(col("id"),
+        transform(split(col("t"), ""), c => ascii(c).cast("long")).as("cc"))
+      .select(col("id"),
+        when(size(col("cc")) >= 3,
+          array_sort(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("cc")) - 2, lit(1))),
+            p => (0 until 3).map(i => element_at(col("cc"), p + i) *
+              lit(1L << (8 * (2 - i)))).reduce(_ + _)))))
+          .otherwise(array().cast("array<bigint>")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nat = df2.select(col("id"), StringExpressions.packedGrams(col("t"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.indices.foreach(i => assert(nat(i.toLong) == hof(i.toLong), s"grams of '${texts(i)}'"))
+    // reference: the original slice/concat_ws/polyHash shingles
+    val shof = df2.select(col("id"), split(col("t"), " ").as("w"))
+      .select(col("id"), col("w"),
+        explode(when(size(col("w")) >= 2,
+            sequence(lit(1), size(col("w")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"),
+        graft.functions.polyFingerprint(concat_ws(" ", slice(col("w"), col("i"), lit(2)))).as("h"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val snat = df2.select(col("id"),
+        explode(StringExpressions.shingleHashes(col("t"), 2)).as("h"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    texts.indices.foreach { i =>
+      assert(snat.getOrElse(i.toLong, Seq()) == shof.getOrElse(i.toLong, Seq()),
+        s"shingles of '${texts(i)}'")
+    }
+  }
+
   test("non-array input fails at analysis time, not as a runtime CCE") {
     val bad = Seq((1L, "oops")).toDF("id", "vec")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
