@@ -120,6 +120,82 @@ object StringExpressions {
 
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Canonical text normalization (lower-case, non-alnum → space,
+    * whitespace collapsed, trimmed) fused into ONE pass — this chain
+    * runs per document in front of nearly every text operator (dedup,
+    * language ID, tokens, TF-IDF, fingerprints), where the composed
+    * form costs a lower() materialization plus two full regex walks
+    * per doc.
+    *
+    * ASCII inputs (the overwhelming case after ingest) take a single
+    * byte loop. Any byte >= 0x80 falls back to the JDK replication of
+    * the exact composed chain — lower, the two regexes, trim — so the
+    * result is bit-identical to
+    * trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\\s]", " "),
+    * "\\s+", " ")) on EVERY input (parity spec: random unicode
+    * included). The fast path is identical because for ASCII the net
+    * effect of that chain is precisely: keep [a-z0-9] (lower-casing
+    * A-Z), everything else becomes a separator, collapse separator
+    * runs to one space, trim the ends. */
+  case class NormalizeText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"normalize_text argument must be string, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      TextNorm.normalize(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextNorm.normalize($a);")
+    override protected def withNewChildInternal(c: Expression): NormalizeText =
+      copy(child = c)
+  }
+
+  def normalizeTextNative(text: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(text)))
+}
+
+/** Shared kernel for [[StringExpressions.NormalizeText]] — top-level so
+  * generated Java calls the static forwarder directly. */
+object TextNorm {
+  // the exact patterns of the composed chain, compiled once
+  private val nonAlnum = java.util.regex.Pattern.compile("[^a-z0-9\\s]")
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  def normalize(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < b.length) { if (b(i) < 0) ascii = false; i += 1 }
+    if (!ascii) {
+      // non-ASCII: replicate the composed chain verbatim via the JDK
+      // (UTF8String.toLowerCase is what Spark's lower() calls)
+      val lowered = s.toLowerCase.toString
+      val replaced = wsRun.matcher(nonAlnum.matcher(lowered).replaceAll(" ")).replaceAll(" ")
+      return UTF8String.fromString(replaced.trim)
+    }
+    val out = new Array[Byte](b.length)
+    var w = 0
+    var pendingSep = false
+    i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val lower: Byte = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+      if ((lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')) {
+        if (pendingSep && w > 0) { out(w) = ' '; w += 1 }
+        out(w) = lower
+        w += 1
+        pendingSep = false
+      } else {
+        pendingSep = true
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, w))
+  }
 }
 
 /** Shared kernel for [[StringExpressions.ShingleHashes]] — top-level so

@@ -52,9 +52,13 @@ package object functions {
     ColumnBridge.column(IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Lower-cased, punctuation-stripped, whitespace-normalized text —
-    * the canonical form used by dedup and fingerprinting. */
+    * the canonical form used by dedup and fingerprinting. One fused
+    * native pass ([[StringExpressions.NormalizeText]]), bit-identical
+    * to the composed chain
+    * trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\\s]", " "),
+    * "\\s+", " ")) that every DuckDB oracle replicates. */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    StringExpressions.normalizeTextNative(text)
 
   /** Distinct character n-grams of a string as an array column. */
   def charNgrams(text: Column, n: Int): Column =

@@ -177,6 +177,28 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native normalizeText is bit-identical to the composed regex chain") {
+    val rnd3 = new scala.util.Random(99)
+    val alphabet = "abzAZ09 \t\n!@#.é漢ΩßKİ" // incl. Kelvin sign + dotted I
+    val rows = (0 until 300).map { i =>
+      val len = rnd3.nextInt(40)
+      (i.toLong, Seq.fill(len)(alphabet(rnd3.nextInt(alphabet.length))).mkString)
+    } ++ Seq((1000L, ""), (1001L, "   "), (1002L, "a!!b  c"), (1003L, "ÀÉÎ"),
+      (1004L, null.asInstanceOf[String]))
+    val df3 = rows.toDF("id", "t")
+    val out = df3.select(col("id"),
+        graft.functions.normalizeText(col("t")).as("nat"),
+        trim(regexp_replace(regexp_replace(lower(col("t")), "[^a-z0-9\\s]", " "),
+          "\\s+", " ")).as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch id=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getString(1) == r.getString(2),
+          s"id=${r.getLong(0)}: '${r.getString(1)}' != '${r.getString(2)}'")
+    }
+  }
+
   test("non-array input fails at analysis time, not as a runtime CCE") {
     val bad = Seq((1L, "oops")).toDF("id", "vec")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
