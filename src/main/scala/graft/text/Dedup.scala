@@ -243,9 +243,17 @@ object Dedup {
     // per-block document frequency -> canonical rare-first total order
     val dfreq = exploded.groupBy(col("block"), col("gram")).agg(count(lit(1)).as("df"))
     val prefixLen = (col("n_grams") - ceil(lit(t) * col("n_grams")) + 1).cast("int")
+    // group by doc_id ALONE: block/n_grams are functionally dependent
+    // (constant per doc, folded via max), so when the df join broadcasts
+    // — the common case; the vocabulary is small next to the corpus —
+    // base's existing doc_id partitioning satisfies the aggregation and
+    // the joined gram table never re-shuffles. If the vocabulary side
+    // ever outgrows the broadcast budget, Catalyst re-inserts the
+    // exchange automatically.
     val prefixes = exploded.join(dfreq, Seq("block", "gram"))
-      .groupBy(col("doc_id"), col("block"), col("n_grams"))
-      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("ordered"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("block")).as("block"), max(col("n_grams")).as("n_grams"),
+        array_sort(collect_list(struct(col("df"), col("gram")))).as("ordered"))
       .select(col("doc_id"), col("block"), col("n_grams"),
         posexplode(slice(col("ordered"), lit(1), prefixLen)))
       .select(col("doc_id"), col("block"), col("n_grams"),
