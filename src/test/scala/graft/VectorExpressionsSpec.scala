@@ -177,6 +177,20 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("extensions expose the text kernels and sorted_intersect_count to SQL") {
+    import spark.implicits._
+    Seq((1L, "Hello, World!  42")).toDF("id", "t").createOrReplaceTempView("__sqlt")
+    val r = spark.sql(
+      """SELECT normalize_text(t) AS n, poly_hash(normalize_text(t)) AS h,
+         size(packed_grams(normalize_text(t), 3)) AS g,
+         size(shingle_hashes(normalize_text(t), 2)) AS s,
+         sorted_intersect_count(array(1L, 5L, 9L), array(5L, 9L, 11L)) AS c
+         FROM __sqlt""").head()
+    assert(r.getString(0) == "hello world 42")
+    assert(r.getInt(4) == 2)
+    assert(r.getInt(2) > 0 && r.getInt(3) == 2)
+  }
+
   test("native normalizeText is bit-identical to the composed regex chain") {
     val rnd3 = new scala.util.Random(99)
     val alphabet = "abzAZ09 \t\n!@#.é漢ΩßKİ" // incl. Kelvin sign + dotted I
