@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regression locks on the SCALE-CRITICAL plan shapes (SURVEY §5):
+  * filters reach the parquet scan, dimension/param tables broadcast,
+  * and the PPJoin prefix aggregation rides the gram build's
+  * partitioning instead of re-shuffling. These are the properties the
+  * 100 TB design depends on — a code change that silently loses one
+  * shows up here, not in a benchmark three rounds later.
+  *
+  * Plans are inspected AFTER an action so AQE has finalized them. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // execute THIS DataFrame's own query so AQE finalizes it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("d1 ships the date filter to the parquet scan and stays in codegen") {
+    val plan = finalPlan(SparkEntry.queries("d1_pricing_summary")(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+    // `*(n)` prefixes are the whole-stage-codegen stage markers in the
+    // tree string — both aggregates must carry one
+    assert("\\*\\(\\d+\\) HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("d2 broadcasts every dimension side of the 5-way join") {
+    val plan = finalPlan(SparkEntry.queries("d2_revenue_by_nation")(spark, sf))
+    // orders joins as a fact side; customer/nation/region broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("a6 CDC merge anti-joins against broadcast change keys") {
+    val plan = finalPlan(SparkEntry.queries("a6_cdc_merge")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("c22 applies coefficients through a broadcast join") {
+    val plan = finalPlan(SparkEntry.queries("c22_coeff_apply")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("e4 prefix aggregation rides the gram build's doc_id partitioning") {
+    // the gram table is hash-partitioned by doc_id exactly once (the
+    // explicit repartition barrier); the df-annotated prefix
+    // aggregation groups by doc_id alone, so it must REUSE that
+    // partitioning — a second hashpartitioning(doc_id ...) exchange in
+    // the plan means the re-shuffle regressed (the pre-round-5 shape).
+    // the only doc_id exchange is the explicit repartition barrier
+    // (shuffle origin REPARTITION_BY_COL, visible once per cached-plan
+    // reference); an ENSURE_REQUIREMENTS doc_id exchange would mean the
+    // prefix aggregation re-shuffles what the barrier already
+    // partitioned — the pre-round-5 shape this test pins against.
+    val pairs = graft.text.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sf), "doc_id", "text", Seq("lang", "source"), 3, 0.6)
+    val plan = pairs.queryExecution.sparkPlan.toString // pre-AQE physical plan
+    val reShuffles =
+      "Exchange hashpartitioning\\(doc_id[^)]*\\), ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(reShuffles == 0, s"prefix aggregation re-shuffles by doc_id:\n$plan")
+  }
+
+  test("g2 partition filter prunes at the source") {
+    val plan = finalPlan(SparkEntry.queries("g2_partitioned_sink_prune")(spark, sf))
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+  }
+}
