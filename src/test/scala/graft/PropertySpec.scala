@@ -64,6 +64,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text kernels match their reference semantics on arbitrary unicode fuzz") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 1000000007L
+    // the composed chain NormalizeText replaces: Spark's lower() is
+    // UTF8String.toLowerCase, then the two regexes, then (space-)trim
+    def refNormalize(s: String): String =
+      UTF8String.fromString(s).toLowerCase.toString
+        .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+    def refPoly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31L + (b & 0xff)) % P)
+    for (i <- 1 to 2000) {
+      // mix ASCII, control chars, and raw unicode code points
+      val len = rnd.nextInt(60)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => sb.append((' ' + rnd.nextInt(95)).toChar) // printable ASCII
+          case 1 => sb.append(" \t\n\u000B\f\r".charAt(rnd.nextInt(6)))
+          case 2 => sb.append(rnd.nextInt(32).toChar) // control
+          case _ =>
+            var cp = rnd.nextInt(0x10FFFF + 1)
+            while (cp >= 0xD800 && cp <= 0xDFFF) cp = rnd.nextInt(0x10FFFF + 1)
+            sb.appendAll(Character.toChars(cp))
+        }
+      }
+      val s = sb.toString
+      val want = refNormalize(s)
+      val got = graft.functions.TextNorm.normalize(UTF8String.fromString(s)).toString
+      assert(got == want, s"normalize #$i: '$got' != '$want' for ${s.codePoints().toArray.toSeq}")
+      val norm = got
+      // PackedGrams == sorted distinct byte-packed trigrams of ASCII text
+      val bytes = norm.getBytes("UTF-8")
+      val wantGrams =
+        if (bytes.length < 3) Seq.empty[Long]
+        else bytes.sliding(3).map(w =>
+          (w(0) & 0xffL) * 65536L + (w(1) & 0xffL) * 256L + (w(2) & 0xffL))
+          .toSeq.distinct.sorted
+      val gotGrams = graft.functions.GramPack.pack(UTF8String.fromString(norm), 3)
+        .toLongArray.toSeq
+      assert(gotGrams == wantGrams, s"grams #$i of '$norm'")
+      // ShingleHashes == polyHash of every 2-word window
+      val words = norm.split(" ", -1).toSeq
+      val wantSh =
+        if (norm.isEmpty || words.length < 2) Seq.empty[Long]
+        else words.sliding(2).map(w => refPoly(w.mkString(" "))).toSeq
+      val gotSh = graft.functions.ShinglePack.hashes(UTF8String.fromString(norm), 2)
+        .toLongArray.toSeq
+      assert(gotSh == wantSh, s"shingles #$i of '$norm'")
+    }
+  }
+
   test("autoPlanes is monotone in n, divisible by bands, and 64-bit bounded") {
     var prev = 0
     for (exp <- 0 to 40) {
