@@ -104,6 +104,14 @@ class PropertySpec extends SparkSpec {
       val gotGrams = graft.functions.GramPack.pack(UTF8String.fromString(norm), 3)
         .toLongArray.toSeq
       assert(gotGrams == wantGrams, s"grams #$i of '$norm'")
+      // n=7 exercises 56-bit codes (beyond double's 2^53 exactness)
+      val want7 =
+        if (bytes.length < 7) Seq.empty[Long]
+        else bytes.sliding(7).map(_.foldLeft(0L)((c, b) => (c << 8) | (b & 0xffL)))
+          .toSeq.distinct.sorted
+      val got7 = graft.functions.GramPack.pack(UTF8String.fromString(norm), 7)
+        .toLongArray.toSeq
+      assert(got7 == want7, s"7-grams #$i of '$norm'")
       // ShingleHashes == polyHash of every 2-word window
       val words = norm.split(" ", -1).toSeq
       val wantSh =
