@@ -123,6 +123,17 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("applyCoefficients emits no predictions for keys absent from the model") {
+    // inner-join semantics, same as the oracle: a fresh key with no
+    // persisted coefficients yields no rows (callers detect coverage
+    // gaps by anti-joining, not by reading NaNs)
+    val coefs = Forecast.ridgeLagForecast(series, "key", "ts", "event_id", "value", 24, 1e-6)
+      .filter(col("key") === "A")
+    val applied = Forecast.applyCoefficients(series, coefs, "key", "ts", "event_id", "value", 24)
+    assert(applied.select("key").distinct().collect().map(_.getString(0)).toSeq == Seq("A"))
+    assert(applied.count() == (100 - 24))
+  }
+
   test("backtest scores a perfect seasonal series as zero error in every fold") {
     // strict 24-periodicity -> seasonal-naive is exact in all folds
     val rows = for {
