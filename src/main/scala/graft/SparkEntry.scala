@@ -426,10 +426,13 @@ object SparkEntry {
       s"(($acc * 31 + $c) % ${graft.text.Dedup.PolyP})")
 
   /** Scratch-path / table-name tag for the g-group sinks: the dataset
-    * dir itself, sanitized to [A-Za-z0-9_] — injective enough that two
-    * different dirs can never share a scratch location (abs(hashCode)
-    * could collide, and stays negative for Int.MinValue). */
-  private def pathTag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+    * dir sanitized to [A-Za-z0-9_] for readability, plus the raw dir's
+    * hashCode in hex — the sanitization alone is NOT injective
+    * ("sf0.01" and "sf0_01" collide), so the hash suffix keeps two
+    * different dirs from sharing a scratch location in practice.
+    * toHexString of the raw Int handles Int.MinValue (no abs). */
+  private def pathTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_") + "_" + d.hashCode.toHexString
 
   /** Hyperplane matrix as a VALUES list — components are exactly n/1e6,
     * so the %.6f literal parses to the identical double. */
@@ -856,7 +859,7 @@ object SparkEntry {
            FROM ff JOIN ci ON ff.user_id = ci.user_id)
          SELECT event_id, user_id, period, value,
            (CASE WHEN p8 < 0 THEN -1.0 ELSE 1.0 END)
-             * floor((abs(p8) + 5000) / 10000.0) / 10000.0 AS prediction
+             * ((abs(p8) + 5000) // 10000) / 10000.0 AS prediction
          FROM p""",
     "c15_model_selection" ->
       """WITH f AS (

@@ -70,10 +70,22 @@ object Components {
     // one scalar aggregate per round instead of carrying the previous
     // label through an extra join and filter-counting the diffs.
     // Decimal(38,0) keeps the sum exact out to ~1e19 graph nodes.
+    // A null sum means EITHER an empty label table (legitimate: empty
+    // edge input) OR decimal(38,0) overflow in non-ANSI mode — and the
+    // overflow case must fail loudly: coercing it to ZERO would let two
+    // consecutive overflowed rounds compare equal and report convergence
+    // with wrong labels, in a function whose contract is to throw
+    // rather than be silently wrong. One action either way: the row
+    // count rides the same aggregate.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+      val row = df.agg(sum(col("component").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("c")).head()
+      val s = row.getDecimal(0)
+      if (s == null) {
+        require(row.getLong(1) == 0L,
+          "label-sum overflowed decimal(38,0): convergence signature unusable")
+        java.math.BigDecimal.ZERO // empty graph
+      } else s
     }
     var prevSum = labelSum(labels)
     var converged = false

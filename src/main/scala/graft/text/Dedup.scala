@@ -85,10 +85,21 @@ object Dedup {
             .as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val pruned = banded
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
+    // Degenerate-bucket prune via PARTIAL-AGGREGATED sizes, not a count
+    // window (SURVEY §8 skew playbook): a window partitioned by
+    // (band, sig) would fully co-locate the pathological boilerplate
+    // bucket once just to measure it. The groupBy collapses bucket
+    // counts map-side, the hot list is tiny by construction (at most
+    // n/maxBucket buckets can exceed maxBucket), so it broadcasts and
+    // the hot rows are dropped map-side by the anti-join — the raw
+    // banded table never shuffles for the prune. banded persists
+    // (3 narrow columns) so the size branch does not recompute the
+    // minhash aggregation.
+    banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("band"), col("sig"))
+    val pruned = banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
     val a = pruned.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = pruned.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -155,8 +166,31 @@ object Dedup {
   /** Near-dup pairs within a Hamming radius of SimHash fingerprints.
     * Pigeonhole blocking: split 64 bits into `radius+1` chunks; any pair
     * within the radius must agree on ≥1 chunk — join per chunk, then
-    * exact Hamming filter. */
-  def simhashPairs(sim: DataFrame, radius: Int): DataFrame = {
+    * exact Hamming filter.
+    *
+    * SCALING RULE: the chunk-key space is FIXED at 2^(64/(radius+1))
+    * per chunk (radius 3 → 16-bit keys → 65,536 buckets), so expected
+    * occupancy grows linearly with the corpus and within-bucket pair
+    * work with its square — unlike MinHash banding there is no knob
+    * that widens the key. The radius ↔ bucket-width trade-off is
+    * structural: a smaller radius means fewer, wider chunks (radius 1
+    * → 32-bit keys) and exponentially sparser buckets; a larger radius
+    * narrows every key. `maxBucket` bounds the quadratic by dropping
+    * buckets above it (recall loss only inside degenerate mass — the
+    * same contract as e2/e22), computed skew-safely (SURVEY §8): bucket
+    * sizes partial-aggregate map-side, the tiny hot list broadcasts,
+    * and the anti-join drops hot rows without the chunk table ever
+    * co-locating a pathological bucket. Past maxBucket's reach, the
+    * remaining levers are a deeper fingerprint (128-bit SimHash) or
+    * pre-blocking by a metadata key, both of which widen the key space.
+    *
+    * The exact Hamming filter runs BEFORE the pair `.distinct()`: a
+    * bucket collision is only evidence, so candidates outnumber
+    * within-radius pairs by orders of magnitude — filtering first means
+    * the dedup shuffle carries only the (far fewer) true pairs.
+    * Hamming distance is functionally dependent on the pair, so the
+    * reorder is semantics-preserving. */
+  def simhashPairs(sim: DataFrame, radius: Int, maxBucket: Int = 100000): DataFrame = {
     val chunks = radius + 1
     val bitsPer = 64 / chunks
     val withChunks = sim.select(col("doc_id"), col("simhash"),
@@ -166,15 +200,23 @@ object Dedup {
             .bitwiseAND((1L << bitsPer) - 1L).as("key"))
       }: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val a = withChunks.select(col("chunk"), col("key"),
+    // persisted (4 narrow columns): the size branch must not recompute
+    // the upstream simhash vote aggregation a second time
+    withChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = withChunks.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("chunk"), col("key"))
+    val pruned = withChunks.join(broadcast(hot), Seq("chunk", "key"), "left_anti")
+    val a = pruned.select(col("chunk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = withChunks.select(col("chunk"), col("key"),
+    val b = pruned.select(col("chunk"), col("key"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        hamming64(col("sim_a"), col("sim_b")).as("hamming")).distinct()
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= radius)
+      .distinct()
   }
 
   /** Character n-gram Jaccard similarity with prefix + positional

@@ -183,28 +183,44 @@ object TextOps {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__tf"))
       .groupBy(col("token"))
-      .agg(sum(col("__tf")).as("n"), count(lit(1)).as("doc_freq"))
+      // count(doc_id), not count(*): a null doc_id forms its own level-1
+      // group, and COUNT(DISTINCT doc_id) semantics (the pre-two-level
+      // shape and the SQL oracle) exclude nulls from the document count.
+      // Its occurrences still land in `n` via the sum, as COUNT(*) does.
+      .agg(sum(col("__tf")).as("n"), count(col("doc_id")).as("doc_freq"))
       .filter(col("n") >= minCount)
 
   /** Per-doc top-k terms by TF-IDF — the keyword/vocabulary projection
     * of the corpus (classic two-pass scheme: per-doc term counts, then
-    * corpus-wide document frequencies, idf = ln(N/df)). The doc-freq
-    * table shuffles once on token; the scalar doc count broadcasts.
-    * Rank is taken on the ROUNDED score (then token) so ordering is
-    * reproducible across engines' last-ulp log/division differences. */
+    * corpus-wide document frequencies, idf = ln(N/df)). The scalar doc
+    * count broadcasts. Rank is taken on the ROUNDED score (then token)
+    * so ordering is reproducible across engines' last-ulp log/division
+    * differences.
+    *
+    * Document frequency is a partial-aggregated `groupBy(token)` joined
+    * back onto the persisted tf table — NOT a count window partitioned
+    * by token (SURVEY §8 skew playbook). Token frequency is Zipfian on
+    * every real corpus: a window does no map-side combine, so the
+    * "the"/"of" partitions would co-locate one row per containing
+    * document — billions of rows in single partitions at 100 TB. The
+    * groupBy collapses them map-side; persisting tf keeps the corpus
+    * tokenized exactly once across the two branches (the e4 pattern,
+    * [[graft.text.Dedup.ngramJaccardPairs]]). The df side is the
+    * vocabulary — small next to the corpus — so AQE broadcasts the
+    * join-back at runtime and falls back to a shuffled (skew-splitting)
+    * join only if the vocabulary outgrows the broadcast budget. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(normalizeText(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // tf rows are distinct (doc, token), so df = per-token row count —
-    // computed as a WINDOW over tf rather than a second aggregate branch
-    // (a groupBy+join re-tokenizes the whole corpus: Spark does not share
-    // the subplan between branches), so the text is scanned exactly once
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tf rows are distinct (doc, token), so df = per-token row count
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    val scored = withDf.crossJoin(broadcast(n))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -158,8 +158,12 @@ object Forecast {
     * and the half-up 4-decimal rounding is pure integer arithmetic —
     * a binary-double sum can land a half-boundary ulp apart across
     * engines and flip the 4th decimal (sf1 exposed exactly one such
-    * row). Magnitudes: |coef| < 1e3, |x| < 1e7 keeps every product
-    * under 2^53. */
+    * row). Magnitudes: |coef| < 1e3, |x| < 1e7 keeps |p8| under ~3e18,
+    * exact in int64 (NOT in a double — 2^53 ≈ 9e15), which is why the
+    * half-up step is `div`, an integer division: the first long→double
+    * conversion happens on the quotient (< ~3e14 < 2^53, so exact).
+    * Spark's `div` truncates toward zero and DuckDB's `//` floors, but
+    * the dividend is non-negative so the engines agree. */
   def applyCoefficients(fresh: DataFrame, coefs: DataFrame, keyCol: String,
                         tsCol: String, idCol: String, valueCol: String,
                         season: Int): DataFrame = {
@@ -169,11 +173,13 @@ object Forecast {
     val x1i = round(col("x1") * 100, 0).cast("long")
     val x2i = round(col("x2") * 100, 0).cast("long")
     val p8 = i4 * 10000L + c1i * x1i + c2i * x2i
-    val sgn = when(p8 < 0, -1.0).otherwise(1.0)
     lagFeats(fresh, keyCol, tsCol, idCol, valueCol, season)
       .join(broadcast(coefs), Seq(keyCol))
+      .withColumn("__p8", p8)
+      .withColumn("__q", expr("(abs(__p8) + 5000L) div 10000L"))
       .select(col(idCol), col(keyCol), col("period"), col(valueCol),
-        (sgn * floor((abs(p8) + 5000L) / 10000.0) / 10000.0).as("prediction"))
+        (when(col("__p8") < 0, -1.0).otherwise(1.0) * col("__q") / 10000.0)
+          .as("prediction"))
   }
 
   /** Per-key lag features [x1 = lag 1, x2 = lag season] over the

@@ -213,9 +213,20 @@ object Similarity {
         }: _*)).as("bk"))
       .select(col("id"), col("v"), col("n2"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val pruned = pre
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
+    // Degenerate-bucket prune (near-zero / boilerplate embeddings that
+    // collapse onto one signature) via PARTIAL-AGGREGATED bucket sizes,
+    // not a count window (SURVEY §8 skew playbook): a window partitioned
+    // by (band, key) would co-locate the pathological bucket once just
+    // to measure it. The size branch re-derives (band, key) from the
+    // source — column pruning drops the vector before the groupBy, so
+    // only (band, key, count) partials shuffle; the duplicate signature
+    // computation is map-only and cheaper at scale than persisting the
+    // ×bands exploded VECTOR table. The hot list (≤ n/maxBucket rows)
+    // broadcasts and the anti-join drops hot rows map-side.
+    val hot = pre.select(col("band"), col("key"))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("band"), col("key"))
+    val pruned = pre.join(broadcast(hot), Seq("band", "key"), "left_anti")
     val a = pruned.select(col("band"), col("key"),
       col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
     val b = pruned.select(col("band"), col("key"),

@@ -98,6 +98,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("simhashPairs prunes degenerate chunk buckets, keeps sparse pairs") {
+    val a = 0x0001000200030004L
+    val b = a ^ 1L // Hamming 1 from a; shares chunks 1-3 with it
+    val sim = ((1L to 50L).map(i => (i, 0L)) ++ Seq((100L, a), (101L, b)))
+      .toDF("doc_id", "simhash")
+    // all four chunk keys of the 50 identical fingerprints land on
+    // (chunk, 0) -> occupancy 50 > maxBucket, pruned; the sparse pair's
+    // buckets hold 2 rows and survive
+    val pruned = Dedup.simhashPairs(sim, 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((100L, 101L)))
+    // with the default bound nothing prunes: C(50,2) zero-distance
+    // pairs + the sparse one
+    assert(Dedup.simhashPairs(sim, 3).count() == 1226L)
+  }
+
+  test("tokenFrequency excludes null doc ids from doc_freq, not from n") {
+    val d = Seq((Some(1L), "x x"), (None, "x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenFrequency(d, "doc_id", "text", 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // COUNT(DISTINCT doc_id) semantics: the null-id doc contributes its
+    // occurrences to n but is not a counted document
+    assert(out("x") == (3L, 1L))
+  }
+
   test("tokenFrequency counts totals and doc frequency with pruning") {
     val d = Seq(
       (1L, "alpha beta alpha", "en", "s"),

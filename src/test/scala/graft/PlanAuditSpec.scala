@@ -61,6 +61,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(reShuffles == 0, s"prefix aggregation re-shuffles by doc_id:\n$plan")
   }
 
+  test("e20 computes document frequency without a window on the token key") {
+    val plan = finalPlan(SparkEntry.queries("e20_tfidf_topk")(spark, sf))
+    // a count window partitioned by the Zipfian token key co-locates
+    // every row of the hottest stop-word (SURVEY §8) — df must come
+    // from the partial-aggregated groupBy + join-back instead
+    assert(!plan.contains("windowspecdefinition(token"), plan)
+    // the per-doc rank window (doc_id partition, unskewed) remains
+    assert(plan.contains("windowspecdefinition(doc_id"), plan)
+  }
+
+  test("e2/e3/e22 bucket prunes are window-free") {
+    // degenerate-bucket sizes must partial-aggregate (groupBy + hot-list
+    // anti-join), never a count window that co-locates the pathological
+    // bucket once just to measure it (SURVEY §8)
+    for (q <- Seq("e2_minhash_lsh_pairs", "e3_simhash", "e22_cosine_dup_lsh")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("windowspecdefinition"), s"$q:\n$plan")
+    }
+  }
+
   test("g2 partition filter prunes at the source") {
     val plan = finalPlan(SparkEntry.queries("g2_partitioned_sink_prune")(spark, sf))
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
