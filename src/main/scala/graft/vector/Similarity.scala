@@ -204,29 +204,46 @@ object Similarity {
     require(numPlanes % bands == 0)
     val per = numPlanes / bands
     val dim = probeDim(emb, vecCol)
-    val pre = withVecNorm(emb.select(col(idCol).as("id"), col(vecCol)), vecCol, "v", "n2")
+    val sigd = withVecNorm(emb.select(col(idCol).as("id"), col(vecCol)), vecCol, "v", "n2")
       .withColumn("sig", lshSignature(col("v"), numPlanes, dim))
-      .select(col("id"), col("v"), col("n2"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * per).bitwiseAND((1L << per) - 1L).as("key"))
-        }: _*)).as("bk"))
+    // Persisted ONE ROW PER VECTOR (id, v, n2, sig): the signature is
+    // the expensive map work (numPlanes × dim products per row), so it
+    // runs exactly once — both the bucket-size branch and the pair join
+    // derive their (band, key) columns from the cached sig with bit
+    // shifts only, and the cache never holds ×bands exploded copies of
+    // the vector. Same persisted-intermediate pattern as e4's gram
+    // table; disk-backed at corpus scale.
+    sigd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * per).bitwiseAND((1L << per) - 1L).as("key"))
+    }: _*)
+    val pre = sigd.select(col("id"), col("v"), col("n2"), explode(bandStructs).as("bk"))
       .select(col("id"), col("v"), col("n2"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     // Degenerate-bucket prune (near-zero / boilerplate embeddings that
     // collapse onto one signature) via PARTIAL-AGGREGATED bucket sizes,
     // not a count window (SURVEY §8 skew playbook): a window partitioned
     // by (band, key) would co-locate the pathological bucket once just
-    // to measure it. The size branch re-derives (band, key) from the
-    // source — column pruning drops the vector before the groupBy, so
-    // only (band, key, count) partials shuffle; the duplicate signature
-    // computation is map-only and cheaper at scale than persisting the
-    // ×bands exploded VECTOR table. The hot list (≤ n/maxBucket rows)
-    // broadcasts and the anti-join drops hot rows map-side.
-    val hot = pre.select(col("band"), col("key"))
+    // to measure it. The size branch reads the cached sigd with the
+    // vector column pruned, so only (band, key, count) partials shuffle;
+    // the hot list (≤ n/maxBucket rows) broadcasts and the anti-join
+    // drops hot rows map-side.
+    val hot = sigd.select(explode(bandStructs).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
       .groupBy(col("band"), col("key")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select(col("band"), col("key"))
+    // Explicit shuffle barrier on the bucket key (the e4 repartition
+    // trick): the banded table otherwise inherits the SCAN's
+    // partitioning — a handful of input splits at bench scale, and
+    // whatever the file layout gives in general — and when AQE picks a
+    // broadcast self-join there is no exchange left to spread the
+    // buckets, so the quadratic pair generation runs at scan
+    // parallelism (measured 2.2× the whole query on one core; the old
+    // count window inserted this exchange as a side effect). The
+    // barrier also hands AQE a materialized stage with real sizes.
     val pruned = pre.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .repartition(col("band"), col("key"))
     val a = pruned.select(col("band"), col("key"),
       col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
     val b = pruned.select(col("band"), col("key"),
