@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * therefore decorrelated while keeping every replica internally
   * isomorphic to the original:
   *
-  * - **documents**: replica r applies a character-rotation cipher
-  *   (letters/digits rotated by r via `translate`) — a bijection on the
-  *   alphabet, so char n-gram and word-shingle structure WITHIN a
-  *   replica is exactly isomorphic to sf0.1 (same dup clusters, same
-  *   gram frequencies), while cross-replica grams share almost nothing.
+  * - **documents**: replica r applies a character-permutation cipher
+  *   (seeded Fisher–Yates over letters/digits via `translate`) — a
+  *   bijection on the alphabet, so char n-gram and word-shingle
+  *   structure WITHIN a replica is exactly isomorphic to sf0.1 (same
+  *   dup clusters, same gram frequencies), while cross-replica grams
+  *   share almost nothing at ANY replica count (a rotation cipher
+  *   worked only below 27 replicas — period 26).
   *   Text length is preserved, so `n_chars` stays valid.
   * - **embeddings**: replica r multiplies each vector by a deterministic
   *   ±1 diagonal matrix. An orthogonal transform applied to BOTH sides
@@ -38,11 +40,37 @@ object ScaleGen {
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
   private val digits = "0123456789"
-  private def rot(s: String, r: Int): String = {
-    val k = r % s.length; s.drop(k) + s.take(k)
-  }
+
+  /** Seeded Fisher–Yates permutation of `s` (replica 0 = identity).
+    * The round-5 rotation cipher had PERIOD 26 on letters: at ≥27
+    * replicas, r and r+26 would share the full letter mapping and
+    * mostly-alphabetic documents would become cross-replica near-dups —
+    * the exact correlation ScaleGen exists to avoid. Distinct random
+    * permutations share few fixed points at any replica count
+    * (collisions of whole 26-char permutations are ~1/26! events). */
+  private def permute(s: String, r: Int): String =
+    if (r == 0) s
+    else {
+      val arr = s.toCharArray
+      var h = r.toLong * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      def next(): Long = { h ^= h >>> 27; h *= 0x3C79AC492BA7B653L; h ^= h >>> 33; h }
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = math.floorMod(next(), i + 1).toInt
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
   private val cipherFrom = lower + upper + digits
-  private def cipherTo(r: Int): String = rot(lower, r) + rot(upper, r) + rot(digits, r)
+  /** Upper case reuses the lower-case permutation so case pairs map
+    * together (a bijection either way; this keeps capitalization
+    * structure isomorphic within a replica). */
+  private def cipherTo(r: Int): String = {
+    val lp = permute(lower, r)
+    lp + lp.toUpperCase + permute(digits, r)
+  }
 
   /** Deterministic ±1 sign for (replica, dim) — replica 0 is identity. */
   private def signs(r: Int, dim: Int): Array[Double] =

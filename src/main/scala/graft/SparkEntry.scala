@@ -447,7 +447,15 @@ object SparkEntry {
     * [[graft.vector.Similarity.autoPlanes]] (smallest b in [2, 64/bands]
     * with targetBucket·2^b ≥ n), so Spark and the oracle agree at every
     * scale factor without editing the SQL. The full 64/bands·bands-plane
-    * matrix is embedded; the signature only folds planes < bands·per. */
+    * matrix is embedded; only planes < bands·per contribute.
+    *
+    * Band keys are aggregated DIRECTLY (band = p div per, bit =
+    * p mod per, shift < per ≤ 8) rather than folding one 64-bit
+    * signature and slicing it: with all 64 planes active (sf10's
+    * autoPlanes output) the fold would evaluate `1::BIGINT << 63`,
+    * which Java wraps to the sign bit but DuckDB rejects as a signed
+    * overflow. Bit p of Spark's signature is band p/per, key bit
+    * p%per — identical keys, no shift ever reaches the sign bit. */
   private def lshBandCteAuto(bands: Int, targetBucket: Long = 500L): String = {
     val maxPer = 64 / bands
     s"""planes(p, vec) AS (VALUES ${planesValuesSql(bands * maxPer, 64)}),
@@ -455,15 +463,11 @@ object SparkEntry {
             (SELECT min(bb.b) FROM (SELECT unnest(range(2, ${maxPer + 1})) AS b) bb
              WHERE $targetBucket * (CAST(1 AS BIGINT) << bb.b) >= (SELECT count(*) FROM embeddings)),
             $maxPer) AS per),
-        sigs AS (SELECT e.vec_id,
+        bnd AS (SELECT e.vec_id, CAST(p.p // cfg.per AS BIGINT) AS band,
             CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.vec")} >= 0
-              THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS sig
+              THEN (CAST(1 AS BIGINT) << (p.p % cfg.per)) ELSE 0 END) AS BIGINT) AS key
           FROM embeddings e CROSS JOIN planes p CROSS JOIN cfg
-          WHERE p.p < $bands * cfg.per GROUP BY 1),
-        bnd AS (SELECT vec_id, band,
-            (sig >> (band * cfg.per)) & ((CAST(1 AS BIGINT) << cfg.per) - 1) AS key
-          FROM sigs CROSS JOIN cfg
-          CROSS JOIN (SELECT unnest(range($bands)) AS band) b)"""
+          WHERE p.p < $bands * cfg.per GROUP BY 1, 2)"""
   }
 
   /** Shared LSH CTEs: per-vector sign signature over the embedded
