@@ -198,14 +198,14 @@ object TextOps {
     * differences.
     *
     * Document frequency is a partial-aggregated `groupBy(token)` joined
-    * back onto the persisted tf table — NOT a count window partitioned
-    * by token (SURVEY §8 skew playbook). Token frequency is Zipfian on
-    * every real corpus: a window does no map-side combine, so the
-    * "the"/"of" partitions would co-locate one row per containing
+    * back onto the materialized tf table — NOT a count window
+    * partitioned by token (SURVEY §8 skew playbook). Token frequency is
+    * Zipfian on every real corpus: a window does no map-side combine,
+    * so the "the"/"of" partitions would co-locate one row per containing
     * document — billions of rows in single partitions at 100 TB. The
-    * groupBy collapses them map-side; persisting tf keeps the corpus
-    * tokenized exactly once across the two branches (the e4 pattern,
-    * [[graft.text.Dedup.ngramJaccardPairs]]). The df side is the
+    * groupBy collapses them map-side; the lazy localCheckpoint keeps
+    * the corpus tokenized exactly once across the two branches (shape
+    * race measured below). The df side is the
     * vocabulary — small next to the corpus — so AQE broadcasts the
     * join-back at runtime and falls back to a shuffled (skew-splitting)
     * join only if the vocabulary outgrows the broadcast budget. */
@@ -214,8 +214,26 @@ object TextOps {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(normalizeText(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
+    // The tf table feeds two branches (df aggregate + join-back), so it
+    // must materialize ONCE — every alternative was measured at sf1,
+    // min-of-3 interleaved in one JVM (local[32]):
+    //   count window on token (skew-unsafe)   1.22 s
+    //   tf.persist(MEMORY_AND_DISK)           2.79 s  (columnar cache
+    //     encode costs more than the tokenize pass it saves)
+    //   no materialization                    3.22 s  (corpus scanned +
+    //     tokenized twice: ReuseExchange cannot dedupe the branches —
+    //     column pruning collapses the df branch's inner aggregate to a
+    //     bare distinct, a different subtree; spelling it count(tf) to
+    //     block pruning doesn't survive either, the non-null rewrite
+    //     turns it back into count(1))
+    //   lazy localCheckpoint                  1.23 s  (raw UnsafeRow
+    //     blocks, no columnar encode; both branches read the blocks)
+    // localCheckpoint truncates lineage: an executor loss fails the job
+    // instead of recomputing — the same trade Components.scala makes
+    // per propagation round, acceptable for a batch projection; swap
+    // for persist on clusters with executor churn.
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // tf rows are distinct (doc, token), so df = per-token row count
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
