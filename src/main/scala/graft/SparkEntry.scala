@@ -444,25 +444,32 @@ object SparkEntry {
 
   /** LSH CTEs with the e22 gate's self-tuning banding: bits per band
     * re-derived from `count(*)` with the identical integer rule as
-    * [[graft.vector.Similarity.autoPlanes]] (smallest b in [2, 64/bands]
-    * with targetBucket·2^b ≥ n), so Spark and the oracle agree at every
-    * scale factor without editing the SQL. The full 64/bands·bands-plane
-    * matrix is embedded; only planes < bands·per contribute.
+    * [[graft.vector.Similarity.autoPlanes]] (smallest b ≥ 2 with
+    * targetBucket·2^b ≥ n), so Spark and the oracle agree at every
+    * scale factor without editing the SQL.
     *
     * Band keys are aggregated DIRECTLY (band = p div per, bit =
-    * p mod per, shift < per ≤ 8) rather than folding one 64-bit
-    * signature and slicing it: with all 64 planes active (sf10's
-    * autoPlanes output) the fold would evaluate `1::BIGINT << 63`,
-    * which Java wraps to the sign bit but DuckDB rejects as a signed
-    * overflow. Bit p of Spark's signature is band p/per, key bit
-    * p%per — identical keys, no shift ever reaches the sign bit. */
+    * p mod per) rather than folding one 64-bit signature and slicing
+    * it — mirroring the engine's per-band [[graft.vector.Similarity
+    * .cosineDupPairsLsh]] signatures (bit i of band b = plane
+    * b·per+i, identical keys) and keeping every DuckDB shift off the
+    * BIGINT sign bit (the fold would already evaluate `1::BIGINT <<
+    * 63`, a signed overflow, at 64 active planes).
+    *
+    * ORACLE REPLAY BOUND: planes for up to `oracleMaxPer` = 12
+    * bits/band are embedded, so this SQL mirror is exact while
+    * n < targetBucket·2^12 (2.05M vectors at the default 500) — every
+    * SF the oracle is ever replayed at (sf10 = 200k). The ENGINE's
+    * bound is 62 bits/band; past 2M vectors either raise this
+    * constant (mechanical) or audit via the sampled-exactness harness
+    * (tools/e22_scale_check.py). */
   private def lshBandCteAuto(bands: Int, targetBucket: Long = 500L): String = {
-    val maxPer = 64 / bands
-    s"""planes(p, vec) AS (VALUES ${planesValuesSql(bands * maxPer, 64)}),
+    val oracleMaxPer = 12
+    s"""planes(p, vec) AS (VALUES ${planesValuesSql(bands * oracleMaxPer, 64)}),
         cfg AS (SELECT coalesce(
-            (SELECT min(bb.b) FROM (SELECT unnest(range(2, ${maxPer + 1})) AS b) bb
+            (SELECT min(bb.b) FROM (SELECT unnest(range(2, ${oracleMaxPer + 1})) AS b) bb
              WHERE $targetBucket * (CAST(1 AS BIGINT) << bb.b) >= (SELECT count(*) FROM embeddings)),
-            $maxPer) AS per),
+            $oracleMaxPer) AS per),
         bnd AS (SELECT e.vec_id, CAST(p.p // cfg.per AS BIGINT) AS band,
             CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.vec")} >= 0
               THEN (CAST(1 AS BIGINT) << (p.p % cfg.per)) ELSE 0 END) AS BIGINT) AS key
@@ -470,9 +477,12 @@ object SparkEntry {
           WHERE p.p < $bands * cfg.per GROUP BY 1, 2)"""
   }
 
-  /** Shared LSH CTEs: per-vector sign signature over the embedded
-    * planes, then per-band sub-keys (mirrors Similarity.lshSignature +
-    * banding). */
+  /** Shared LSH CTEs (fixed plane count): per-vector sign signature
+    * over the embedded planes, then per-band sub-keys. Slicing the
+    * folded signature here equals the engine's per-band
+    * PlaneSignature keys — bit i of band b is plane b·per+i on both
+    * paths (spec-pinned) — and the fold stays safe because the fixed
+    * numPlanes ≤ 16 never nears bit 63. */
   private def lshBandCte(numPlanes: Int, bands: Int): String = {
     val per = numPlanes / bands
     s"""planes(p, vec) AS (VALUES ${planesValuesSql(numPlanes, 64)}),

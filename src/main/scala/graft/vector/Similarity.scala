@@ -152,25 +152,30 @@ object Similarity {
   def planeMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)((p, i) => planeComponent(p, i))
 
-  /** Random-hyperplane LSH bucket signature (numPlanes sign bits) —
-    * one native primitive pass per row ([[VectorExpressions
-    * .PlaneSignature]]). */
-  def lshSignature(vecCol: Column, numPlanes: Int, dim: Int): Column =
-    VectorExpressions.planeSignature(vecCol, planeMatrix(numPlanes, dim))
-
   /** Plane count keeping expected LSH bucket occupancy ≤ targetBucket
     * at corpus size n, with `bands` OR-amplification bands: bits per
     * band = the smallest b ≥ 2 with targetBucket·2^b ≥ n (i.e.
-    * max(2, ceil(log2(n / targetBucket)))), capped so a band key fits
-    * the 64-bit signature. Integer-exact on purpose: the DuckDB oracle
-    * re-derives the same count from its own `count(*)`, and a float
-    * `ceil(log2(...))` can flip at exact powers of two. Deployments
-    * re-derive this as the corpus grows; the e22 driver gate does
-    * exactly that from the corpus count. */
+    * max(2, ceil(log2(n / targetBucket)))). Integer-exact on purpose:
+    * the DuckDB oracle re-derives the same count from its own
+    * `count(*)`, and a float `ceil(log2(...))` can flip at exact
+    * powers of two.
+    *
+    * Band keys are INDEPENDENT longs since round 6 (one
+    * [[VectorExpressions.PlaneSignature]] per band), so bits per band
+    * is bounded at 62 — keeping `1L << bit` off the sign bit and
+    * inside DuckDB's BIGINT — NOT at 64/bands. The old shared-64-bit
+    * signature capped 8 bands at 8 bits each, saturating at
+    * n ≈ targetBucket·2^8 = 128k vectors, after which mean bucket
+    * occupancy (and with it the QUADRATIC within-bucket pair work)
+    * grew linearly with n — measured at sf10 (200k vectors): 27.3 s
+    * vs a ~12 s linear extrapolation (BASELINE.md). 62 bits covers
+    * targetBucket·2^62 vectors — no realistic corpus saturates it.
+    * Deployments re-derive this as the corpus grows; the e22 driver
+    * gate does exactly that from the corpus count. */
   def autoPlanes(n: Long, bands: Int, targetBucket: Long = 500L): Int = {
     require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
     require(targetBucket >= 1, s"targetBucket must be positive, got $targetBucket")
-    val maxBits = 64 / bands
+    val maxBits = 62
     // ((n-1) >> b) < targetBucket  ⟺  targetBucket * 2^b >= n, overflow-free
     var bits = 2
     while (bits < maxBits && ((n - 1) >> bits) >= targetBucket) bits += 1
@@ -203,20 +208,50 @@ object Similarity {
                         maxBucket: Int = 10000): DataFrame = {
     require(numPlanes % bands == 0)
     val per = numPlanes / bands
+    require(per <= 62, s"bits per band must stay off the long sign bit, got $per")
     val dim = probeDim(emb, vecCol)
-    val sigd = withVecNorm(emb.select(col(idCol).as("id"), col(vecCol)), vecCol, "v", "n2")
-      .withColumn("sig", lshSignature(col("v"), numPlanes, dim))
-    // Persisted ONE ROW PER VECTOR (id, v, n2, sig): the signature is
-    // the expensive map work (numPlanes × dim products per row), so it
-    // runs exactly once — both the bucket-size branch and the pair join
-    // derive their (band, key) columns from the cached sig with bit
-    // shifts only, and the cache never holds ×bands exploded copies of
-    // the vector. Same persisted-intermediate pattern as e4's gram
-    // table; disk-backed at corpus scale.
+    val planes = planeMatrix(numPlanes, dim)
+    // Band keys outgrow one 64-bit signature when autoPlanes asks for
+    // more than 64/bands bits: the old always-folded form capped
+    // bands × bits at 64, so autoPlanes saturated at
+    // n ≈ targetBucket·2^(64/bands) — 128k vectors at 8 bands — after
+    // which bucket occupancy and the quadratic within-bucket work grew
+    // with n (27.3 s at sf10 vs ~12 s linear, BASELINE.md). Two paths,
+    // provably identical keys (bit i of band b = sign of plane
+    // b·per+i, spec-pinned):
+    //  - numPlanes ≤ 64: ONE folded signature, band keys sliced by
+    //    shifts — one narrow cached long, the round-5 shape, kept
+    //    because it is the measured-fastest form at every gate SF
+    //    through sf1;
+    //  - numPlanes > 64 (first reached between sf1 and sf10): one
+    //    PlaneSignature per band as `bands` PRIMITIVE LONG columns
+    //    (primitive, not array<long> — the columnar cache encodes
+    //    longs natively while an array column pays per-row
+    //    UnsafeArrayData (de)serialization on every read).
+    val folded = numPlanes <= 64
+    val sigd = {
+      val base = withVecNorm(emb.select(col(idCol).as("id"), col(vecCol)), vecCol, "v", "n2")
+      if (folded)
+        base.withColumn("__sig", VectorExpressions.planeSignature(col("v"), planes))
+      else
+        base.select(Seq(col("id"), col("v"), col("n2")) ++ (0 until bands).map { b =>
+          VectorExpressions.planeSignature(col("v"),
+            planes.slice(b * per, (b + 1) * per)).as(s"__k$b")
+        }: _*)
+    }
+    // Persisted ONE ROW PER VECTOR (id, v, n2, signature long(s)): the
+    // signatures are the expensive map work (numPlanes × dim products
+    // per row), so they run exactly once — both the bucket-size branch
+    // and the pair join derive (band, key) from the cached longs with
+    // constant projections only, and the cache never holds ×bands
+    // exploded copies of the vector. Same persisted-intermediate
+    // pattern as e4's gram table; disk-backed at corpus scale.
     sigd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * per).bitwiseAND((1L << per) - 1L).as("key"))
+      val key =
+        if (folded) shiftright(col("__sig"), b * per).bitwiseAND((1L << per) - 1L)
+        else col(s"__k$b")
+      struct(lit(b).as("band"), key.as("key"))
     }: _*)
     val pre = sigd.select(col("id"), col("v"), col("n2"), explode(bandStructs).as("bk"))
       .select(col("id"), col("v"), col("n2"),
@@ -267,21 +302,21 @@ object Similarity {
                  vecCol: String, numPlanes: Int, bands: Int, k: Int): DataFrame = {
     require(numPlanes % bands == 0)
     val per = numPlanes / bands
+    require(per <= 62, s"bits per band must stay off the long sign bit, got $per")
     // dimensionality probe: one 1-row job, then the plane matrix is a
     // driver constant shipped with the task closures
     val dim = probeDim(corpus, vecCol)
+    val planes = planeMatrix(numPlanes, dim)
+    // per-band signatures, not one folded 64-bit long — see
+    // [[cosineDupPairsLsh]]: unbounds bands × bits at corpus scale
     def banded(df: DataFrame, role: String): DataFrame = {
       val pre = withVecNorm(df.select(col(idCol).as(s"${role}_id"), col(vecCol)),
         vecCol, s"${role}_v", s"${role}_n2")
-      val sig = lshSignature(col(s"${role}_v"), numPlanes, dim)
-      pre.select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"), sig.as("sig"))
-        .select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"),
-          explode(array((0 until bands).map { b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * per).bitwiseAND((1L << per) - 1L).as("key"))
-          }: _*)).as("bk"))
-        .select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
+      pre.select(col(s"${role}_id"), col(s"${role}_v"), col(s"${role}_n2"),
+        posexplode(array((0 until bands).map { b =>
+          VectorExpressions.planeSignature(col(s"${role}_v"),
+            planes.slice(b * per, (b + 1) * per))
+        }: _*)).as(Seq("band", "key")))
     }
     val c = banded(corpus, "neighbor")
     val q = banded(queries, "query")

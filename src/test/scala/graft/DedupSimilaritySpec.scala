@@ -215,6 +215,52 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("per-band plane signatures equal the folded 64-bit signature's slices") {
+    // round 6 moved banding from one folded long (bands×bits ≤ 64) to
+    // one PlaneSignature per band; wherever the folded form exists the
+    // keys must be bit-identical, or every historical banding result
+    // (and the oracle SQL's direct per-band aggregation) would shift
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val (numPlanes, bands) = (64, 8)
+    val per = numPlanes / bands
+    val dim = 64
+    val planes = Similarity.planeMatrix(numPlanes, dim)
+    val folded = graft.functions.VectorExpressions.planeSignature(col("embedding"), planes)
+    val cols = (0 until bands).map { b =>
+      graft.functions.VectorExpressions.planeSignature(col("embedding"),
+        planes.slice(b * per, (b + 1) * per)).as(s"k$b")
+    }
+    val rows = emb.select((col("vec_id") +: folded.as("sig") +: cols): _*).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sig = r.getAs[Long]("sig")
+      for (b <- 0 until bands) {
+        val want = (sig >> (b * per)) & ((1L << per) - 1L)
+        assert(r.getAs[Long](s"k$b") == want,
+          s"vec ${r.get(0)} band $b: per-band key != folded slice")
+      }
+    }
+  }
+
+  test("cosineDupPairsLsh at 12 bits/band (past the old 64-bit cap) finds exact dups") {
+    // 96 planes / 8 bands was IMPOSSIBLE with the folded signature
+    // (8×12 > 64). Exact duplicates hash identically in every band at
+    // any width, so they must all surface as candidates and survive
+    // the cosine filter with cosine 1.0; precision stays exact.
+    val base = Tables.embeddings(spark, sf).limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val shifted = base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val emb = base.unionAll(shifted)
+    val got = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 96, 8, 0.999)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ids = base.select("vec_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(got.contains((id, id + 100000L)), s"exact dup pair for $id missed")
+    }
+    // precision: every emitted pair truly clears the threshold
+    got.values.foreach(c => assert(c >= 0.999))
+  }
+
   test("annLshTopK achieves reasonable recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
@@ -352,13 +398,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.size == 3)
   }
 
-  test("autoPlanes widens LSH bands with corpus size and caps at 64 bits") {
+  test("autoPlanes widens LSH bands with corpus size, unbounded by 64/bands") {
     // the driver-gate config (16 planes, 8 bands) at every tested SF <= 0.1
     assert(Similarity.autoPlanes(200, 8) == 16)
     assert(Similarity.autoPlanes(2000, 8) == 16)
     // sf1: 6 bits/band restores linear candidate growth (BASELINE.md)
     assert(Similarity.autoPlanes(20000, 8) == 48)
-    // band keys can never outgrow the 64-bit signature
-    assert(Similarity.autoPlanes(1L << 40, 8) == 64)
+    // sf10 (200k vectors): 9 bits/band — PAST the old shared-signature
+    // cap of 8, which saturated here and let bucket occupancy grow
+    assert(Similarity.autoPlanes(200000, 8) == 72)
+    // 2^40 vectors: 32 bits/band, still far under the 62-bit key bound
+    assert(Similarity.autoPlanes(1L << 40, 8) == 8 * 32)
   }
 }

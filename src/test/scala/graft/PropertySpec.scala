@@ -123,20 +123,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("autoPlanes is monotone in n, divisible by bands, and 64-bit bounded") {
+  test("autoPlanes is monotone in n, divisible by bands, keys off the sign bit") {
     var prev = 0
     for (exp <- 0 to 40) {
       val n = 1L << exp
       val p = Similarity.autoPlanes(n, 8)
-      assert(p % 8 == 0 && p / 8 <= 8 && p >= 16)
+      assert(p % 8 == 0 && p / 8 <= 62 && p >= 16)
       assert(p >= prev, s"autoPlanes not monotone at n=$n")
       prev = p
     }
     for (bands <- Seq(1, 2, 4, 16, 32, 64)) {
       val p = Similarity.autoPlanes(1L << 30, bands)
-      // per-band key bits never exceed the 64-bit signature's share
-      assert(p % bands == 0 && p / bands >= 1 && p <= 64,
-        s"bands=$bands planes=$p violates signature bound")
+      // band keys are independent longs (round 6): bits per band is
+      // bounded by the non-negative long range, not by 64/bands
+      assert(p % bands == 0 && p / bands >= 2 && p / bands <= 62,
+        s"bands=$bands planes=$p violates band-key bound")
     }
     intercept[IllegalArgumentException](Similarity.autoPlanes(1000, 0))
     intercept[IllegalArgumentException](Similarity.autoPlanes(1000, 128))
