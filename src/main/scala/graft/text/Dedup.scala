@@ -283,12 +283,17 @@ object Dedup {
       // rows are tiny — this exchange is cheap and gives AQE real sizes).
       .repartition(col("doc_id"))
     // base feeds three branches (document frequency, the prefix join,
-    // both sides of exact scoring); persist so each branch does not
-    // re-run the scan+explode+aggregate (cf. MLlib approxSimilarityJoin
-    // caching its hashed datasets). Disk-backed at corpus scale.
-    if (persistIntermediate)
-      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = base.select(col("doc_id"), col("block"), col("n_grams"),
+    // both sides of exact scoring); it must materialize once so no
+    // branch re-runs the scan+gram build (cf. MLlib
+    // approxSimilarityJoin caching its hashed datasets). Lazy
+    // localCheckpoint, not persist (SURVEY §8 rule 3): the grams
+    // column is a wide bigint array, the worst case for the columnar
+    // cache's per-row array (de)serialization — switching measured
+    // e4 7.27 vs 7.54 s and the downstream e17/e18 9.4/9.7 vs
+    // 10.9/10.5 s at sf1 (best-of-legs, same direction at sf0.1).
+    val baseM =
+      if (persistIntermediate) base.localCheckpoint(false) else base
+    val exploded = baseM.select(col("doc_id"), col("block"), col("n_grams"),
       explode(col("grams")).as("gram"))
     // per-block document frequency -> canonical rare-first total order
     val dfreq = exploded.groupBy(col("block"), col("gram")).agg(count(lit(1)).as("df"))
@@ -326,8 +331,8 @@ object Dedup {
       // scoring re-verifies each hot pair many times — measured 2.3x
       // slower at sf1 than paying this one id-pair shuffle up front
       .select(col("doc_a"), col("doc_b")).distinct()
-    val ga = base.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val gb = base.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    val ga = baseM.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = baseM.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     candidates.join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("inter",
         graft.functions.VectorExpressions
