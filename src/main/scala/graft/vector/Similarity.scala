@@ -244,8 +244,13 @@ object Similarity {
     // per row), so they run exactly once — both the bucket-size branch
     // and the pair join derive (band, key) from the cached longs with
     // constant projections only, and the cache never holds ×bands
-    // exploded copies of the vector. Same persisted-intermediate
-    // pattern as e4's gram table; disk-backed at corpus scale.
+    // exploded copies of the vector. PERSIST here, not the
+    // localCheckpoint the other two-branch shapes use (SURVEY §8 rule
+    // 3): the bucket-size branch reads ONLY the signature longs, and
+    // the columnar cache serves that column-pruned — checkpoint
+    // blocks would deserialize every 64-float vector just to count
+    // buckets (measured 7.4 vs 2.8 s for the query at sf1).
+    // Disk-backed at corpus scale.
     sigd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until bands).map { b =>
       val key =
