@@ -128,8 +128,9 @@ object ScaleGen {
       t.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
     }, "lineitem")
 
-    // events.ts stays a nanos-since-epoch long (the nanosAsLong read),
-    // so the scaled table round-trips through Tables.events identically
+    // events.ts replicates verbatim in whatever physical form the source
+    // corpus carries (nanos-long or µs timestamp) — Tables.events
+    // normalizes either on read, so the scaled table round-trips
     val events = Tables.table(spark, src, "events")
     requireBelowShift(events, "event_id", "user_id")
     write(replicate(events, reps) { (t, r) =>
