@@ -30,6 +30,9 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        // reap per-query so the warm pass itself doesn't build up the
+        // block-manager backlog the measured pass then pays for
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
       spark.catalog.clearCache()
     }
@@ -46,8 +49,19 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop persisted intermediates so the next measurement is cold and
-      // later queries are not timed under the accumulated heap
+      // later queries are not timed under the accumulated heap.
+      // clearCache only covers catalog-cached plans — localCheckpoint
+      // blocks (the two-branch materializations of e2/e3/e4/e17/e20/e22,
+      // SURVEY §8 rule 3) are plain persisted RDDs the ContextCleaner
+      // frees only after driver GC notices the RDD is unreachable.
+      // Across 91 queries × 3 passes they accumulate gigabytes of block
+      // storage whose eviction/GC lands on RANDOM later queries (full-
+      // sweep runs measured 2-20× spikes on queries that bench at r5
+      // par in isolation; which query pays moved run to run). Reap them
+      // deterministically so every query measures against a clean block
+      // manager, the way it would run as its own job on a cluster.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       dt
     }
     val results = queries.map { case (name, fn) =>
