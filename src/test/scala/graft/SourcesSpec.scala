@@ -125,4 +125,40 @@ class SourcesSpec extends SparkSpec {
       df.schema.map(f => (f.name, f.dataType.sql)))
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
+
+  test("Tables.events absorbs the feed's physical-timestamp drift") {
+    // The events corpus has shipped ts as TIMESTAMP(NANOS) (surfaced as
+    // a nanos-since-epoch long under nanosAsLong) and as TIMESTAMP_NTZ
+    // micros (the round-6 regeneration). The loader is the storage
+    // seam: every physical form must come out as one logical schema —
+    // µs TimestampType with identical wall values — so operators and
+    // oracle SQL never see the drift.
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val wall = "2024-01-02 03:04:05.123456"
+    val micros = java.time.LocalDateTime.parse(wall.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L + 456L
+    val base = java.nio.file.Files.createTempDirectory("graft_events_drift")
+    def load(dir: java.nio.file.Path) = {
+      val d = Tables.events(spark, dir.toString)
+      assert(d.schema("ts").dataType == TimestampType, d.schema.treeString)
+      d.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head().getString(0)
+    }
+    // nanos-long generation (ns = µs*1000, the loader truncates ns->µs)
+    val nanosDir = base.resolve("nanos")
+    Seq((1L, micros * 1000L + 789L)).toDF("event_id", "ts")
+      .write.parquet(nanosDir.resolve("events.parquet").toString)
+    assert(load(nanosDir) == wall)
+    // µs TIMESTAMP_NTZ generation (cast is value-preserving under UTC)
+    val ntzDir = base.resolve("ntz")
+    Seq(Tuple2(1L, java.time.LocalDateTime.parse(wall.replace(' ', 'T'))))
+      .toDF("event_id", "ts")
+      .write.parquet(ntzDir.resolve("events.parquet").toString)
+    assert(load(ntzDir) == wall)
+    // an already-adjusted TimestampType column passes through untouched
+    val ltzDir = base.resolve("ltz")
+    Seq((1L, java.sql.Timestamp.valueOf(wall))).toDF("event_id", "ts")
+      .write.parquet(ltzDir.resolve("events.parquet").toString)
+    assert(load(ltzDir) == wall)
+  }
 }
