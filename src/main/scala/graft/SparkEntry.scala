@@ -195,6 +195,8 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
+    "e29_simhash128" -> ((s, d) =>
+      Dedup.simhashPairs128(Dedup.simhash128(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         Seq("lang", "source"), 3, 0.6)),
@@ -1109,6 +1111,35 @@ object SparkEntry {
       val chunkCols = (0 until 4).map { c =>
         val bits = (0 until 16).map(j =>
           s"(CASE WHEN v_${c * 16 + j} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"CAST($bits AS BIGINT) AS c$c"
+      }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+            FROM documents),
+          h AS (SELECT doc_id, ${polyHashSql("token")} AS h0 FROM tok),
+          v AS (SELECT doc_id, $voteAggs FROM h GROUP BY 1),
+          ch AS (SELECT doc_id, $chunkCols FROM v),
+          e AS (SELECT doc_id, c0, c1, c2, c3,
+              unnest([0, 1, 2, 3]) AS chunk, unnest([c0, c1, c2, c3]) AS key FROM ch),
+          pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+              bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
+            FROM e a JOIN e b
+              ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3"""
+    },
+    "e29_simhash128" -> {
+      // Same generative construction as e3 with a 128-vote family; the
+      // 4 pigeonhole chunks are 32-bit (chunk c = votes c*32+j at local
+      // bit j — identical to the engine's per-word key slicing), so
+      // summing the 4 chunk XOR popcounts is the full 128-bit Hamming
+      // and no CASE ever builds bit 63 of a BIGINT (the `1<<63` signed
+      // overflow DuckDB rejects, found by the sf10 LSH oracle run).
+      val voteAggs = (0 until 128).map(b =>
+        s"CAST(sum(((${affineHashSql("h0", "sim", b)}) & 1) * 2 - 1) AS BIGINT) AS v_$b")
+        .mkString(", ")
+      val chunkCols = (0 until 4).map { c =>
+        val bits = (0 until 32).map(j =>
+          s"(CASE WHEN v_${c * 32 + j} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
         s"CAST($bits AS BIGINT) AS c$c"
       }.mkString(", ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token

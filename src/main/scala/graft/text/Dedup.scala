@@ -145,28 +145,51 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
-  /** 64-bit SimHash per doc: sign-aggregated bit votes of token hashes.
-    * 64 plain sum aggregates over the exploded token hashes — all inside
-    * whole-stage codegen with map-side partials (higher-order-function
-    * lambdas would fall back to interpreted eval), so it stays one
-    * narrow pass + one shuffle on doc_id at any corpus size. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Width-generalized SimHash: `words`×64 sign-aggregated bit votes of
+    * token hashes, packed into long columns sim_0..sim_{words-1}
+    * (global bit g lives in word g/64 at position g%64). All plain sum
+    * aggregates over the exploded token hashes — inside whole-stage
+    * codegen with map-side partials (higher-order-function lambdas
+    * would fall back to interpreted eval), so it stays one narrow pass
+    * + one shuffle on doc_id at any corpus size and any width. The
+    * affine bit family is indexed by the GLOBAL bit, so word 0 of any
+    * width is bit-identical to the 64-bit fingerprint. */
+  private def simhashWords(docs: DataFrame, idCol: String, textCol: String,
+                           words: Int): DataFrame = {
     val tokens = docs.select(col(idCol).as("doc_id"),
       explode(split(normalizeText(col(textCol)), "\\s+")).as("token"))
-    // 64 token bits from the affine family over the poly fingerprint —
+    // token bits from the affine family over the poly fingerprint —
     // engine-reproducible (no 64-bit wraparound), so the DuckDB oracle
     // computes the identical fingerprints
     val hashed = tokens.select(col("doc_id"), polyFingerprint(col("token")).as("h0"))
-    // bit b of simhash = 1 iff sum over tokens of (+1 if bit set else -1) > 0
-    val voteAggs = (0 until 64).map { b =>
+    // bit b of the fingerprint = 1 iff sum over tokens of
+    // (+1 if bit set else -1) > 0
+    val voteAggs = (0 until words * 64).map { b =>
       sum(affineHash(col("h0"), "sim", b).bitwiseAND(1) * 2 - 1).as(s"v_$b")
     }
     val votes = hashed.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val bits = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    val wordCols = (0 until words).map { w =>
+      (0 until 64).map { j =>
+        when(col(s"v_${w * 64 + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as(s"sim_$w")
     }
-    votes.select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    votes.select(col("doc_id") +: wordCols: _*)
   }
+
+  /** 64-bit SimHash per doc (the e3 fingerprint). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWords(docs, idCol, textCol, 1)
+      .select(col("doc_id"), col("sim_0").as("simhash"))
+
+  /** 128-bit SimHash per doc: same construction, twice the depth. The
+    * point is not tighter similarity — it is WIDER pigeonhole chunk
+    * keys at the same radius (radius 3: 32-bit keys = 4.3B buckets vs
+    * the 64-bit fingerprint's 16-bit keys = 65,536), which restores
+    * constant expected bucket occupancy at billion-document corpora —
+    * the structural ceiling the 64-bit form documents. Word 0 is
+    * bit-identical to [[simhash]]'s fingerprint. */
+  def simhash128(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWords(docs, idCol, textCol, 2)
 
   /** Near-dup pairs within a Hamming radius of SimHash fingerprints.
     * Pigeonhole blocking: split 64 bits into `radius+1` chunks; any pair
@@ -186,8 +209,9 @@ object Dedup {
     * sizes partial-aggregate map-side, the tiny hot list broadcasts,
     * and the anti-join drops hot rows without the chunk table ever
     * co-locating a pathological bucket. Past maxBucket's reach, the
-    * remaining levers are a deeper fingerprint (128-bit SimHash) or
-    * pre-blocking by a metadata key, both of which widen the key space.
+    * remaining levers are a deeper fingerprint — [[simhashPairs128]],
+    * whose radius-3 chunk keys are 32-bit — or pre-blocking by a
+    * metadata key, both of which widen the key space.
     *
     * The exact Hamming filter runs BEFORE the pair `.distinct()`: a
     * bucket collision is only evidence, so candidates outnumber
@@ -195,18 +219,45 @@ object Dedup {
     * the dedup shuffle carries only the (far fewer) true pairs.
     * Hamming distance is functionally dependent on the pair, so the
     * reorder is semantics-preserving. */
-  def simhashPairs(sim: DataFrame, radius: Int, maxBucket: Int = 100000): DataFrame = {
+  def simhashPairs(sim: DataFrame, radius: Int, maxBucket: Int = 100000): DataFrame =
+    pigeonholePairs(sim, Seq("simhash"), radius, maxBucket)
+
+  /** Near-dup pairs within a Hamming radius of 128-bit SimHash
+    * fingerprints ([[simhash128]] output). Radius 3 blocks on 32-bit
+    * chunk keys — 2^32 buckets, so expected occupancy stays constant
+    * out to billions of documents where the 64-bit form's 16-bit keys
+    * saturate. Same skew-safe prune and filter-before-distinct shape
+    * as [[simhashPairs]]. */
+  def simhashPairs128(sim: DataFrame, radius: Int, maxBucket: Int = 100000): DataFrame =
+    pigeonholePairs(sim, Seq("sim_0", "sim_1"), radius, maxBucket)
+
+  /** Shared pigeonhole blocking over a multi-word fingerprint: split
+    * 64*words bits into radius+1 equal chunks (each chunk must lie
+    * within one word); any pair within the radius agrees on ≥1 chunk.
+    * Exact Hamming (summed per word) filters candidates BEFORE the
+    * dedup `.distinct()`, and degenerate buckets prune via the
+    * partial-aggregated hot list (see the scaling rules above, shared
+    * by both widths). */
+  private def pigeonholePairs(sim: DataFrame, simCols: Seq[String], radius: Int,
+                              maxBucket: Int): DataFrame = {
+    val words = simCols.length
     val chunks = radius + 1
-    val bitsPer = 64 / chunks
-    val withChunks = sim.select(col("doc_id"), col("simhash"),
+    require(words * 64 % chunks == 0 && 64 % (words * 64 / chunks) == 0,
+      s"radius $radius does not chunk ${words * 64} bits evenly within words")
+    val bitsPer = words * 64 / chunks
+    val perWord = 64 / bitsPer
+    val keyOf: Int => Column = c =>
+      shiftright(col(simCols(c / perWord)), (c % perWord) * bitsPer)
+        .bitwiseAND((1L << bitsPer) - 1L)
+    val simRefs = simCols.map(col)
+    val withChunks = sim.select((col("doc_id") +: simRefs :+
       explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * bitsPer)
-            .bitwiseAND((1L << bitsPer) - 1L).as("key"))
-      }: _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+        struct(lit(c).as("chunk"), keyOf(c).as("key"))
+      }: _*)).as("ck")): _*)
+      .select((col("doc_id") +: simRefs :+
+        col("ck.chunk").as("chunk") :+ col("ck.key").as("key")): _*)
     // Shared across the size branch and the pair join as a lazy
-    // localCheckpoint (SURVEY §8 rule 3): the upstream 64-sum simhash
+    // localCheckpoint (SURVEY §8 rule 3): the upstream per-bit simhash
     // vote aggregation must not run twice, and persist's columnar
     // cache measured 1.48 s vs 1.15 s for the whole query at sf0.1
     // (recompute also 1.48 s — the vote agg re-runs per branch there).
@@ -215,14 +266,15 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select(col("chunk"), col("key"))
     val pruned = withChunksM.join(broadcast(hot), Seq("chunk", "key"), "left_anti")
-    val a = pruned.select(col("chunk"), col("key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = pruned.select(col("chunk"), col("key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val a = pruned.select((col("chunk") +: col("key") +:
+      col("doc_id").as("doc_a") +: simCols.map(s => col(s).as(s"__a_$s"))): _*)
+    val b = pruned.select((col("chunk") +: col("key") +:
+      col("doc_id").as("doc_b") +: simCols.map(s => col(s).as(s"__b_$s"))): _*)
+    val hamming = simCols.map(s => hamming64(col(s"__a_$s"), col(s"__b_$s")))
+      .reduce(_ + _)
     a.join(b, Seq("chunk", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= radius)
       .distinct()
   }

@@ -114,6 +114,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.simhashPairs(sim, 3).count() == 1226L)
   }
 
+  test("simhash128: word 0 is bit-identical to the 64-bit fingerprint") {
+    // the affine bit family indexes by GLOBAL bit, so widening the
+    // fingerprint must extend it, never re-derive the first 64 bits —
+    // precision tiers stay comparable across widths
+    val docs = Tables.documents(spark, sf)
+    val joined = Dedup.simhash128(docs, "doc_id", "text")
+      .join(Dedup.simhash(docs, "doc_id", "text"), "doc_id")
+    assert(joined.filter(col("sim_0") =!= col("simhash")).count() == 0)
+  }
+
+  test("simhashPairs128 matches naive 128-bit hamming pairing on the sf corpus") {
+    val sim = Dedup.simhash128(Tables.documents(spark, sf), "doc_id", "text")
+    val fps = sim.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (ia, la, ha) <- fps; (ib, lb, hb) <- fps
+      if ia < ib &&
+        java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs128(sim, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("simhashPairs128 prunes degenerate buckets on 32-bit chunk keys") {
+    val lo = 0x0000000100000002L // chunks 0-1 of word 0
+    val hi = 0x0000000300000004L // chunks 2-3 of word 1
+    val sim = ((1L to 50L).map(i => (i, 0L, 0L)) ++
+      Seq((100L, lo, hi), (101L, lo ^ 1L, hi)))
+      .toDF("doc_id", "sim_0", "sim_1")
+    // the 50 zero fingerprints saturate every (chunk, 0) bucket past
+    // maxBucket and prune; the sparse pair (hamming 1) survives in its
+    // own buckets
+    val pruned = Dedup.simhashPairs128(sim, 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((100L, 101L)))
+    assert(Dedup.simhashPairs128(sim, 3).count() == 1226L)
+  }
+
   test("tokenFrequency excludes null doc ids from doc_freq, not from n") {
     val d = Seq((Some(1L), "x x"), (None, "x"))
       .toDF("doc_id", "text")

@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     // degenerate-bucket sizes must partial-aggregate (groupBy + hot-list
     // anti-join), never a count window that co-locates the pathological
     // bucket once just to measure it (SURVEY §8)
-    for (q <- Seq("e2_minhash_lsh_pairs", "e3_simhash", "e22_cosine_dup_lsh")) {
+    for (q <- Seq("e2_minhash_lsh_pairs", "e3_simhash", "e29_simhash128",
+                  "e22_cosine_dup_lsh")) {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("windowspecdefinition"), s"$q:\n$plan")
     }
