@@ -197,6 +197,8 @@ object SparkEntry {
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
       Dedup.simhashPairs128(Dedup.simhash128(Tables.documents(s, d), "doc_id", "text"), 3)),
+    "e30_dup_spans" -> ((s, d) =>
+      Dedup.dupSpanStats(Tables.documents(s, d), "doc_id", "text", 8)),
     "e4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         Seq("lang", "source"), 3, 0.6)),
@@ -1156,6 +1158,26 @@ object SparkEntry {
               ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3"""
     },
+    // 8-token rolling windows as poly hashes (same construction the e2
+    // oracle proves equivalent to the native ShingleHashes kernel);
+    // dup_fraction's division runs on exact integers identically in
+    // both engines, so the 4-decimal round cannot diverge.
+    "e30_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS win
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i
+                  FROM w WHERE len(words) >= 8)),
+          pd AS (SELECT doc_id, ${polyHashSql("win")} AS h0, count(*) AS k
+            FROM sh GROUP BY 1, 2),
+          dh AS (SELECT h0 FROM pd GROUP BY h0 HAVING count(*) >= 2),
+          m AS (SELECT pd.doc_id, pd.k, dh.h0 IS NOT NULL AS isdup
+            FROM pd LEFT JOIN dh ON pd.h0 = dh.h0)
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_windows,
+            CAST(sum(CASE WHEN isdup THEN k ELSE 0 END) AS BIGINT) AS dup_windows,
+            round(CAST(sum(CASE WHEN isdup THEN k ELSE 0 END) AS BIGINT)
+              / CAST(sum(k) AS BIGINT), 4) AS dup_fraction
+          FROM m GROUP BY 1""",
     "e7_ann_lsh" ->
       s"""WITH ${lshBandCte(16, 4)},
           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

@@ -145,6 +145,48 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Corpus-internal repeated-window statistics — the span-level dedup
+    * signal of the ExactSubstr method (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * the fraction of its rolling `windowTokens`-token windows whose
+    * content (by rolling poly-hash) also appears in at least
+    * `minDocs`-1 OTHER documents. High-fraction docs are boilerplate /
+    * template mass a span-dedup pass should cut; within-doc repetition
+    * is deliberately excluded (that is e25's repetition-stats signal).
+    * Docs shorter than the window produce no windows and drop.
+    *
+    * Scale shape: windows are packed poly-hash longs from ONE native
+    * pass per doc ([[graft.functions.StringExpressions.ShingleHashes]]
+    * — never window strings); level-1 groups by (doc, hash) so
+    * within-doc repeats collapse map-side before anything shuffles
+    * (SURVEY §8 rule 1); the (doc, hash) table feeds two branches
+    * (cross-doc hash counts + the mark join-back) so it materializes
+    * once as a lazy localCheckpoint (rule 3). The mark join keys on
+    * the near-uniform window hash; a boilerplate window shared by
+    * millions of docs is exactly the AQE skew-split case, and its
+    * join output stays bounded by the (doc, hash) table itself. */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, minDocs: Int = 2): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.StringExpressions.shingleHashes(
+          normalizeText(col(textCol)), windowTokens)).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(false)
+    // rows are one-per-(doc, hash), so a plain count IS distinct docs
+    val dupHashes = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("h"), lit(1L).as("__dup"))
+    perDoc.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__k")).as("n_windows"),
+        sum(when(col("__dup").isNotNull, col("__k")).otherwise(lit(0L)))
+          .as("dup_windows"))
+      .withColumn("dup_fraction",
+        round(col("dup_windows") / col("n_windows"), 4))
+  }
+
   /** Width-generalized SimHash: `words`×64 sign-aggregated bit votes of
     * token hashes, packed into long columns sim_0..sim_{words-1}
     * (global bit g lives in word g/64 at position g%64). All plain sum

@@ -152,6 +152,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.simhashPairs128(sim, 3).count() == 1226L)
   }
 
+  test("dupSpanStats counts cross-doc windows, ignores within-doc repeats") {
+    val eight = "a b c d e f g h"               // one shared 8-token window
+    val d = Seq(
+      (1L, s"$eight tail one"),                 // shares the window with 2
+      (2L, s"lead $eight"),                     // shares the window with 1
+      (3L, s"$eight $eight"),                   // shares it too, repeated twice
+      (4L, "q r s t u v w x y"),                // no cross-doc window
+      (5L, "too short")                         // < 8 tokens -> drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(d, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(5L))
+    // doc 1: 10 tokens -> 3 windows; only the leading one is shared
+    assert(out(1L) == (3L, 1L))
+    assert(out(2L) == (2L, 1L))
+    // doc 3: 16 tokens -> 9 windows; the shared window occurs TWICE and
+    // both occurrences count as duplicated mass (multiplicity via __k)
+    assert(out(3L)._1 == 9L && out(3L)._2 >= 2L)
+    // doc 4's windows are unique corpus-wide: zero duplicated even
+    // though nothing about the doc itself is special
+    assert(out(4L) == (2L, 0L))
+  }
+
   test("tokenFrequency excludes null doc ids from doc_freq, not from n") {
     val d = Seq((Some(1L), "x x"), (None, "x"))
       .toDF("doc_id", "text")

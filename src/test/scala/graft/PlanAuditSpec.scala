@@ -76,7 +76,7 @@ class PlanAuditSpec extends SparkSpec {
     // anti-join), never a count window that co-locates the pathological
     // bucket once just to measure it (SURVEY §8)
     for (q <- Seq("e2_minhash_lsh_pairs", "e3_simhash", "e29_simhash128",
-                  "e22_cosine_dup_lsh")) {
+                  "e22_cosine_dup_lsh", "e30_dup_spans")) {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("windowspecdefinition"), s"$q:\n$plan")
     }
