@@ -31,7 +31,14 @@ class NullToleranceSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       Seq("lang", "source"), 3, 0.6).count() == 0)
     assert(Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 3).count() == 0)
+    assert(Dedup.simhashPairs128(Dedup.simhash128(docs, "doc_id", "text"), 3)
+      .count() == 0)
     assert(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4).count() == 0)
+    // only the 9-word doc can form 8-token windows; null/empty/short
+    // docs drop silently and nothing counts as duplicated
+    val spans = Dedup.dupSpanStats(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((1L, 2L, 0L)))
   }
 
   test("repetitionStats and chunkText tolerate null/empty/short docs") {
