@@ -225,6 +225,8 @@ object SparkEntry {
     "e14_sentiment" -> ((s, d) => TextOps.sentiment(Tables.documents(s, d), "doc_id", "text")),
     "e16_token_freq" -> ((s, d) =>
       TextOps.tokenFrequency(Tables.documents(s, d), "doc_id", "text", 5L)),
+    "e31_ngram_freq" -> ((s, d) =>
+      TextOps.ngramFrequency(Tables.documents(s, d), "doc_id", "text", 2, 5L)),
     "e15_frame_sample" -> ((s, d) =>
       Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
     "e17_dup_clusters" -> ((s, d) =>
@@ -1385,6 +1387,16 @@ object SparkEntry {
             FROM documents)
           SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
           FROM t WHERE length(token) > 0 GROUP BY 1 HAVING count(*) >= 5""",
+    // bigram strings via the e2-proven slice construction; the
+    // doc_freq count mirrors e16's COUNT(DISTINCT doc_id) semantics
+    "e31_ngram_freq" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS ngram
+            FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+                  FROM w WHERE len(words) >= 2))
+          SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+          FROM sh GROUP BY 1 HAVING count(*) >= 5""",
     "e15_frame_sample" ->
       """WITH n AS (SELECT doc_id, text, CAST(floor(length(text) / 16) AS INT) AS nf
            FROM documents WHERE floor(length(text) / 16) > 0),

@@ -121,6 +121,34 @@ object StringExpressions {
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
 
+  /** Every n-word shingle of a normalized string AS A STRING, in
+    * position order — the vocabulary-building counterpart of
+    * [[ShingleHashes]] for consumers that need the gram text itself
+    * (n-gram frequency tables feeding BPE merge selection), not a
+    * hash. Same single boundary walk; each shingle is a zero-copy
+    * byte-window slice of the parent (single-space-joined normalized
+    * input), bit-identical to concat_ws(" ", slice(words, i, n)) on
+    * that domain. Same n >= 2 gate as the hash form. */
+  case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 2 && n <= 64, s"shingle size must be in [2, 64], got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_strings argument must be string, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      ShinglePack.strings(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.ShinglePack.strings($a, $n);")
+    override protected def withNewChildInternal(c: Expression): ShingleStrings =
+      copy(child = c)
+  }
+
+  def shingleStrings(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleStrings(ColumnBridge.expression(text), n))
+
   /** Canonical text normalization (lower-case, non-alnum → space,
     * whitespace collapsed, trimmed) fused into ONE pass — this chain
     * runs per document in front of nearly every text operator (dedup,
@@ -231,6 +259,36 @@ object ShinglePack {
       k += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Same boundary walk as [[hashes]], returning the shingle STRINGS as
+    * zero-copy byte-window slices of the parent. */
+  def strings(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    if (b.length == 0) return empty
+    var words = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' '.toByte) words += 1; i += 1 }
+    if (words < n) return empty
+    val starts = new Array[Int](words)
+    var w = 1
+    starts(0) = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val out = new Array[Any](words - n + 1)
+    var k = 0
+    while (k < out.length) {
+      val from = starts(k)
+      val until = if (k + n == words) b.length else starts(k + n) - 1
+      out(k) = UTF8String.fromBytes(b, from, until - from)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

@@ -190,6 +190,28 @@ object TextOps {
       .agg(sum(col("__tf")).as("n"), count(col("doc_id")).as("doc_freq"))
       .filter(col("n") >= minCount)
 
+  /** Corpus word-n-gram frequency table — the merge-candidate input a
+    * BPE/WordPiece tokenizer build selects from (most-frequent adjacent
+    * pairs), complementing [[tokenFrequency]]'s unigram vocabulary.
+    * Grams come as STRINGS from one native pass per doc
+    * ([[graft.functions.StringExpressions.ShingleStrings]] — the
+    * interpreted slice/concat HOF chain this family replaced in round
+    * 5), then the same skew-safe two-level aggregate as
+    * [[tokenFrequency]] (SURVEY §8 rule 1): level 1 collapses repeats
+    * within a document map-side, level 2 folds per-gram totals +
+    * document frequency with COUNT(DISTINCT)-style null-id exclusion.
+    * minCount prunes the Zipfian tail before it is ever collected. */
+  def ngramFrequency(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minCount: Long): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.StringExpressions.shingleStrings(
+          normalizeText(col(textCol)), n)).as("ngram"))
+      .groupBy(col("doc_id"), col("ngram"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__tf")).as("n"), count(col("doc_id")).as("doc_freq"))
+      .filter(col("n") >= minCount)
+
   /** Per-doc top-k terms by TF-IDF — the keyword/vocabulary projection
     * of the corpus (classic two-pass scheme: per-doc term counts, then
     * corpus-wide document frequencies, idf = ln(N/df)). The scalar doc

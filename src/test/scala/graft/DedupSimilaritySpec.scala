@@ -197,6 +197,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(TextOps.tokenFrequency(d, "doc_id", "text", 2L).count() == 1) // only alpha
   }
 
+  test("ngramFrequency counts bigram totals and doc frequency with pruning") {
+    val d = Seq(
+      (1L, "a b a b", "en", "s"),   // bigrams: "a b", "b a", "a b"
+      (2L, "a b c", "en", "s"),     // bigrams: "a b", "b c"
+      (3L, "solo", "en", "s"),      // one word -> no bigrams
+      (4L, null.asInstanceOf[String], "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.ngramFrequency(d, "doc_id", "text", 2, 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a b") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(out("b a") == (1L, 1L) && out("b c") == (1L, 1L))
+    assert(out.size == 3)
+    // pruning keeps only the repeated merge candidate - the BPE use
+    assert(TextOps.ngramFrequency(d, "doc_id", "text", 2, 2L)
+      .collect().map(_.getString(0)).toSeq == Seq("a b"))
+  }
+
   test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
     val d = Seq(
       (1L, "common zebra zebra zebra", "en", "s"),

@@ -175,6 +175,21 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(snat.getOrElse(i.toLong, Seq()) == shof.getOrElse(i.toLong, Seq()),
         s"shingles of '${texts(i)}'")
     }
+    // reference: the original slice/concat_ws STRING shingles
+    val strHof = df2.select(col("id"), split(col("t"), " ").as("w"))
+      .select(col("id"), col("w"),
+        explode(when(size(col("w")) >= 2,
+            sequence(lit(1), size(col("w")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"), concat_ws(" ", slice(col("w"), col("i"), lit(2))).as("g"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val strNat = df2.select(col("id"),
+        explode(StringExpressions.shingleStrings(col("t"), 2)).as("g"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    texts.indices.foreach { i =>
+      assert(strNat.getOrElse(i.toLong, Seq()) == strHof.getOrElse(i.toLong, Seq()),
+        s"string shingles of '${texts(i)}'")
+    }
   }
 
   test("extensions expose the text kernels and sorted_intersect_count to SQL") {
