@@ -61,6 +61,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(reShuffles == 0, s"prefix aggregation re-shuffles by doc_id:\n$plan")
   }
 
+  test("e16/e31 frequency tables carry no Expand replication") {
+    // the round-5 structural fix: a mixed count/count-distinct plan
+    // replicates every exploded token row through an Expand before the
+    // first shuffle (9.1x wall at sf1); the two-level aggregate shape
+    // must keep both vocabulary builders Expand-free
+    for (q <- Seq("e16_token_freq", "e31_ngram_freq")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Expand"), s"$q:\n$plan")
+    }
+  }
+
   test("e20 computes document frequency without a window on the token key") {
     val plan = finalPlan(SparkEntry.queries("e20_tfidf_topk")(spark, sf))
     // a count window partitioned by the Zipfian token key co-locates
