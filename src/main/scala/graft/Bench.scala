@@ -61,7 +61,9 @@ object Bench {
       // deterministically so every query measures against a clean block
       // manager, the way it would run as its own job on a cluster.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: async unpersist only enqueues removal, so eviction
+      // could overlap (and be charged to) the next timed query
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       dt
     }
     val results = queries.map { case (name, fn) =>

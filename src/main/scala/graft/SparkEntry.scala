@@ -378,10 +378,10 @@ object SparkEntry {
   )
 
   // -----------------------------------------------------------------
-  // DuckDB oracle SQL — identical aliases + identical rounding. Keys
-  // absent here (b11, e13) are rows-only checked and carry
-  // differential/property ScalaTest specs instead (b11 is a bounded
-  // sketch; e13's iterative k-means means are float-sum order-sensitive).
+  // DuckDB oracle SQL — identical aliases + identical rounding. The
+  // one key absent here (b11) is rows-only checked and carries a
+  // differential error-bound ScalaTest spec instead (bounded sketch —
+  // approximation is the point, so no exact oracle can exist).
   // -----------------------------------------------------------------
 
   /** Shared normalized-text expression (matches graft.functions.normalizeText). */
@@ -447,6 +447,50 @@ object SparkEntry {
       case (row, p) =>
         s"($p, CAST([${row.map(v => f"$v%.6f").mkString(",")}] AS DOUBLE[]))"
     }.mkString(", ")
+
+  /** Squared L2 distance as the SAME left-to-right IEEE-double fold
+    * as [[graft.functions.VectorExpressions]]' NearestCentroid /
+    * CentroidDistances kernels — operand-order-identical, so the
+    * doubles (and therefore every argmin) match bit-for-bit. */
+  private def distSql(v: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(list_zip($v, $c),
+         p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+              (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       (acc, x) -> acc + x)"""
+
+  /** Unrolled Lloyd's k-means CTE chain replaying
+    * [[graft.vector.Cluster.fitCentroids]] exactly: Knuth-hash seed
+    * order (the engine's seedHash), per-iteration centroid `avg`
+    * rounded to 6 decimals in both engines (the sole sum-order-
+    * sensitive step — see fitCentroids' determinism note), empty
+    * clusters keep their previous centroid, distance/argmin ties →
+    * lowest cluster. Exposes `ivf_e(vec_id, v)` and the final
+    * centroid relation `c$iters(cluster, cent)`. */
+  private def ivfLloydCte(k: Int, iters: Int): String = {
+    val seedH = "(vec_id * 2654435761) % 1000000007"
+    val base =
+      s"""ivf_e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+          seeds AS (SELECT vec_id,
+              row_number() OVER (ORDER BY $seedH, vec_id) - 1 AS cluster
+            FROM ivf_e QUALIFY row_number() OVER (ORDER BY $seedH, vec_id) <= $k),
+          c0 AS (SELECT s.cluster, list_transform(e.v, x -> CAST(x AS DOUBLE)) AS cent
+            FROM seeds s JOIN ivf_e e USING (vec_id))"""
+    val steps = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT cluster, v FROM (
+            SELECT e.vec_id, e.v, c.cluster, ${distSql("e.v", "c.cent")} AS d
+            FROM ivf_e e CROSS JOIN $prev c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+          u$i AS (SELECT cluster, list(m ORDER BY dim) AS cent FROM (
+            SELECT cluster, dim, round(avg(CAST(x AS DOUBLE)), 6) AS m
+            FROM (SELECT cluster, unnest(v) AS x, unnest(range(len(v))) AS dim FROM a$i)
+            GROUP BY 1, 2) GROUP BY 1),
+          c$i AS (SELECT p.cluster, coalesce(u.cent, p.cent) AS cent
+            FROM $prev p LEFT JOIN u$i u USING (cluster))"""
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** LSH CTEs with the e22 gate's self-tuning banding: bits per band
     * re-derived from `count(*)` with the identical integer rule as
@@ -1190,6 +1234,29 @@ object SparkEntry {
                 (${normVecSql("qe.embedding")} * ${normVecSql("ce.embedding")}), 6) AS cos6
             FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
               JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+          SELECT query_id, neighbor_id, round(cos6, 4) AS cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+          FROM scored QUALIFY rank <= 5""",
+    // Full Lloyd replay (2 unrolled iterations, k=8), then the
+    // deterministic probe/score path: 3 nearest cells per query,
+    // nearest-cell corpus assignment, exact cosine inside probed
+    // cells — the engine's annIvfTopK(…, 8, 2, 3, 5) bit-for-bit
+    // (see ivfLloydCte for why the doubles agree exactly).
+    "e13_ann_ivf" ->
+      s"""WITH ${ivfLloydCte(8, 2)},
+          probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+              SELECT e.vec_id, e.v, c.cluster, ${distSql("e.v", "c.cent")} AS d
+              FROM ivf_e e CROSS JOIN c2 c WHERE e.vec_id < 10)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) <= 3),
+          asg AS (SELECT vec_id AS neighbor_id, v AS cv, cluster FROM (
+              SELECT e.vec_id, e.v, c.cluster, ${distSql("e.v", "c.cent")} AS d
+              FROM ivf_e e CROSS JOIN c2 c)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+          scored AS (SELECT p.query_id, a.neighbor_id,
+              round(${dotSql("p.qv", "a.cv")} /
+                (${normVecSql("p.qv")} * ${normVecSql("a.cv")}), 6) AS cos6
+            FROM asg a JOIN probes p ON a.cluster = p.cluster
+            WHERE p.query_id <> a.neighbor_id)
           SELECT query_id, neighbor_id, round(cos6, 4) AS cosine,
             row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
           FROM scored QUALIFY rank <= 5""",

@@ -288,9 +288,12 @@ object Dedup {
       s"radius $radius does not chunk ${words * 64} bits evenly within words")
     val bitsPer = words * 64 / chunks
     val perWord = 64 / bitsPer
+    // mask as -1L >>> (64 - bitsPer): (1L << 64) - 1 would be 0 on the
+    // JVM (shift is mod 64), silently emptying the bitsPer == 64 case
+    // (e.g. 128-bit fingerprints at radius 1)
     val keyOf: Int => Column = c =>
       shiftright(col(simCols(c / perWord)), (c % perWord) * bitsPer)
-        .bitwiseAND((1L << bitsPer) - 1L)
+        .bitwiseAND(-1L >>> (64 - bitsPer))
     val simRefs = simCols.map(col)
     val withChunks = sim.select((col("doc_id") +: simRefs :+
       explode(array((0 until chunks).map { c =>

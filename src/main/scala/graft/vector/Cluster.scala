@@ -39,8 +39,28 @@ object Cluster {
   private def nearestCluster(v: Column, cents: Array[Array[Double]]): Column =
     VectorExpressions.nearestCentroid(v, cents)
 
+  /** Seed-ordering hash: Knuth multiplicative on the row id — chosen
+    * over xxhash64 because it is expressible verbatim in the DuckDB
+    * oracle (the e19 stratified-sample precedent), which is what lets
+    * e13 carry a full hash oracle instead of a rows-only check. Ids
+    * are non-negative in every graft table, so plain `%` matches
+    * DuckDB's; the product stays far from Long overflow (DuckDB would
+    * error where the JVM wraps) for any realistic id space. */
+  private def seedHash(id: Column): Column =
+    (id * lit(2654435761L)) % lit(1000000007L)
+
   /** Lloyd's k-means, deterministic hash-ordered seeding. Returns the
-    * centroids as (cluster, centroid: array<double>). */
+    * centroids as (cluster, centroid: array<double>).
+    *
+    * ORACLE-REPLAYABLE DETERMINISM: every per-row computation
+    * (distance folds, argmin ties → lowest cluster) is a fixed-order
+    * IEEE-double loop the DuckDB oracle reproduces bit-for-bit with
+    * `list_reduce`. The one aggregation whose partial-sum order the
+    * engines cannot agree on — the centroid-update `avg` — is rounded
+    * to 6 decimals each iteration in BOTH engines, truncating the
+    * ~1e-13 sum-order noise so the converged centroids are identical
+    * doubles. Rounding centroids at 1e-6 is quality-neutral for
+    * clustering. */
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -52,7 +72,7 @@ object Cluster {
     // compiles to TakeOrderedAndProject — a distributed partial top-k, not
     // a global single-partition sort.
     var centroids: Array[(Int, Seq[Double])] = base
-      .withColumn("__h", xxhash64(lit("graft-kmeans"), col("__id")))
+      .withColumn("__h", seedHash(col("__id")))
       .orderBy(col("__h"), col("__id"))
       .limit(k)
       .select(col("__h"), transform(col("v"), _.cast("double")).as("v"))
@@ -65,7 +85,8 @@ object Cluster {
       val updated = base
         .select(nearestCluster(col("v"), centArr).as("cluster"),
           posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cluster"), transform(col("dm"), s => s.getField("m")).as("centroid"))

@@ -98,6 +98,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("simhashPairs radius=0 (64-bit chunks): exact-duplicate pairs, mask not zeroed") {
+    // bitsPer == 64 makes (1L << 64) - 1 evaluate to 0 on the JVM
+    // (shift is mod 64) — the -1L >>> (64 - bitsPer) mask keeps the
+    // whole-word key intact instead of collapsing every bucket to 0
+    val sim = Seq((1L, 42L), (2L, 42L), (3L, 43L), (4L, 99L))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(sim, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    // with a collapsed key every doc would share bucket 0 and the
+    // 4-row "bucket" would be pruned at maxBucket = 3 → silently empty
+    assert(Dedup.simhashPairs(sim, 0, maxBucket = 3).count() == 1L)
+  }
   test("simhashPairs prunes degenerate chunk buckets, keeps sparse pairs") {
     val a = 0x0001000200030004L
     val b = a ^ 1L // Hamming 1 from a; shares chunks 1-3 with it
