@@ -62,6 +62,22 @@ object SparkEntry {
         Ingest.aggState(ev.filter(col("event_id") < 7000), "user_id", "value"),
         ev.filter(col("event_id") >= 7000), "user_id", "value")
     }),
+    "a8_paginated_fetch" -> ((s, d) => {
+      // the reference's offset-paginated fetch loop landed crash-safely:
+      // 3 pages land, the run "crashes", the resumed run refetches the
+      // last landed page and runs out the window (short final page
+      // included) — the landed feed must equal a clean one-shot
+      // snapshot, with page lineage restored by partition discovery
+      val feed = Ingest.typedIngest(Tables.events(s, d),
+        "event_id", "ts", "user_id", "event_type", "value")
+      val dir = s"/tmp/graft_sources/a8_${pathTag(d)}"
+      val src = new graft.sources.PagedFeed.OrderedFramePages(feed, "record_id")
+      val ps = graft.sources.PagedFeed.autoPageSize(src.total, 7)
+      graft.sources.PagedFeed.reset(s, dir)
+      graft.sources.PagedFeed.land(s, src, dir, ps, maxPages = 3)
+      graft.sources.PagedFeed.land(s, src, dir, ps)
+      graft.sources.PagedFeed.load(s, dir)
+    }),
     "a6_cdc_merge" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -602,6 +618,19 @@ object SparkEntry {
              ELSE 0 END AS INT) AS code,
            scale
          FROM e""",
+    // page = offset // pageSize in id order, with pageSize re-derived
+    // from count(*) under the identical integer rule as
+    // PagedFeed.autoPageSize(total, 7) — crash + resume must leave
+    // exactly the clean one-shot snapshot
+    "a8_paginated_fetch" ->
+      """WITH ps AS (SELECT CAST(greatest(1, (count(*) + 6) // 7) AS BIGINT) AS ps FROM events),
+         f AS (SELECT event_id AS record_id, date_trunc('second', ts) AS period,
+             CAST(user_id AS VARCHAR) AS respondent, event_type AS type,
+             CAST(value AS DOUBLE) AS value,
+             row_number() OVER (ORDER BY event_id) - 1 AS i FROM events)
+         SELECT record_id, period, respondent, type, value,
+           CAST(i // ps AS INT) AS page
+         FROM f CROSS JOIN ps""",
     "a6_cdc_merge" ->
       """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS period,
            user_id, event_type, value FROM events),

@@ -161,4 +161,59 @@ class SourcesSpec extends SparkSpec {
       .write.parquet(ltzDir.resolve("events.parquet").toString)
     assert(load(ltzDir) == wall)
   }
+
+  // ---- a8: offset-paginated feed landing (PagedFeed) ----
+
+  import graft.sources.PagedFeed
+
+  private def pagedFeedFixture(n: Int) =
+    (1 to n).map(i => (i.toLong * 10, s"rec$i")).toDF("id", "payload")
+
+  test("PagedFeed lands a short final page and loads the exact feed with page ids") {
+    val feed = pagedFeedFixture(10) // pageSize 4 -> pages of 4, 4, 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_paged").toString + "/feed"
+    val src = new PagedFeed.OrderedFramePages(feed, "id")
+    assert(PagedFeed.land(spark, src, dir, 4) == 3)
+    val back = PagedFeed.load(spark, dir)
+    assert(back.select("id", "payload").collect().toSet ==
+      feed.collect().toSet)
+    val byPage = back.groupBy("page").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byPage == Map(0 -> 4L, 1 -> 4L, 2 -> 2L))
+  }
+
+  test("PagedFeed crash mid-page: resume refetches the torn last page, no dups or losses") {
+    val feed = pagedFeedFixture(20) // pageSize 6 -> pages 6, 6, 6, 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_paged_crash").toString + "/feed"
+    val src = new PagedFeed.OrderedFramePages(feed, "id")
+    // run 1 "crashes" after landing two pages...
+    assert(PagedFeed.land(spark, src, dir, 6, maxPages = 2) == 2)
+    // ...and the crash TORE the last page: overwrite page=1 with only a
+    // prefix of its rows (the torn-file shape a mid-write kill leaves)
+    src.fetch(6, 3).write.mode("overwrite").parquet(s"$dir/page=1")
+    assert(PagedFeed.load(spark, dir).count() == 9)
+    // resume starts AT the torn page (its count fails the completeness
+    // check), overwrites it in full, and runs out the window
+    assert(PagedFeed.resumePage(spark, dir) == 1)
+    assert(PagedFeed.land(spark, src, dir, 6) == 3) // pages 1, 2, 3
+    val back = PagedFeed.load(spark, dir)
+    assert(back.select("id", "payload").collect().toSet == feed.collect().toSet)
+    // re-landing an already-complete window is a no-op (idempotent re-run)
+    assert(PagedFeed.land(spark, src, dir, 6) == 0)
+  }
+
+  test("PagedFeed landed window merges into an accumulated feed via a5 without dups") {
+    // the accumulated table already holds ids <= 100; the landed window
+    // refetched an overlapping range — the a5 high-water-mark merge
+    // must admit only the genuinely new rows
+    val all = pagedFeedFixture(15)
+    val accumulated = all.filter(col("id") <= 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_paged_merge").toString + "/feed"
+    val src = new PagedFeed.OrderedFramePages(all.filter(col("id") >= 70), "id")
+    PagedFeed.land(spark, src, dir, 5)
+    val merged = graft.ingest.Ingest.incrementalIngest(
+      accumulated, PagedFeed.load(spark, dir).drop("page"), "id")
+    assert(merged.count() == 15)
+    assert(merged.select("id").as[Long].collect().toSet == all.select("id").as[Long].collect().toSet)
+  }
 }
