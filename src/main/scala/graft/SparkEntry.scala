@@ -116,6 +116,10 @@ object SparkEntry {
       Quality.valueStatsApprox(Tables.events(s, d), "value", 10000)),
     "b12_gap_summary" -> ((s, d) =>
       Quality.gapSummary(Tables.events(s, d), "user_id", "ts", "event_id", 3600L, 1.5)),
+    // rows-only by design (HLL sketch — the b11 pattern for
+    // cardinalities); differential spec bounds error at 3·rsd
+    "b13_approx_distinct" -> ((s, d) =>
+      Quality.distinctStatsApprox(Tables.events(s, d), "user_id", "ts", 0.02)),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -316,6 +320,23 @@ object SparkEntry {
       // the filter prunes to one partition directory at planning time
       graft.sources.Sources.readParquet(s, tmp)
         .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("period"), col("user_id"),
+          col("event_type").cast("string").as("event_type"), col("value"))
+    }),
+    "g7_partition_overwrite" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/dpo_${pathTag(d)}"
+      // initial full land (static), then the scheduled re-land
+      // recomputes ONE partition under dynamic overwrite — siblings
+      // must come back untouched, the re-landed one replaced
+      graft.sources.Sources.writePartitionedParquet(ev, tmp, Seq("event_type"))
+      graft.sources.Sources.relandPartitions(
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") + 10),
+        tmp, Seq("event_type"))
+      graft.sources.Sources.readParquet(s, tmp)
         .select(col("event_id"), col("period"), col("user_id"),
           col("event_type").cast("string").as("event_type"), col("value"))
     }),
@@ -1461,6 +1482,13 @@ object SparkEntry {
     "g2_partitioned_sink_prune" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events WHERE event_type = 'purchase'""",
+    // full land + dynamic re-land of the purchase partition (values
+    // shifted so a clobbered sibling OR a surviving stale partition
+    // would both hash-fail)
+    "g7_partition_overwrite" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN value + 10 ELSE value END AS value
+         FROM events""",
     "g3_bucketed_join" ->
       """SELECT o_custkey AS c_custkey, count(*) AS n_orders,
          floor((sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 200 + count(*))

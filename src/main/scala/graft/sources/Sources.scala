@@ -67,6 +67,25 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Dynamic-partition-overwrite re-land — the idempotent form of the
+    * reference's scheduled full re-land to the object store
+    * (airflow_dag.py's extract task re-writing the bucket via
+    * save_to_minio, data_extraction.py:140): `overwrite` mode with
+    * `partitionOverwriteMode=dynamic` replaces ONLY the partitions the
+    * batch actually contains, byte-leaving every sibling partition in
+    * place. This is the re-land a scheduled pipeline needs at 100 TB —
+    * re-running one day can never truncate the other 36,499 day
+    * directories the static mode would drop. The option is set on the
+    * write (not the session), so surrounding jobs keep static
+    * semantics. */
+  def relandPartitions(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** JSON-lines sink (one object per line — the interchange format
     * most raw corpora land in). Seconds-precision timestamps keep the
     * roundtrip lossless for the canonical feed. */

@@ -108,6 +108,27 @@ object Quality {
       round(expr(s"approx_percentile($valueCol, 0.95, $accuracy)"), 4).as("p95_approx"),
       round(expr(s"approx_percentile($valueCol, 0.99, $accuracy)"), 4).as("p99_approx"))
 
+  /** Approximate-distinct quality counts — the 100 TB twin of the
+    * exact `count_distinct` fields in [[qualityReport]] /
+    * [[validationVerdict]] (the b5→b11 pattern applied to
+    * cardinalities). Exact distinct aggregation materializes the full
+    * key set per partition and shuffles it; `approx_count_distinct`
+    * (HyperLogLog++) aggregates a fixed-size mergeable sketch map-side
+    * instead, so every cardinality here costs one streaming pass at
+    * any scale. `rsd` is the sketch's relative standard deviation —
+    * the differential spec bounds observed error at 3·rsd. The
+    * composite (key, ts) cardinality is the duplicate-timestamp
+    * signal's scale form: total − distinct(key, ts) ≈ duplicated
+    * rows. */
+  def distinctStatsApprox(df: DataFrame, keyCol: String, tsCol: String,
+                          rsd: Double): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_records"),
+      approx_count_distinct(col(keyCol), rsd).as("unique_keys_approx"),
+      approx_count_distinct(col(tsCol), rsd).as("unique_timestamps_approx"),
+      approx_count_distinct(struct(col(keyCol), col(tsCol)), rsd)
+        .as("unique_key_ts_approx"))
+
   /** Per-key statistics (data_validation.py:176-185). */
   def regionStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.groupBy(col(keyCol))

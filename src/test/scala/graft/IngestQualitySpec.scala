@@ -168,6 +168,24 @@ class IngestQualitySpec extends SparkSpec {
     assert(fromEmpty.count() == page.count())
   }
 
+  test("distinctStatsApprox cardinalities land within 3·rsd of exact") {
+    val ev = Tables.events(spark, sf)
+    val rsd = 0.02
+    val approx = Quality.distinctStatsApprox(ev, "user_id", "ts", rsd).head()
+    val exact = ev.agg(
+      count(lit(1)).as("total"),
+      count_distinct(col("user_id")).as("keys"),
+      count_distinct(col("ts")).as("tss"),
+      count_distinct(struct(col("user_id"), col("ts"))).as("keyts")).head()
+    assert(approx.getAs[Long]("total_records") == exact.getAs[Long]("total"))
+    def within(got: Long, want: Long): Unit =
+      assert(math.abs(got - want).toDouble / want <= 3 * rsd,
+        s"approx $got vs exact $want exceeds 3*rsd")
+    within(approx.getAs[Long]("unique_keys_approx"), exact.getAs[Long]("keys"))
+    within(approx.getAs[Long]("unique_timestamps_approx"), exact.getAs[Long]("tss"))
+    within(approx.getAs[Long]("unique_key_ts_approx"), exact.getAs[Long]("keyts"))
+  }
+
   test("valueStatsApprox quantiles land within rank-error of exact") {
     val ev = Tables.events(spark, sf)
     val approx = Quality.valueStatsApprox(ev, "value", 10000).head()

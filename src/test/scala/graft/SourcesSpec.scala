@@ -162,6 +162,43 @@ class SourcesSpec extends SparkSpec {
     assert(load(ltzDir) == wall)
   }
 
+  test("dynamic partition overwrite replaces only the landed partitions, siblings byte-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString + "/out"
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0))
+      .toDF("id", "k", "value")
+    Sources.writePartitionedParquet(df, tmp, Seq("k"))
+    // fingerprint every sibling file (path -> (size, md5)) before the re-land
+    def files(sub: String): Map[String, (Long, String)] = {
+      val d = java.nio.file.Paths.get(tmp, sub)
+      java.nio.file.Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+          p.getFileName.toString -> (bytes.length.toLong, md5)
+        }.toMap
+    }
+    val beforeB = files("k=b"); val beforeC = files("k=c"); val beforeA = files("k=a")
+    // re-land partition a only, recomputed
+    Sources.relandPartitions(
+      df.filter(col("k") === "a").withColumn("value", col("value") * 10), tmp, Seq("k"))
+    // siblings: the SAME files, byte for byte — not rewritten copies
+    assert(files("k=b") == beforeB)
+    assert(files("k=c") == beforeC)
+    // the landed partition was actually replaced (old files gone)
+    assert(files("k=a").keySet.intersect(beforeA.keySet).isEmpty)
+    val back = Sources.readParquet(spark, tmp)
+      .select(col("id"), col("k").cast("string"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, "a", 10.0), (3L, "a", 30.0), (2L, "b", 2.0), (4L, "c", 4.0)))
+    // negative control: a STATIC overwrite of the same one-partition
+    // batch truncates the whole dataset — exactly what dynamic prevents
+    Sources.writePartitionedParquet(
+      df.filter(col("k") === "a"), tmp, Seq("k"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "k=b")))
+  }
+
   // ---- a8: offset-paginated feed landing (PagedFeed) ----
 
   import graft.sources.PagedFeed
