@@ -173,6 +173,127 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- late-data watermark-boundary behavior ----
+  // Watermark mechanics under test: the watermark used by batch N is
+  // derived from data seen through batch N-1 (max event time − delay).
+  // A late row whose window is still open (window end > watermark) must
+  // be counted when the window finally emits; a late row whose window
+  // the watermark already closed must be silently dropped.
+
+  private def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+  test("f2 tumblingWindowStream: late row inside watermark counts, beyond watermark drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumblingWindowStream(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("twlate").start()
+    try {
+      input.addData((ts("10:05"), "view", 1.0), (ts("10:40"), "view", 2.0),
+        (ts("11:30"), "view", 4.0))
+      q.processAllAvailable() // watermark now 11:20 — window [10,11) closed
+      input.addData(
+        (ts("11:10"), "view", 8.0),  // late (max seen 11:30) but [11,12) open → counted
+        (ts("10:30"), "view", 16.0), // [10,11) end 11:00 ≤ wm 11:20 → dropped
+        (ts("12:30"), "view", 32.0)) // advances wm to 12:20
+      q.processAllAvailable()
+      input.addData((ts("14:00"), "view", 0.5)) // close [11,12)
+      q.processAllAvailable()
+      val byWindow = spark.table("twlate").collect()
+        .map(r => r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[Timestamp]("start") -> (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+        .toMap
+      assert(byWindow(ts("10:00")) == ((2L, 3.0)))  // 16.0 NOT here: dropped
+      assert(byWindow(ts("11:00")) == ((2L, 12.0))) // 8.0 IS here: within watermark
+    } finally q.stop()
+  }
+
+  test("f4 windowedQualityStream: a violation arriving beyond the watermark is not counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = Streams.windowedQualityStream(
+      input.toDF().toDF("ts", "value"), "ts", "value", "1 hour", "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("wqlate").start()
+    try {
+      input.addData((ts("10:05"), 1.0), (ts("10:40"), -3.0), (ts("11:30"), 4.0))
+      q.processAllAvailable() // wm 11:20
+      input.addData(
+        (ts("10:50"), -99.0), // late negative, window closed → violation never surfaces
+        (ts("11:10"), -5.0),  // late negative, window open → counted
+        (ts("12:30"), 1.0))
+      q.processAllAvailable()
+      input.addData((ts("14:00"), 1.0))
+      q.processAllAvailable()
+      val byWindow = spark.table("wqlate").collect()
+        .map(r => r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[Timestamp]("start") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("negative_values"), r.getAs[Double]("sum_value")))
+        .toMap
+      assert(byWindow(ts("10:00")) == ((2L, 1L, -2.0))) // -99 dropped, its violation unseen
+      assert(byWindow(ts("11:00")) == ((2L, 1L, -1.0))) // -5 within watermark: counted
+    } finally q.stop()
+  }
+
+  test("f5 hoppingWindowStream: a late row is dropped from its closed window, counted in its open one") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val stream = Streams.hoppingWindowStream(
+      input.toDF().toDF("ts", "value"), "ts", "value", "2 hours", "1 hour", "10 minutes")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("hoplate").start()
+    try {
+      input.addData((ts("10:30"), 1.0), (ts("11:55"), 2.0))
+      q.processAllAvailable() // wm 11:45: [09,11) closed, [10,12) open
+      // the late row belongs to BOTH [09,11) and [10,12): per-window
+      // lateness means it vanishes from the closed window but still
+      // lands in the open one
+      input.addData((ts("10:45"), 4.0), (ts("14:00"), 8.0))
+      q.processAllAvailable()
+      input.addData((ts("16:00"), 0.5))
+      q.processAllAvailable()
+      val byWindow = spark.table("hoplate").collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+      assert(byWindow(ts("09:00")) == ((1L, 1.0))) // late 4.0 dropped here
+      assert(byWindow(ts("10:00")) == ((3L, 7.0))) // ...but counted here
+      assert(byWindow(ts("11:00")) == ((1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("f6 intervalJoinStream: late match inside watermark still joins, beyond watermark never emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      buys.toDF().toDF("buy_id", "buy_user", "buy_ts"),
+      "user_id", "ts", "buy_user", "buy_ts", 600L, "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ivjlate").start()
+    try {
+      clicks.addData((1L, 7L, ts("10:30")), (2L, 7L, ts("11:30")))
+      buys.addData((101L, 7L, ts("10:25"))) // joins click 1 ([10:20,10:30])
+      q.processAllAvailable() // global wm = min(11:20, 10:15) = 10:15
+      // late buy, still ≥ watermark: the retained click state joins it
+      buys.addData((102L, 7L, ts("10:28")))
+      q.processAllAvailable()
+      // both sides advance → wm 12:50
+      clicks.addData((3L, 7L, ts("13:00")))
+      buys.addData((103L, 7L, ts("13:00")))
+      q.processAllAvailable()
+      // a buy below the watermark is dropped at ingress: no pair may
+      // appear even though it would have matched click 1 in event time
+      buys.addData((104L, 7L, ts("10:29")))
+      q.processAllAvailable()
+      val pairs = spark.table("ivjlate").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("buy_id"))).toSet
+      assert(pairs == Set((1L, 101L), (1L, 102L), (3L, 103L)))
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits closed sessions via event-time timeout semantics") {
     implicit val sqlCtx = spark.sqlContext
     def ev(key: Long, epochSec: Long, value: Double) =
