@@ -66,8 +66,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       dt
     }
+    // SPARK_GRAFT_RUNS overrides the per-query run count (default 2,
+    // min reported): large-SF single-pass sweeps set 1 — at sf10 a
+    // second pass doubles an already hour-scale run for noise bars the
+    // per-decade ratio analysis doesn't need.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     val results = queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      name -> (1 to runs).map(_ => timeOnce(name, fn)).min
     }
     // 3-decimal fixed-point keeps the one-line JSON compact enough that
     // the driver's bounded stdout tail captures every query (r3's full-
