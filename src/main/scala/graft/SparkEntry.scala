@@ -78,6 +78,12 @@ object SparkEntry {
       graft.sources.PagedFeed.land(s, src, dir, ps)
       graft.sources.PagedFeed.load(s, dir)
     }),
+    "a9_scd2_history" -> ((s, d) =>
+      Ingest.scd2History(
+        Tables.events(s, d).select(col("user_id"),
+          date_trunc("second", col("ts")).as("period"),
+          col("event_type"), col("event_id")),
+        "user_id", "period", Seq("event_type"), "event_id")),
     "a6_cdc_merge" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -294,6 +300,20 @@ object SparkEntry {
       TextOps.materializePacked(Tables.documents(s, d), "doc_id", "text", "source", 1024)),
     "e26_chunk_text" -> ((s, d) =>
       TextOps.chunkText(Tables.documents(s, d), "doc_id", "text", 64, 16)),
+    "e32_incremental_dedup" -> ((s, d) => {
+      // first half of the corpus is already ingested; the second half
+      // arrives as the new crawl batch
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "doc_id", "text", Seq("lang", "source"))
+    }),
+    "e33_mixture_sample" -> ((s, d) =>
+      Sampling.temperatureMixSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "source", 3L, 10L)),
+    "e34_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text", 5L)),
 
     // ---------------- G. sources / sinks ----------------
     // (scratch paths/table names derive from the sanitized dataset dir
@@ -652,6 +672,23 @@ object SparkEntry {
          SELECT record_id, period, respondent, type, value,
            CAST(i // ps AS INT) AS page
          FROM f CROSS JOIN ps""",
+    // SCD2: a record opens a version iff first-per-key or attr changed
+    // (null-safe IS DISTINCT FROM = Spark's <=> negation); valid_to =
+    // next SURVIVING version's start, computed after the change filter
+    "a9_scd2_history" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period,
+             event_type, event_id FROM events),
+         m AS (SELECT user_id, period, event_type, event_id,
+             row_number() OVER w AS rn, lag(event_type) OVER w AS prev_attr
+           FROM t WINDOW w AS (PARTITION BY user_id
+             ORDER BY period NULLS FIRST, event_id NULLS FIRST)),
+         s AS (SELECT user_id, period, event_type, event_id FROM m
+           WHERE rn = 1 OR event_type IS DISTINCT FROM prev_attr)
+         SELECT user_id, event_type, period AS valid_from,
+           lead(period) OVER w2 AS valid_to,
+           lead(period) OVER w2 IS NULL AS is_current
+         FROM s WINDOW w2 AS (PARTITION BY user_id
+           ORDER BY period NULLS FIRST, event_id NULLS FIRST)""",
     "a6_cdc_merge" ->
       """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS period,
            user_id, event_type, value FROM events),
@@ -1521,6 +1558,56 @@ object SparkEntry {
                   FROM w WHERE len(words) >= 2))
           SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
           FROM sh GROUP BY 1 HAVING count(*) >= 5""",
+    // seen side reduces to its DISTINCT md5 set; batch self-dedup keeps
+    // the min-id row with arg_min-carried attrs (id unique → exact)
+    "e32_incremental_dedup" ->
+      s"""WITH seen AS (SELECT DISTINCT md5($normSql) AS text_hash
+             FROM documents WHERE doc_id < 250),
+          batch AS (SELECT doc_id, lang, source, md5($normSql) AS text_hash
+             FROM documents WHERE doc_id >= 250),
+          fresh AS (SELECT * FROM batch
+             WHERE text_hash NOT IN (SELECT text_hash FROM seen))
+          SELECT text_hash, min(doc_id) AS doc_id,
+            arg_min(lang, doc_id) AS lang, arg_min(source, doc_id) AS source
+          FROM fresh GROUP BY 1""",
+    // thresholds in pure integer arithmetic (HUGEINT here, decimal(38,0)
+    // in the engine): w = floor(sqrt(n)*1000) is exact cross-engine
+    // because IEEE-754 requires sqrt correctly rounded; // on positive
+    // hugeints = the engine's floor(decimal division)
+    "e33_mixture_sample" ->
+      """WITH st AS (SELECT source, count(*) AS n,
+            CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+          FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+            CAST(sum(w) AS BIGINT) AS ww FROM st),
+         r AS (SELECT source, least(CAST(10000 AS HUGEINT),
+             (CAST(10000 AS HUGEINT) * 3 * nn * w) // (CAST(10 AS HUGEINT) * ww * n)) AS t
+           FROM st CROSS JOIN tot)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE (d.doc_id * 2654435761) % 10000 < r.t""",
+    // integer micro-log quantization (floor(ln·1e6) as BIGINT) makes
+    // each doc's sum exact — no float summation order — and the final
+    // floor-average divides exact sub-2^53 integers (b5 pattern)
+    "e34_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+            FROM documents),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+            WHERE length(token) > 0 GROUP BY 1, 2),
+          va AS (SELECT token, CAST(sum(tf) AS BIGINT) AS vn FROM tf GROUP BY 1),
+          tot AS (SELECT CAST(sum(vn) AS BIGINT) AS total FROM va),
+          v AS (SELECT token, vn FROM va WHERE vn >= 5),
+          sc AS (SELECT tf.doc_id, tf.tf,
+              CASE WHEN v.vn IS NULL
+                THEN CAST(floor(ln(0.5 / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)
+                ELSE CAST(floor(ln(CAST(vn AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)
+              END AS lpq,
+              CASE WHEN v.vn IS NULL THEN tf.tf ELSE 0 END AS oov
+            FROM tf LEFT JOIN v USING (token) CROSS JOIN tot)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            CAST(sum(oov) AS BIGINT) AS oov_tokens,
+            floor(CAST(sum(lpq * tf) AS DOUBLE) / (100.0 * sum(tf))) / 10000.0 AS logprob
+          FROM sc GROUP BY 1""",
     "e15_frame_sample" ->
       """WITH n AS (SELECT doc_id, text, CAST(floor(length(text) / 16) AS INT) AS nf
            FROM documents WHERE floor(length(text) / 16) > 0),

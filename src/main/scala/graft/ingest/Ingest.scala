@@ -145,4 +145,45 @@ object Ingest {
     base.join(antiSide, Seq(keyCol), "left_anti")
       .unionByName(latest.filter(col(opCol) =!= "D").drop(opCol))
   }
+
+  /** SCD Type-2 history build: collapse an ordered change feed into
+    * versioned dimension rows with validity intervals — the warehouse
+    * history table the reference's full-snapshot re-land
+    * (data_extraction.py:135-172 overwrites the whole CSV each run)
+    * loses. Per key, ordered by (ts, tieBreak): a record opens a new
+    * version iff it is the key's first record or differs from its
+    * predecessor in ≥1 tracked attribute (null-safe comparison —
+    * null → null is "unchanged", null ↔ value is a change);
+    * `valid_to` is the NEXT surviving version's `valid_from`
+    * (closed-open intervals, so a key's intervals tile its timeline
+    * with no gaps or overlap) and the open interval is `is_current`.
+    *
+    * Scale shape: both window passes share one partitioning and
+    * ordering, so the whole operator is a single shuffle on the
+    * dimension key followed by two in-order walks — Catalyst plans
+    * the second Window without re-shuffling or re-sorting. Per-key
+    * state is one predecessor row (lag/lead), never the key's whole
+    * history, so skewed keys cost sort time, not memory. At 100 TB
+    * the feed arrives incrementally; rebuilding only keys present in
+    * the new batch composes this with [[cdcMerge]]'s broadcast
+    * anti-join (history of untouched keys never moves).
+    *
+    * Contract: `tsCol` non-null (a change feed timestamps every
+    * record); (`tsCol`, `tieBreak`) unique per key for a
+    * deterministic version order. */
+  def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+                  attrCols: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val attrChanged = attrCols.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val out = (keyCol +: attrCols).map(col) :+
+      col(tsCol).as("valid_from") :+
+      lead(col(tsCol), 1).over(w).as("valid_to")
+    changes
+      .withColumn("__first", row_number().over(w) === 1)
+      .withColumn("__chg", attrChanged)
+      .filter(col("__first") || col("__chg"))
+      .select(out: _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

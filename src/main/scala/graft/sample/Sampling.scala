@@ -33,4 +33,46 @@ object Sampling {
       lit(defaultRate))
     df.filter(hashBucket(col(idCol)) < rate * buckets)
   }
+
+  /** Temperature-scaled mixture sampling (T = 2): derive each source's
+    * sampling rate from the corpus itself so the sampled mixture
+    * up-weights small sources relative to their raw share — the
+    * standard multilingual/multi-source training-data mixing move
+    * (weight ∝ n^(1/T); T = 2 is the sqrt form, hardwired because
+    * IEEE-754 requires sqrt correctly rounded, so every engine
+    * computes the identical weight — a general-T pow() carries no such
+    * guarantee). The overall take targets `budgetNum/budgetDen` of the
+    * corpus; a source's per-row rate is
+    *   rate_s = budget · N · w_s / (W · n_s),  w_s = ⌊√n_s·1000⌋,
+    * capped at 1, applied via the same deterministic id-hash bucket as
+    * [[stratifiedSample]]. Thresholds are computed entirely in integer
+    * arithmetic (decimal(38,0) here, HUGEINT in the SQL oracle) so the
+    * bucket comparison is bit-identical across engines — no float
+    * normalizer whose summation order could flip a boundary row.
+    *
+    * Scale shape: per-source counts are one partial-aggregated
+    * groupBy over a column that is typically low-cardinality (sources
+    * number thousands, not billions); the S-row rate table broadcasts
+    * back and selection is a narrow filter — the corpus itself never
+    * shuffles. Intermediate products stay under 10^4·num·N·w_s ≈
+    * 10^23·num at N = 10^11 docs — inside decimal(38,0)/HUGEINT range.
+    */
+  def temperatureMixSample(df: DataFrame, idCol: String, srcCol: String,
+                           budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget must be a positive fraction")
+    val dec = "decimal(38,0)"
+    val stats = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1000).cast("long"))
+    val tot = stats.agg(sum(col("__n")).as("__totn"), sum(col("__w")).as("__totw"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("__t", least(lit(buckets),
+        floor((lit(buckets).cast(dec) * lit(budgetNum).cast(dec) *
+                col("__totn").cast(dec) * col("__w").cast(dec)) /
+              (lit(budgetDen).cast(dec) * col("__totw").cast(dec) *
+                col("__n").cast(dec))).cast("long")))
+      .select(col(srcCol), col("__t"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(hashBucket(col(idCol)) < col("__t"))
+      .drop("__t")
+  }
 }

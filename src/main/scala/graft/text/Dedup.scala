@@ -20,6 +20,37 @@ object Dedup {
     docs.groupBy(md5(normalizeText(col(textCol))).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup: admit only rows of `batch` whose
+    * normalized-text hash appears neither in the already-ingested
+    * corpus (`seen`) nor earlier (lower id) in the batch itself — the
+    * "dedup the new crawl against everything we already have" step a
+    * continuously-growing training corpus runs per ingest, instead of
+    * re-deduplicating 100 TB from scratch ([[exactDedupGroups]] is the
+    * from-scratch form).
+    *
+    * Scale shape: the seen corpus is projected to its 16-byte md5
+    * BEFORE anything moves — text never shuffles on either side — and
+    * the anti-join + keep-min groupBy both hash-partition on the same
+    * hash column, so AQE coalesces them into one exchange lineage. A
+    * production pipeline maintains the distinct seen-hash table
+    * incrementally (union the admitted hashes back per batch, the
+    * [[graft.ingest.Ingest.aggState]] pattern), replacing the re-scan
+    * of `seen` with a read of that table; the operator's join side is
+    * exactly that shape. Batch self-dedup keeps the min-id row per
+    * hash with attrs carried by `min_by` (id unique → deterministic).
+    */
+  def incrementalExactDedup(batch: DataFrame, seen: DataFrame, idCol: String,
+                            textCol: String, keepCols: Seq[String]): DataFrame = {
+    val hash = md5(normalizeText(col(textCol)))
+    val seenHashes = seen.select(hash.as("text_hash")).distinct()
+    val fresh = batch
+      .select(col(idCol) +: keepCols.map(col) :+ hash.as("text_hash"): _*)
+      .join(seenHashes, Seq("text_hash"), "left_anti")
+    fresh.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol),
+        keepCols.map(c => min_by(col(c), col(idCol)).as(c)): _*)
+  }
+
   /** Prime moduli for the engine-reproducible hash family: every
     * intermediate stays under 2^62, so DuckDB (which raises on BIGINT
     * overflow) computes bit-identical values for the oracles. */

@@ -268,6 +268,55 @@ object TextOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Per-doc unigram language-model quality score — the CCNet-style
+    * "how surprising is this document under the corpus's own unigram
+    * model" proxy (Wenzek et al. 2020 use a KenLM 5-gram; the unigram
+    * form is the engine-native scale path): gibberish, boilerplate and
+    * wrong-language docs score far below fluent text. The model IS the
+    * corpus: token → ln(n/total) over tokens with n ≥ minCount;
+    * rarer (pruned) tokens score as out-of-vocabulary with additive
+    * 0.5 smoothing, ln(0.5/total).
+    *
+    * Cross-engine determinism: per-token log-probs quantize to
+    * integer micro-logs (⌊ln(p)·10⁶⌋ as BIGINT), so each doc's sum is
+    * exact integer arithmetic — no float summation order — and the
+    * final per-token average floors onto a 4-decimal grid from exact
+    * inputs (the b5 quantize-then-integer-sum pattern; sums stay under
+    * 2⁵³ so the double division is exact-input correctly-rounded).
+    *
+    * Scale shape: reuses the two-level (doc, token) partial aggregate
+    * (§8 rule 1 — repeats collapse map-side before any shuffle; the
+    * "the" partition never concentrates). The vocabulary join-back is
+    * minCount-pruned and Zipf says that prunes the long tail, so AQE
+    * broadcasts it at ordinary scales and falls back to a shuffled
+    * join (skew-splitting) only if the vocabulary outgrows the budget.
+    * `total` is a 1-row scalar broadcast. The tf table feeds the vocab
+    * aggregate and the join-back, so it materializes once — the same
+    * measured lazy-localCheckpoint trade as [[tfidfTopK]] above. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     minCount: Long): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val vocabAll = tf.groupBy(col("token")).agg(sum(col("tf")).as("__vn"))
+    val total = vocabAll.agg(sum(col("__vn")).as("__total"))
+    val vocab = vocabAll.filter(col("__vn") >= minCount)
+    val lnTotal = col("__total").cast("double")
+    tf.join(vocab, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lpq", floor(
+        when(col("__vn").isNull, log(lit(0.5) / lnTotal))
+          .otherwise(log(col("__vn").cast("double") / lnTotal)) * 1e6)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("__vn").isNull, col("tf")).otherwise(lit(0L))).as("oov_tokens"),
+        (floor(sum(col("__lpq") * col("tf")).cast("double") /
+          (lit(100.0) * sum(col("tf")))) / 10000.0).as("logprob"))
+  }
+
   /** PII-style redaction for corpus cleaning: emails → <EMAIL>, URLs →
     * <URL>, digit runs of 4+ → <NUM>. One narrow regexp_replace chain;
     * patterns stay in the Java/RE2 common subset so any engine

@@ -501,4 +501,37 @@ class DedupSimilaritySpec extends SparkSpec {
     // 2^40 vectors: 32 bits/band, still far under the 62-bit key bound
     assert(Similarity.autoPlanes(1L << 40, 8) == 8 * 32)
   }
+
+  test("incrementalExactDedup drops seen and in-batch duplicates, keeps min-id attrs") {
+    val seen = Seq((1L, "Hello, World!", "en", "s1"), (2L, "bbb", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (13L, "hello   world", "en", "s2"), // normalizes to a SEEN text → dropped
+      (11L, "ccc", "fr", "s2"),
+      (12L, "CCC!", "es", "s3"),          // in-batch dup of 11 → 11's attrs win
+      (14L, "ddd", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.incrementalExactDedup(batch, seen, "doc_id", "text", Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)].collect().toSet
+    assert(out == Set((11L, "fr", "s2"), (14L, "en", "s2")))
+  }
+
+  test("unigramLogProb scores docs by corpus unigram surprisal with OOV smoothing") {
+    val docs = Seq(
+      (1L, "a a a b"),   // frequent tokens → high (less negative) score
+      (2L, "a b rare")   // 'rare' prunes below minCount → OOV-smoothed
+    ).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs, "doc_id", "text", 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // vocab: a n=4, b n=2 (total 7 incl. 'rare'); lpq = floor(ln(n/7)*1e6)
+    def lpq(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    def score(lpqs: Seq[Long]) =
+      math.floor(lpqs.sum.toDouble / (100.0 * lpqs.size)) / 10000.0
+    val (la, lb, loov) = (lpq(4.0 / 7), lpq(2.0 / 7), lpq(0.5 / 7))
+    assert(out(1L) == ((4L, 0L, score(Seq(la, la, la, lb)))))
+    assert(out(2L) == ((3L, 1L, score(Seq(la, lb, loov)))))
+    assert(out(1L)._3 > out(2L)._3) // fluent-corpus doc outscores the OOV one
+  }
 }

@@ -93,4 +93,27 @@ class GraphSamplingSpec extends SparkSpec {
       Map("en" -> 0.5), 0.1).select("doc_id").as[Long].collect().toSet
     assert(again == out)
   }
+
+  test("temperatureMixSample up-weights small sources under an overall budget") {
+    // 1600 vs 100 docs; T=2 weights ∝ sqrt(n) → the small source's RATE
+    // must be 4× the big one's (1600/100 = 16, sqrt ratio 4)
+    val rows = (0L until 1700L).map(i => (i, if (i < 1600) "big" else "small"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.temperatureMixSample(df, "doc_id", "source", 1L, 4L)
+      .select("doc_id").as[Long].collect().toSet
+    // engine-independent expectation: replay the integer threshold math
+    val n = Map("big" -> 1600L, "small" -> 100L)
+    val w = n.view.mapValues(v => math.floor(math.sqrt(v.toDouble) * 1000).toLong).toMap
+    val (nn, ww) = (n.values.sum, w.values.sum)
+    val t = n.map { case (s, ns) =>
+      s -> (BigInt(10000) * 1 * nn * w(s) / (BigInt(4) * ww * ns)).min(10000).toLong
+    }
+    assert(t("small") == t("big") * 4) // exact sqrt ratio on square counts
+    val expect = rows.filter { case (id, s) =>
+      ((id * 2654435761L) % 10000L + 10000L) % 10000L < t(s)
+    }.map(_._1).toSet
+    assert(out == expect)
+    // the realized take sits near the quarter-corpus budget (425 docs)
+    assert(math.abs(out.size - 425) < 80)
+  }
 }

@@ -285,4 +285,29 @@ class IngestQualitySpec extends SparkSpec {
     assert(out.select(col("id"), col("value")).as[(Long, Double)].collect().toSeq ==
       Seq((1L, 9.0)))
   }
+
+  test("scd2History collapses unchanged runs into tiling validity intervals") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "A", Some("x")),
+      (2L, ts("2024-01-02 00:00:00"), "A", Some("x")),  // unchanged → collapses
+      (3L, ts("2024-01-03 00:00:00"), "A", Some("y")),  // change
+      (4L, ts("2024-01-04 00:00:00"), "A", None),       // value → null is a change
+      (5L, ts("2024-01-05 00:00:00"), "A", None),       // null → null collapses
+      (6L, ts("2024-01-06 00:00:00"), "A", Some("y")),  // null → value is a change
+      (7L, ts("2024-01-01 00:00:00"), "B", Some("z"))
+    ).toDF("event_id", "ts", "key", "attr")
+    val out = Ingest.scd2History(changes, "key", "ts", Seq("attr"), "event_id")
+      .select(col("key"), col("attr"), col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(String, Option[String], Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      ("A", Some("x"), ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      ("A", Some("y"), ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false),
+      ("A", None,      ts("2024-01-04 00:00:00"), Some(ts("2024-01-06 00:00:00")), false),
+      ("A", Some("y"), ts("2024-01-06 00:00:00"), None, true),
+      ("B", Some("z"), ts("2024-01-01 00:00:00"), None, true)))
+    // intervals tile: each key's valid_to chain equals the next valid_from,
+    // exactly one open (current) version per key
+    assert(out.count(_._5) == 2)
+  }
 }
