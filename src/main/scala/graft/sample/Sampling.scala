@@ -61,8 +61,12 @@ object Sampling {
                            budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget must be a positive fraction")
     val dec = "decimal(38,0)"
+    // S rows, but TWO consumers (the totals aggregate and the rate
+    // table) — without materialization each consumer re-runs the full
+    // corpus count scan, turning a two-pass operator into three passes
     val stats = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1000).cast("long"))
+      .localCheckpoint(false)
     val tot = stats.agg(sum(col("__n")).as("__totn"), sum(col("__w")).as("__totw"))
     val rates = stats.crossJoin(broadcast(tot))
       .withColumn("__t", least(lit(buckets),

@@ -300,7 +300,11 @@ object TextOps {
       .filter(length(col("token")) > 0)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
+    // vocabulary-sized, but TWO consumers (the total scalar and the
+    // minCount-pruned join side) — materialize so the tf table is
+    // shuffled into per-token totals exactly once
     val vocabAll = tf.groupBy(col("token")).agg(sum(col("tf")).as("__vn"))
+      .localCheckpoint(false)
     val total = vocabAll.agg(sum(col("__vn")).as("__total"))
     val vocab = vocabAll.filter(col("__vn") >= minCount)
     val lnTotal = col("__total").cast("double")
