@@ -1559,14 +1559,18 @@ object SparkEntry {
           SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
           FROM sh GROUP BY 1 HAVING count(*) >= 5""",
     // seen side reduces to its DISTINCT md5 set; batch self-dedup keeps
-    // the min-id row with arg_min-carried attrs (id unique → exact)
+    // the min-id row with arg_min-carried attrs (id unique → exact).
+    // NOT EXISTS, not NOT IN: a null hash (null text) must behave like
+    // the engine's anti-join — never matching, row kept — where NOT IN
+    // against a set containing NULL would empty the whole result
     "e32_incremental_dedup" ->
       s"""WITH seen AS (SELECT DISTINCT md5($normSql) AS text_hash
              FROM documents WHERE doc_id < 250),
           batch AS (SELECT doc_id, lang, source, md5($normSql) AS text_hash
              FROM documents WHERE doc_id >= 250),
-          fresh AS (SELECT * FROM batch
-             WHERE text_hash NOT IN (SELECT text_hash FROM seen))
+          fresh AS (SELECT * FROM batch b
+             WHERE NOT EXISTS (SELECT 1 FROM seen s
+               WHERE s.text_hash = b.text_hash))
           SELECT text_hash, min(doc_id) AS doc_id,
             arg_min(lang, doc_id) AS lang, arg_min(source, doc_id) AS source
           FROM fresh GROUP BY 1""",

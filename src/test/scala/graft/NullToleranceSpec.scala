@@ -1,5 +1,6 @@
 package graft
 
+import graft.sample.Sampling
 import graft.text.{Dedup, TextOps}
 import graft.vector.Similarity
 
@@ -81,5 +82,27 @@ class NullToleranceSpec extends SparkSpec {
     // ANN paths must not crash on null vectors either
     Similarity.annLshTopK(emb, emb.filter($"vec_id" === 1L),
       "vec_id", "embedding", 8, 2, 2).collect()
+  }
+
+  test("round-7 operators tolerate null/empty/degenerate inputs") {
+    // e32: null-text rows hash to null — never matching seen (anti-join
+    // semantics), merged into one null-hash group within the batch
+    val seen = docs.filter($"doc_id" === 1L)
+    val out = Dedup.incrementalExactDedup(docs.filter($"doc_id" >= 2L), seen,
+      "doc_id", "text", Seq("lang", "source"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L, 4L)) // null, empty, short: all admitted, none crash
+    // e34: null/empty docs tokenize to nothing and drop from the output;
+    // surviving docs score without crashing
+    val lp = TextOps.unigramLogProb(docs, "doc_id", "text", 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lp == Set(1L, 4L))
+    // e33: a null source inner-joins away rather than crashing the rates
+    val mixDocs = docs.withColumn("source",
+      org.apache.spark.sql.functions.when($"doc_id" === 4L, null: String)
+        .otherwise($"source"))
+    val mix = Sampling.temperatureMixSample(mixDocs.select("doc_id", "source"),
+      "doc_id", "source", 1L, 1L).select("doc_id").as[Long].collect().toSet
+    assert(mix == Set(1L, 2L, 3L)) // budget 1/1 admits every non-null-source row
   }
 }
