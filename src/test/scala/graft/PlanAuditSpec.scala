@@ -97,4 +97,37 @@ class PlanAuditSpec extends SparkSpec {
     val plan = finalPlan(SparkEntry.queries("g2_partitioned_sink_prune")(spark, sf))
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
   }
+
+  test("a9 SCD2 runs both window passes on one exchange") {
+    // change-detection (lag/row_number) and interval close (lead) share
+    // the (key) partitioning and (ts, tieBreak) order — a second
+    // hashpartitioning exchange means the filter broke the reuse and
+    // the dimension table shuffles twice
+    val df = SparkEntry.queries("a9_scd2_history")(spark, sf)
+    df.collect()
+    // the explain string appends the pre-AQE initial plan — audit only
+    // the finalized tree ahead of the "== Initial Plan ==" marker
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode).split("== Initial Plan ==")(0)
+    assert("Window".r.findAllIn(plan).size >= 2, plan)
+    assert("ShuffleQueryStage".r.findAllIn(plan).size == 1, plan)
+    assert("Sort ".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("e33 scans the corpus once for selection; stats feed from a materialized table") {
+    // rate derivation reads the S-row localCheckpoint twice; only the
+    // stats pass and the final filtered selection touch parquet — a
+    // third parquet scan means the shared stats branch re-derived
+    val plan = finalPlan(SparkEntry.queries("e33_mixture_sample")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan) // rate table broadcasts
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("e34 aggregates the tf table into token totals exactly once") {
+    // vocab totals and the minCount-pruned join side both read the
+    // vocabAll localCheckpoint; a second hashpartitioning(token)
+    // exchange means the tf table shuffled twice
+    val plan = finalPlan(SparkEntry.queries("e34_unigram_logprob")(spark, sf))
+    assert("hashpartitioning\\(token".r.findAllIn(plan).size <= 1, plan)
+  }
 }
