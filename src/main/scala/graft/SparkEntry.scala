@@ -301,17 +301,29 @@ object SparkEntry {
     "e26_chunk_text" -> ((s, d) =>
       TextOps.chunkText(Tables.documents(s, d), "doc_id", "text", 64, 16)),
     "e32_incremental_dedup" -> ((s, d) => {
-      // first half of the corpus is already ingested; the second half
-      // arrives as the new crawl batch
+      // ids < 250 arrive as the new crawl batch; everything above is
+      // the already-ingested corpus — the batch stays SMALL and the
+      // seen side GROWS with scale factor, the orientation the
+      // operator's 100 TB design assumes (ScaleGen shifts replica ids
+      // upward, so the accumulated side is what multiplies at sf1/sf10)
       val docs = Tables.documents(s, d)
       Dedup.incrementalExactDedup(
-        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
         "doc_id", "text", Seq("lang", "source"))
     }),
     "e33_mixture_sample" -> ((s, d) =>
       Sampling.temperatureMixSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
         "doc_id", "source", 3L, 10L)),
+    "e35_incremental_minhash" -> ((s, d) => {
+      // same orientation as e32: ids < 250 are the new crawl batch
+      // (stays small — it is the force-broadcast side), ids >= 250 the
+      // accumulated corpus that multiplies with scale factor
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", 3, 16, 4)
+    }),
     "e34_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text", 5L)),
 
@@ -1239,6 +1251,30 @@ object SparkEntry {
           FROM pruned a JOIN pruned b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
     },
+    // the e2 band construction restricted to an asymmetric join: hot
+    // buckets prune on the SEEN side only (the engine's broadcast
+    // anti-join), candidates are batch×seen
+    "e35_incremental_minhash" -> {
+      val mhAggs = (0 until 16).map(i =>
+        s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+                  FROM w WHERE len(words) >= 3)),
+          h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
+          mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
+          bnd AS ($bandSelects),
+          seenb AS (SELECT * FROM bnd WHERE doc_id >= 250
+            QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
+          batchb AS (SELECT * FROM bnd WHERE doc_id < 250)
+          SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS seen_doc
+          FROM seenb s JOIN batchb b ON s.band = b.band AND s.sig = b.sig"""
+    },
     "e3_simhash" -> {
       val voteAggs = (0 until 64).map(b =>
         s"CAST(sum(((${affineHashSql("h0", "sim", b)}) & 1) * 2 - 1) AS BIGINT) AS v_$b")
@@ -1565,9 +1601,9 @@ object SparkEntry {
     // against a set containing NULL would empty the whole result
     "e32_incremental_dedup" ->
       s"""WITH seen AS (SELECT DISTINCT md5($normSql) AS text_hash
-             FROM documents WHERE doc_id < 250),
-          batch AS (SELECT doc_id, lang, source, md5($normSql) AS text_hash
              FROM documents WHERE doc_id >= 250),
+          batch AS (SELECT doc_id, lang, source, md5($normSql) AS text_hash
+             FROM documents WHERE doc_id < 250),
           fresh AS (SELECT * FROM batch b
              WHERE NOT EXISTS (SELECT 1 FROM seen s
                WHERE s.text_hash = b.text_hash))

@@ -93,29 +93,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int, numHashes: Int, bands: Int,
                       maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    // Shingle hashes come from ONE native pass per doc
-    // ([[graft.functions.StringExpressions.ShingleHashes]]): each
-    // shingle string is a contiguous window of the normalized text, so
-    // its polynomial hash folds in place — the explode+slice+concat
-    // chain this replaces allocated a words array plus a string per
-    // shingle through interpreted lambdas.
-    val shingled = docs
-      .select(col(idCol).as("doc_id"),
-        explode(graft.functions.StringExpressions.shingleHashes(
-          normalizeText(col(textCol)), shingleSize)).as("h0"))
-    val mhAggs = (0 until numHashes).map(i =>
-      min(affineHash(col("h0"), "mh", i)).as(s"mh_$i"))
-    val minhashes = shingled.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    // band signature = order-sensitive fold of the band's minhash tuple
-    val banded = minhashes.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          foldSig((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")))
-            .as("sig"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandSignatures(docs, idCol, textCol, shingleSize, numHashes, bands)
     // Degenerate-bucket prune via PARTIAL-AGGREGATED sizes, not a count
     // window (SURVEY §8 skew playbook): a window partitioned by
     // (band, sig) would fully co-locate the pathological boilerplate
@@ -141,6 +119,69 @@ object Dedup {
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** (doc_id, band, sig) LSH band-signature table shared by the
+    * from-scratch ([[minhashLshPairs]]) and incremental
+    * ([[incrementalMinhashPairs]]) near-dup forms. Shingle hashes come
+    * from ONE native pass per doc ([[graft.functions.StringExpressions
+    * .ShingleHashes]]): each shingle string is a contiguous window of
+    * the normalized text, so its polynomial hash folds in place — the
+    * explode+slice+concat chain this replaced allocated a words array
+    * plus a string per shingle through interpreted lambdas. Band
+    * signature = order-sensitive fold of the band's minhash tuple. */
+  private def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val shingled = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.StringExpressions.shingleHashes(
+          normalizeText(col(textCol)), shingleSize)).as("h0"))
+    val mhAggs = (0 until numHashes).map(i =>
+      min(affineHash(col("h0"), "mh", i)).as(s"mh_$i"))
+    val minhashes = shingled.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    minhashes.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          foldSig((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")))
+            .as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Incremental near-dup candidate generation: (batch doc, seen doc)
+    * pairs sharing ≥1 LSH band signature — the MinHash analogue of
+    * [[incrementalExactDedup]], run per crawl ingest so the new batch
+    * is checked against the accumulated corpus WITHOUT re-running the
+    * all-corpus self-join of [[minhashLshPairs]]. Batch-internal pairs
+    * are NOT emitted (run minhashLshPairs on the batch alone for
+    * those); identical parameters produce signature-compatible tables.
+    *
+    * Scale shape: the batch band table is small by definition, so it
+    * BROADCASTS into the candidate join — the seen corpus's band table
+    * never shuffles (and in production is a maintained signature
+    * table, appended per admitted batch, not recomputed; this operator
+    * recomputes it only because its input contract is raw docs).
+    * Degenerate buckets prune on the seen side via the same
+    * partial-aggregated hot list as [[minhashLshPairs]] (SURVEY §8 —
+    * boilerplate lives in the accumulated corpus, and a batch doc
+    * landing in a hot bucket would otherwise fan out to millions of
+    * candidate rows). */
+  def incrementalMinhashPairs(batch: DataFrame, seen: DataFrame, idCol: String,
+                              textCol: String, shingleSize: Int, numHashes: Int,
+                              bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val seenBands = bandSignatures(seen, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint(false) // two consumers: hot-list agg + candidate join
+    val hot = seenBands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("band"), col("sig"))
+    val pruned = seenBands.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+    val batchBands = bandSignatures(batch, idCol, textCol, shingleSize, numHashes, bands)
+    pruned.select(col("band"), col("sig"), col("doc_id").as("seen_doc"))
+      .join(broadcast(batchBands.select(col("band"), col("sig"),
+        col("doc_id").as("batch_doc"))), Seq("band", "sig"))
+      .select(col("batch_doc"), col("seen_doc")).distinct()
   }
 
   /** Train/benchmark contamination detection — the decontamination pass

@@ -517,6 +517,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Set((11L, "fr", "s2"), (14L, "en", "s2")))
   }
 
+  test("incrementalMinhashPairs emits batch-vs-seen candidates, nothing internal") {
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark engines at scale today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (12L, "unrelated fresh material nothing shared here at all whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinhashPairs(batch, seen, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L))) // identical text ⇒ every band matches
+    assert(pairs.forall { case (b, s) => b >= 10L && s < 10L })
+    // parity: exactly the cross-split candidates of the full self-join
+    val cross = Dedup.minhashLshPairs(seen.unionByName(batch), "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+      .filter(p => p._1 < 10L && p._2 >= 10L).map(p => (p._2, p._1))
+    assert(pairs == cross)
+  }
+
   test("unigramLogProb scores docs by corpus unigram surprisal with OOV smoothing") {
     val docs = Seq(
       (1L, "a a a b"),   // frequent tokens → high (less negative) score

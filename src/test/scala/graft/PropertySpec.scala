@@ -196,4 +196,58 @@ class PropertySpec extends SparkSpec {
       } else assert(tw == 0.0 && dw == 0.0 && tb == 0.0)
     }
   }
+
+  test("scd2History intervals tile each key's timeline on random change feeds") {
+    import graft.ingest.Ingest
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${rnd.nextInt(28) + 1}%02d ${rnd.nextInt(24)}%02d:00:00"),
+        s"k${rnd.nextInt(8)}",
+        if (rnd.nextInt(10) == 0) None else Some(s"v${rnd.nextInt(3)}"))
+    }
+    val out = Ingest.scd2History(rows.toDF("event_id", "ts", "key", "attr"),
+      "key", "ts", Seq("attr"), "event_id")
+      .select(col("key"), col("attr"), col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(String, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(v => (v._3.getTime, v._4.map(_.getTime).getOrElse(Long.MaxValue)))
+      // exactly one open (current) version, and it sorts last
+      assert(sorted.count(_._5) == 1 && sorted.last._5 && sorted.last._4.isEmpty)
+      // every closed interval's end is the next version's start (tiling),
+      // and no two ADJACENT versions carry the same attr (they collapsed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"gap/overlap: ${a._4} vs ${b._3}")
+          // same-timestamp versions are legal (zero-length interval);
+          // distinct timestamps must differ in the tracked attr
+          if (a._3 != b._3) assert(a._2 != b._2, s"uncollapsed run at ${b._3}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("temperatureMixSample selection grows monotonically with the budget") {
+    import graft.sample.Sampling
+    val df = (0L until 3000L)
+      .map(i => (i, s"s${(i % 7) * (i % 7) % 7}")) // uneven source sizes
+      .toDF("doc_id", "source")
+    val takes = Seq((1L, 10L), (3L, 10L), (7L, 10L), (10L, 10L)).map { case (n, d) =>
+      Sampling.temperatureMixSample(df, "doc_id", "source", n, d)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    // integer thresholds are monotone in budgetNum, so each selection
+    // must contain the previous — a user raising the budget keeps every
+    // previously selected doc (stable training-set growth)
+    takes.sliding(2).foreach {
+      case Seq(lo, hi) => assert(lo.subsetOf(hi), s"${lo.size} !⊆ ${hi.size}")
+      case _ => ()
+    }
+    // up-weighting: at full budget the SMALLEST source caps at rate 1
+    // (every row admitted) while the largest source — whose sqrt weight
+    // is the lowest relative to its share — still samples below 1
+    val smallest = (0L until 3000L).filter(_ % 7 == 0).toSet
+    assert(smallest.subsetOf(takes.last))
+    assert(takes.last.size < 3000)
+  }
 }
