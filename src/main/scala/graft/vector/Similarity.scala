@@ -41,8 +41,14 @@ object Similarity {
       .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) inside blocks.
-    * Block column bounds the pair space (use an LSH bucket or cluster id
-    * at scale). */
+    * Block column bounds the pair space — and is the operator's whole
+    * scale contract: in-block work is quadratic in block size, so
+    * blocks must SHRINK (or at least hold constant) as the corpus
+    * grows. The round-7 full sf10 sweep measured exactly this going
+    * wrong: with fixed label blocks and a 100× corpus, e5 read
+    * 92×/decade (732 s) while [[cosineDupPairsLsh]] — whose LSH blocks
+    * re-tune with corpus size — held 6×/decade. Use an LSH bucket or
+    * cluster id at scale, never a static category column. */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
     val pre = withVecNorm(
