@@ -84,6 +84,25 @@ object SparkEntry {
           date_trunc("second", col("ts")).as("period"),
           col("event_type"), col("event_id")),
         "user_id", "period", Seq("event_type"), "event_id")),
+    "a10_snapshot_reconcile" -> ((s, d) => {
+      // incremental state that has drifted from the source of truth:
+      // every 101st record was lost (a dropped page), every 97th
+      // carries a corrupted value (a replayed batch applied twice) —
+      // the audit must localize both, per key, without moving data
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ep"), col("value"))
+      // engine-portable row digest: modular arithmetic only (every
+      // intermediate < 2^62 — the Dedup.PolyP discipline), identical
+      // literals in the DuckDB oracle; no engine-specific hash
+      def digest(df: DataFrame) = df.withColumn("digest",
+        ((col("event_id") % 1000003L) * 2654435761L +
+          (coalesce(floor(col("value") * 100).cast("long"), lit(-1L)) % 1000003L) * 40503L +
+          (coalesce(col("ep"), lit(-1L)) % 1000003L) * 2654435769L) % 1000000007L)
+      val state = digest(ev.filter(col("event_id") % 101 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 97 === 0, col("value") + 5).otherwise(col("value"))))
+      Ingest.snapshotReconcile(state, digest(ev), "user_id", "digest")
+    }),
     "a6_cdc_merge" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -126,6 +145,9 @@ object SparkEntry {
     // cardinalities); differential spec bounds error at 3·rsd
     "b13_approx_distinct" -> ((s, d) =>
       Quality.distinctStatsApprox(Tables.events(s, d), "user_id", "ts", 0.02)),
+    "b14_psi_drift" -> ((s, d) =>
+      Quality.psiDrift(Tables.events(s, d), "user_id", "ts", "event_type",
+        eventTypes, 14, 7, 0.1)),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -326,6 +348,15 @@ object SparkEntry {
     }),
     "e34_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text", 5L)),
+    "e36_neardup_admit" -> ((s, d) => {
+      // the e32/e35 orientation: ids < 250 are the new crawl batch,
+      // admitted iff no LSH candidate against the accumulated corpus
+      // survives exact 3-gram Jaccard at 0.6 (the e4 threshold)
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNeardupFilter(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", Seq("lang", "source"), 3, 16, 4, 3, 0.6)
+    }),
 
     // ---------------- G. sources / sinks ----------------
     // (scratch paths/table names derive from the sanitized dataset dir
@@ -420,6 +451,9 @@ object SparkEntry {
     "f6_interval_join" -> ((s, d) =>
       Streams.intervalJoin(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "value", "purchase", 1800L)),
+    "f7_stream_static_join" -> ((s, d) =>
+      Streams.staticEnrich(Tables.events(s, d), Tables.customer(s, d),
+        "user_id", "c_custkey", "ts", "c_mktsegment", "value", "hour")),
     "g6_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -701,6 +735,40 @@ object SparkEntry {
            lead(period) OVER w2 IS NULL AS is_current
          FROM s WINDOW w2 AS (PARTITION BY user_id
            ORDER BY period NULLS FIRST, event_id NULLS FIRST)""",
+    // same modular digest, HUGEINT accumulation (the engine sums in
+    // decimal(38,0)); status CASE order mirrors the engine's priority
+    "a10_snapshot_reconcile" ->
+      """WITH ev AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep, value
+           FROM events),
+         sn0 AS (SELECT user_id,
+             ((event_id % 1000003) * 2654435761 +
+              (COALESCE(CAST(floor(value * 100) AS BIGINT), -1) % 1000003) * 40503 +
+              (COALESCE(ep, -1) % 1000003) * 2654435769) % 1000000007 AS digest
+           FROM ev),
+         st0 AS (SELECT user_id,
+             ((event_id % 1000003) * 2654435761 +
+              (COALESCE(CAST(floor(
+                 (CASE WHEN event_id % 97 = 0 THEN value + 5 ELSE value END) * 100
+               ) AS BIGINT), -1) % 1000003) * 40503 +
+              (COALESCE(ep, -1) % 1000003) * 2654435769) % 1000000007 AS digest
+           FROM ev WHERE event_id % 101 <> 0),
+         sn AS (SELECT user_id, count(*) AS snapshot_rows,
+             sum(CAST(digest AS HUGEINT)) AS snapshot_digest FROM sn0 GROUP BY 1),
+         st AS (SELECT user_id, count(*) AS state_rows,
+             sum(CAST(digest AS HUGEINT)) AS state_digest FROM st0 GROUP BY 1),
+         j AS (SELECT COALESCE(st.user_id, sn.user_id) AS user_id,
+             state_rows, snapshot_rows, state_digest, snapshot_digest,
+             CASE WHEN state_rows IS NULL THEN 'missing_in_state'
+                  WHEN snapshot_rows IS NULL THEN 'missing_in_snapshot'
+                  WHEN state_rows <> snapshot_rows THEN 'count_mismatch'
+                  WHEN state_digest IS DISTINCT FROM snapshot_digest
+                    THEN 'digest_mismatch' END AS status
+           FROM st FULL OUTER JOIN sn ON st.user_id = sn.user_id)
+         SELECT user_id, state_rows, snapshot_rows,
+           CAST(state_digest AS VARCHAR) AS state_digest,
+           CAST(snapshot_digest AS VARCHAR) AS snapshot_digest, status
+         FROM j WHERE status IS NOT NULL""",
     "a6_cdc_merge" ->
       """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS period,
            user_id, event_type, value FROM events),
@@ -816,6 +884,40 @@ object SparkEntry {
            FROM t)
          SELECT user_id, count(*) AS gap_count, max(gap_seconds) AS max_gap_seconds
          FROM g WHERE gap_seconds > 3600 * 1.5 GROUP BY 1""",
+    // Laplace-smoothed categorical PSI; per-term floor(·1e6) integer
+    // quantization (the e34 micro-log pattern) makes key sums exact and
+    // the drift flag an integer compare; windows mirror c9's
+    "b14_psi_drift" ->
+      """WITH mx AS (SELECT max(date_trunc('second', ts)) AS max_ts FROM events),
+         b AS (SELECT user_id,
+             CASE WHEN event_type IN ('click','error','purchase','signup','view')
+                  THEN event_type ELSE '__other__' END AS cat,
+             CASE WHEN date_trunc('second', ts) >= max_ts - INTERVAL 7 DAY THEN 'current'
+                  WHEN date_trunc('second', ts) >= max_ts - INTERVAL 21 DAY THEN 'reference'
+             END AS bucket
+           FROM events CROSS JOIN mx),
+         cnt AS (SELECT user_id, cat,
+             count(*) FILTER (WHERE bucket = 'reference') AS r,
+             count(*) FILTER (WHERE bucket = 'current') AS c
+           FROM b WHERE bucket IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT user_id, CAST(sum(r) AS BIGINT) AS n_ref,
+             CAST(sum(c) AS BIGINT) AS n_cur
+           FROM cnt GROUP BY 1 HAVING sum(r) > 0 AND sum(c) > 0),
+         grid AS (SELECT user_id, n_ref, n_cur,
+             unnest(['click','error','purchase','signup','view','__other__']) AS cat
+           FROM tot),
+         t AS (SELECT g.user_id, g.n_ref, g.n_cur,
+             CAST(floor(
+               (CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (g.n_cur + 6)
+                 - CAST(COALESCE(r, 0) + 1 AS DOUBLE) / (g.n_ref + 6))
+               * ln((CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (g.n_cur + 6))
+                 / (CAST(COALESCE(r, 0) + 1 AS DOUBLE) / (g.n_ref + 6)))
+               * 1e6) AS BIGINT) AS micro
+           FROM grid g LEFT JOIN cnt ON cnt.user_id = g.user_id AND cnt.cat = g.cat)
+         SELECT user_id, n_ref, n_cur,
+           CAST(sum(micro) AS DOUBLE) / 1000000 AS psi,
+           sum(micro) > 100000 AS drifted
+         FROM t GROUP BY 1, 2, 3""",
     "c14_multi_horizon_forecast" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          r AS (SELECT user_id, period, event_id, value,
@@ -1275,6 +1377,46 @@ object SparkEntry {
           SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS seen_doc
           FROM seenb s JOIN batchb b ON s.band = b.band AND s.sig = b.sig"""
     },
+    // e35's candidate construction + the e4 char-3-gram Jaccard verify;
+    // a batch doc is admitted iff no candidate scores >= 0.6
+    "e36_neardup_admit" -> {
+      val mhAggs = (0 until 16).map(i =>
+        s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+                  FROM w WHERE len(words) >= 3)),
+          h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
+          mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
+          bnd AS ($bandSelects),
+          seenb AS (SELECT * FROM bnd WHERE doc_id >= 250
+            QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
+          batchb AS (SELECT * FROM bnd WHERE doc_id < 250),
+          cand AS (SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS seen_doc
+            FROM seenb s JOIN batchb b ON s.band = b.band AND s.sig = b.sig),
+          nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+          pos AS (SELECT doc_id, t,
+              unnest(range(1, greatest(length(t) - 1, 1))) AS g FROM nrm),
+          grams AS (SELECT DISTINCT doc_id, substr(t, CAST(g AS INT), 3) AS gram
+            FROM pos),
+          gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          iv AS (SELECT c.batch_doc, c.seen_doc, count(*) AS i
+            FROM cand c JOIN grams ga ON ga.doc_id = c.batch_doc
+              JOIN grams gb ON gb.doc_id = c.seen_doc AND gb.gram = ga.gram
+            GROUP BY 1, 2),
+          dup AS (SELECT DISTINCT batch_doc FROM iv
+            JOIN gc ca ON ca.doc_id = iv.batch_doc
+            JOIN gc cb ON cb.doc_id = iv.seen_doc
+            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.6)
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id < 250
+            AND doc_id NOT IN (SELECT batch_doc FROM dup)"""
+    },
     "e3_simhash" -> {
       val voteAggs = (0 until 64).map(b =>
         s"CAST(sum(((${affineHashSql("h0", "sim", b)}) & 1) * 2 - 1) AS BIGINT) AS v_$b")
@@ -1689,6 +1831,14 @@ object SparkEntry {
            AND date_trunc('second', p.ts) >= date_trunc('second', e.ts) - INTERVAL 1800 SECOND
            AND date_trunc('second', p.ts) <= date_trunc('second', e.ts)
          GROUP BY 1, 2, 3""",
+    // inner join (events without a dimension row excluded); exact-cents
+    // value mass like f5
+    "f7_stream_static_join" ->
+      """SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+         count(*) AS n,
+         sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
     "f5_hopping_window" ->
       """SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS window_start,
          date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) + to_hours(2) AS window_end,

@@ -45,6 +45,32 @@ object Streams {
     events.groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(dimCol))
       .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 4).as("sum_value"))
 
+  /** Stream-static enrichment (batch form): join the event feed to a
+    * slowly-changing dimension (here: segment attributes keyed by the
+    * event's user) and aggregate per (window, segment) — the standard
+    * "enrich the stream against a reference table" shape every
+    * monitoring pipeline needs (the reference joins respondent metadata
+    * the same way in its summaries). The dimension broadcasts: at
+    * 100 TB the fact stream never shuffles for the join, only for the
+    * windowed aggregate — and that one is map-side combinable. Value
+    * mass in exact integer cents (the f5 discipline: double sums
+    * re-accumulate in a different order every run/engine). Inner join:
+    * events without a dimension row are not this operator's concern
+    * (left-join with a null segment is a one-line variant).
+    *
+    * The streaming twin is [[staticEnrichStream]]: stream-static joins
+    * are stateless in Structured Streaming (the static side is
+    * re-broadcast per micro-batch), so only the window agg needs a
+    * watermark. */
+  def staticEnrich(events: DataFrame, dim: DataFrame, eventKey: String,
+                   dimKey: String, tsCol: String, segCol: String,
+                   valueCol: String, unit: String): DataFrame =
+    events.join(broadcast(dim.select(col(dimKey), col(segCol))),
+        col(eventKey) === col(dimKey))
+      .groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(segCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
+
   /** Idempotent event dedup (batch form): first occurrence per natural
     * key; the streaming twin is dropDuplicatesWithinWatermark. */
   def streamDedup(events: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
@@ -153,6 +179,24 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(dimCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
+  /** Streaming twin of [[staticEnrich]]: the static dimension joins
+    * statelessly (re-read/re-broadcast each micro-batch, so dimension
+    * updates between batches are picked up), then a watermarked
+    * tumbling-window aggregate per segment. */
+  def staticEnrichStream(events: DataFrame, dim: DataFrame, eventKey: String,
+                         dimKey: String, tsCol: String, segCol: String,
+                         valueCol: String, windowLen: String,
+                         watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .join(broadcast(dim.select(col(dimKey), col(segCol))),
+        col(eventKey) === col(dimKey))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(segCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(segCol),
+        col("n"), col("sum_value"))
 
   /** Streaming dedup bounded by a watermark. */
   def streamDedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],

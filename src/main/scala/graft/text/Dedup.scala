@@ -184,6 +184,61 @@ object Dedup {
       .select(col("batch_doc"), col("seen_doc")).distinct()
   }
 
+  /** Verified incremental near-dup ADMIT GATE — the decision step the
+    * candidate generators feed: a new-crawl batch doc is admitted to
+    * the corpus iff no [[incrementalMinhashPairs]] candidate against
+    * the accumulated corpus survives exact char-n-gram Jaccard
+    * verification at `minJaccard` (the e4 scoring semantics — same
+    * packed-gram codes, same two-pointer intersect, same 4-decimal
+    * rounding). Together with [[incrementalExactDedup]] (exact twin)
+    * this is the complete per-crawl dedup pass: candidates → verify →
+    * admit, never an all-corpus self-join.
+    *
+    * Scale shape: candidates come from the banding join (batch side
+    * broadcast, seen side never shuffles, hot buckets pruned); the
+    * verify step re-reads the SEEN side once more but ONLY for docs
+    * named in a candidate pair — a broadcast semi-join of candidate
+    * seen-ids against the corpus scan, so the second pass moves
+    * `O(candidates)` gram arrays, not the corpus. Candidate pairs
+    * localCheckpoint once (two consumers: the seen-id semi-join and
+    * the verify join — SURVEY §8 rule 3). Batch docs whose text
+    * normalizes to null/short produce no shingles, hence no
+    * candidates, and are admitted — identical on the oracle side.
+    * Within-batch near-dups are out of scope here (admit the batch,
+    * then run the batch-internal [[ngramJaccardPairs]] — the batch is
+    * small by definition). */
+  def incrementalNeardupFilter(batch: DataFrame, seen: DataFrame, idCol: String,
+                               textCol: String, keepCols: Seq[String],
+                               shingleSize: Int, numHashes: Int, bands: Int,
+                               gramSize: Int, minJaccard: Double,
+                               maxBucket: Int = 1000): DataFrame = {
+    val cands = incrementalMinhashPairs(batch, seen, idCol, textCol,
+      shingleSize, numHashes, bands, maxBucket).localCheckpoint(false)
+    def grams(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), normalizeText(col(textCol)).as("norm"))
+      .select(col(outId),
+        when(col("norm").isNotNull,
+          graft.functions.StringExpressions.packedGrams(col("norm"), gramSize))
+          .otherwise(array().cast("array<bigint>")).as(s"grams_$outId"))
+    val batchGrams = grams(batch, "batch_doc")
+    val seenIds = cands.select(col("seen_doc")).distinct()
+    val seenGrams = grams(
+      seen.join(broadcast(seenIds.withColumnRenamed("seen_doc", idCol)),
+        Seq(idCol), "left_semi"), "seen_doc")
+    val ga = col("grams_batch_doc")
+    val gb = col("grams_seen_doc")
+    val dupIds = cands
+      .join(broadcast(batchGrams), "batch_doc")
+      .join(seenGrams, "seen_doc")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(ga, gb).cast("int"))
+      .filter(round(col("inter").cast("double") /
+        (size(ga) + size(gb) - col("inter")), 4) >= minJaccard)
+      .select(col("batch_doc").as(idCol)).distinct()
+    batch.select(col(idCol) +: keepCols.map(col): _*)
+      .join(broadcast(dupIds), Seq(idCol), "left_anti")
+  }
+
   /** Train/benchmark contamination detection — the decontamination pass
     * every LLM training-data pipeline runs before training (the
     * word-n-gram overlap method of the GPT-3/PaLM data cards): a train

@@ -273,4 +273,71 @@ object Quality {
       s"'$c', round(__m_$c * CAST(100.0 AS DOUBLE) / __total, 4)").mkString(", ")
     agg.selectExpr(s"stack(${cols.size}, $stackArgs) as (column_name, missing_pct)")
   }
+
+  /** Population Stability Index drift per key: the categorical companion
+    * to the mean-shift check (graft.timeseries.Forecast.drift /
+    * config.yaml:44-46). The reference's drift detector compares window
+    * MEANS; a category mix can invert completely with the mean
+    * unchanged — PSI over the category distribution is the standard
+    * monitor for that (banking model-risk practice; also the
+    * "distribution shift" the reference's config gestures at).
+    *
+    * Windows mirror Forecast.drift exactly: reference
+    * [max−(cur+ref) days, max−cur days), current [max−cur days, max];
+    * the 1-row max-ts scalar broadcasts. Categories are the caller's
+    * closed domain plus an `__other__` bucket (nulls and out-of-domain
+    * land there), Laplace-smoothed (+1 per cell, +K per window) so
+    * empty cells are defined; keys must appear in both windows.
+    *
+    * PSI = Σ_cat (p_cur − p_ref)·ln(p_cur/p_ref). Each term quantizes
+    * to integer micro-units (floor(term·1e6) — the e34 micro-log
+    * pattern) so the per-key sum is an exact integer: no float
+    * summation order, and the drift flag is an exact integer compare
+    * against floor-rounded threshold·1e6. Shares come from exact
+    * integer counts, so both engines evaluate ln on bit-identical
+    * doubles.
+    *
+    * Scale shape: the only full-data pass is the (key, category)
+    * count — partial-aggregated, category fan-out bounded by K+1.
+    * Everything after (totals, the dense key×category grid, the term
+    * join) operates on aggregates ≤ keys·(K+1) rows; AQE broadcasts
+    * them at runtime. No windows, no skew exposure (SURVEY §8 rule 1:
+    * the groupBy key includes the bounded category, never a Zipfian
+    * token). */
+  def psiDrift(df: DataFrame, keyCol: String, tsCol: String, catCol: String,
+               domain: Seq[String], referenceDays: Int, currentDays: Int,
+               threshold: Double): DataFrame = {
+    val maxTs = df.agg(max(date_trunc("second", col(tsCol))).as("max_ts"))
+    val curStart = col("max_ts") - expr(s"INTERVAL $currentDays DAYS")
+    val refStart = col("max_ts") - expr(s"INTERVAL ${currentDays + referenceDays} DAYS")
+    val cats = domain :+ "__other__"
+    val k = cats.size
+    val counts = df
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        when(col(catCol).isin(domain: _*), col(catCol))
+          .otherwise("__other__").as("cat"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("bucket",
+        when(col("period") >= curStart, "current")
+          .when(col("period") >= refStart, "reference"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col(keyCol), col("cat"))
+      .agg(count(when(col("bucket") === "reference", lit(1))).as("r"),
+        count(when(col("bucket") === "current", lit(1))).as("c"))
+    val totals = counts.groupBy(col(keyCol))
+      .agg(sum(col("r")).as("n_ref"), sum(col("c")).as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    val grid = totals.select(col(keyCol), col("n_ref"), col("n_cur"),
+      explode(array(cats.map(lit(_)): _*)).as("cat"))
+    val pr = (coalesce(col("r"), lit(0L)) + 1).cast("double") / (col("n_ref") + k)
+    val pc = (coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("n_cur") + k)
+    val thrMicro = math.floor(threshold * 1e6).toLong
+    grid.join(counts, Seq(keyCol, "cat"), "left")
+      .withColumn("micro", floor((pc - pr) * log(pc / pr) * 1e6).cast("long"))
+      .groupBy(col(keyCol), col("n_ref"), col("n_cur"))
+      .agg(sum(col("micro")).as("psi_micro"))
+      .select(col(keyCol), col("n_ref"), col("n_cur"),
+        (col("psi_micro").cast("double") / 1e6).as("psi"),
+        (col("psi_micro") > thrMicro).as("drifted"))
+  }
 }

@@ -555,4 +555,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2L) == ((3L, 1L, score(Seq(la, lb, loov)))))
     assert(out(1L)._3 > out(2L)._3) // fluent-corpus doc outscores the OOV one
   }
+
+  test("incrementalNeardupFilter admits only batch docs with no verified corpus near-dup") {
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s1"),
+      (2L, "a completely different document describing distributed query engines in depth", "en", "s1"),
+      (3L, null.asInstanceOf[String], "en", "s1") // no shingles -> no candidates -> admitted
+    ).toDF("doc_id", "text", "lang", "source")
+    val seen = Seq(
+      // identical text to batch doc 1: every band collides, Jaccard 1.0
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s0"),
+      (101L, "an unrelated corpus document mentioning neither foxes nor engines anywhere", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.incrementalNeardupFilter(batch, seen, "doc_id", "text",
+      Seq("lang", "source"), 3, 16, 4, 3, 0.6)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "source"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
 }

@@ -310,4 +310,38 @@ class IngestQualitySpec extends SparkSpec {
     // exactly one open (current) version per key
     assert(out.count(_._5) == 2)
   }
+
+  test("snapshotReconcile classifies all four mismatch kinds, drops matching keys") {
+    val snapshot = Seq(("A", Some(1L)), ("A", Some(2L)), ("B", Some(5L)),
+      ("C", Some(9L)), ("D", Some(7L)), ("F", Some(4L)), ("F", None))
+      .toDF("key", "digest")
+    val state = Seq(("A", Some(1L)), // A lost a row -> count_mismatch
+      ("B", Some(6L)),               // B corrupted  -> digest_mismatch
+      // C absent entirely           -> missing_in_state
+      ("D", Some(7L)),               // D matches    -> dropped
+      ("E", Some(3L)),               // E extra      -> missing_in_snapshot
+      ("F", None), ("F", Some(4L)))  // null digests reconcile by count -> dropped
+      .toDF("key", "digest")
+    val out = Ingest.snapshotReconcile(state, snapshot, "key", "digest")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("status")).toMap
+    assert(out == Map("A" -> "count_mismatch", "B" -> "digest_mismatch",
+      "C" -> "missing_in_state", "E" -> "missing_in_snapshot"))
+  }
+
+  test("psiDrift flags a category-mix inversion the mean check cannot see") {
+    def rows(key: String, day: String, cat: String, n: Int) =
+      (1 to n).map(_ => (key, ts(s"$day 00:00:00"), cat))
+    // current window [Jan 25, Feb 1], reference [Jan 11, Jan 25)
+    val df = (rows("X", "2024-02-01", "click", 5) ++ rows("X", "2024-01-30", "view", 5) ++
+      rows("X", "2024-01-20", "click", 5) ++ rows("X", "2024-01-20", "view", 5) ++
+      rows("Y", "2024-01-20", "click", 10) ++ rows("Y", "2024-01-30", "view", 10) ++
+      rows("Z", "2024-01-30", "click", 3) // current-only key: excluded
+    ).toDF("key", "ts", "cat")
+    val out = Quality.psiDrift(df, "key", "ts", "cat", Seq("click", "view"), 14, 7, 0.1)
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Double]("psi"), r.getAs[Boolean]("drifted"))).toMap
+    assert(out.keySet == Set("X", "Y"))
+    assert(out("X")._1 == 0.0 && !out("X")._2) // identical mix: every term exactly 0
+    assert(out("Y")._1 > 0.1 && out("Y")._2)   // full inversion: large PSI
+  }
 }

@@ -318,4 +318,43 @@ class StreamsSpec extends SparkSpec {
       assert(late.key == 7L && late.n == 1 && late.sum == 3.0)
     } finally q.stop()
   }
+
+  test("f7 staticEnrich joins the dimension and aggregates, batch and stream agree") {
+    val dim = Seq((7L, "BUILDING"), (8L, "MACHINERY"), (9L, "FURNITURE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val batch = Streams.staticEnrich(ev, dim, "user_id", "c_custkey",
+      "ts", "c_mktsegment", "value", "hour")
+      .orderBy("window_start", "c_mktsegment").collect()
+    // 10:00 BUILDING {e1,e2}=3.0, 10:00 MACHINERY {e4}=4.0, 12:00 BUILDING {e3}=3.0
+    assert(batch.map(r => (r.getAs[Timestamp]("window_start"),
+      r.getAs[String]("c_mktsegment"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"))).toSeq == Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "BUILDING", 2L, 3.0),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "MACHINERY", 1L, 4.0),
+      (Timestamp.valueOf("2024-01-01 12:00:00"), "BUILDING", 1L, 3.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = Streams.staticEnrichStream(
+      input.toDF().toDF("user_id", "ts", "value"), dim, "user_id", "c_custkey",
+      "ts", "c_mktsegment", "value", "1 hour", "1 hour")
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("enrichtest").start()
+    try {
+      input.addData(
+        (7L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (7L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+        (7L, Timestamp.valueOf("2024-01-01 12:00:00"), 3.0),
+        (8L, Timestamp.valueOf("2024-01-01 10:05:00"), 4.0),
+        (99L, Timestamp.valueOf("2024-01-01 10:05:00"), 50.0)) // no dim row: excluded
+      q.processAllAvailable()
+      val res = spark.table("enrichtest").orderBy("window_start", "c_mktsegment").collect()
+      assert(res.map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[String]("c_mktsegment"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSeq ==
+        batch.map(r => (r.getAs[Timestamp]("window_start"),
+          r.getAs[String]("c_mktsegment"), r.getAs[Long]("n"),
+          r.getAs[Double]("sum_value"))).toSeq)
+    } finally q.stop()
+  }
 }
