@@ -324,6 +324,12 @@ object Quality {
       .groupBy(col(keyCol), col("cat"))
       .agg(count(when(col("bucket") === "reference", lit(1))).as("r"),
         count(when(col("bucket") === "current", lit(1))).as("c"))
+      // two consumers (window totals and the term join): without a
+      // materialization each branch re-runs the full corpus scan +
+      // aggregate (SURVEY §8 rule 3 — ReuseExchange does not dedupe
+      // them once column pruning diverges the subtrees). The table is
+      // keys×(K+1) rows — checkpoint cost is nil next to a corpus scan.
+      .localCheckpoint(false)
     val totals = counts.groupBy(col(keyCol))
       .agg(sum(col("r")).as("n_ref"), sum(col("c")).as("n_cur"))
       .filter(col("n_ref") > 0 && col("n_cur") > 0)

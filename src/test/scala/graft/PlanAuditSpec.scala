@@ -123,6 +123,46 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("a10 reconciliation partial-aggregates both sides before the key shuffle") {
+    // each 100 TB side must collapse to per-key (count, digest-sum)
+    // map-side; a window or a raw-row join here would move data
+    val plan = finalPlan(SparkEntry.queries("a10_snapshot_reconcile")(spark, sf))
+    assert("partial_count".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("b14 runs the corpus (key,category) aggregate exactly once") {
+    // totals and the term join both consume the checkpointed counts
+    // table; any parquet scan in the final plan means a branch
+    // re-derived the corpus pass (SURVEY §8 rule 3)
+    val df = SparkEntry.queries("b14_psi_drift")(spark, sf)
+    df.collect()
+    // audit only the finalized tree (toString appends the initial plan)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Scan parquet"), plan)
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("e36 verify pass and admit anti-join are all broadcast-side") {
+    // candidates/batch grams/dup ids broadcast; the seen corpus joins
+    // only via the semi-join filter — no sort-merge join anywhere
+    val plan = finalPlan(SparkEntry.queries("e36_neardup_admit")(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("f7 joins the dimension broadcast and shuffles only for the aggregate") {
+    val df = SparkEntry.queries("f7_stream_static_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("ShuffleQueryStage".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("e34 aggregates the tf table into token totals exactly once") {
     // vocab totals and the minCount-pruned join side both read the
     // vocabAll localCheckpoint; a second hashpartitioning(token)
