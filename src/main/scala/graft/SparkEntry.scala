@@ -307,6 +307,25 @@ object SparkEntry {
       Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
         Similarity.autoPlanes(emb.count(), 8), 8, 0.25)
     }),
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): the e22
+    // LSH-blocked cosine pairs feed the SAME distributed components /
+    // keep-canonical machinery as the text-side e17/e18 — near-dup
+    // semantics in embedding space, cluster resolution unchanged
+    "e37_semantic_dup_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Components.connectedComponents(
+        Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
+          Similarity.autoPlanes(emb.count(), 8), 8, 0.25),
+        "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("component"))
+    }),
+    "e38_semantic_keep_canonical" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Components.keepCanonical(emb.select(col("vec_id"), col("label")),
+        Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
+          Similarity.autoPlanes(emb.count(), 8), 8, 0.25),
+        "vec_id", "id_a", "id_b")
+    }),
     "e23_sequence_pack" -> ((s, d) =>
       TextOps.packSequences(Tables.documents(s, d), "doc_id", "text", "source", 1024)),
     "e24_decontaminate" -> ((s, d) => {
@@ -1538,6 +1557,46 @@ object SparkEntry {
             FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
               JOIN embeddings eb ON eb.vec_id = pairs.id_b)
           SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= 0.25""",
+    // the e22 pair construction + the e17 recursive-CTE closure
+    "e37_semantic_dup_clusters" ->
+      s"""WITH RECURSIVE ${lshBandCteAuto(8)},
+          pruned AS (SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000),
+          pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM pruned a JOIN pruned b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+          scored AS (SELECT id_a, id_b,
+              round(${dotSql("ea.embedding", "eb.embedding")} /
+                (${normVecSql("ea.embedding")} * ${normVecSql("eb.embedding")}), 4) AS cosine
+            FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
+              JOIN embeddings eb ON eb.vec_id = pairs.id_b),
+          jp AS (SELECT DISTINCT id_a, id_b FROM scored WHERE cosine >= 0.25),
+          edges AS (SELECT id_a AS a, id_b AS b FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+          reach AS (SELECT a AS n, a AS m FROM edges
+            UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+          SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n""",
+    "e38_semantic_keep_canonical" ->
+      s"""WITH RECURSIVE ${lshBandCteAuto(8)},
+          pruned AS (SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000),
+          pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM pruned a JOIN pruned b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+          scored AS (SELECT id_a, id_b,
+              round(${dotSql("ea.embedding", "eb.embedding")} /
+                (${normVecSql("ea.embedding")} * ${normVecSql("eb.embedding")}), 4) AS cosine
+            FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
+              JOIN embeddings eb ON eb.vec_id = pairs.id_b),
+          jp AS (SELECT DISTINCT id_a, id_b FROM scored WHERE cosine >= 0.25),
+          edges AS (SELECT id_a AS a, id_b AS b FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+          reach AS (SELECT a AS n, a AS m FROM edges
+            UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+          comp AS (SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n)
+          SELECT e.vec_id, e.label FROM embeddings e
+          LEFT JOIN comp c ON e.vec_id = c.vec_id
+          WHERE c.component IS NULL OR c.component = e.vec_id""",
     "e4_ngram_jaccard" ->
       s"""WITH $ngramPairCte
           SELECT doc_a, doc_b, jaccard FROM jpairs""",

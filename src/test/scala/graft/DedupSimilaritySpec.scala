@@ -572,4 +572,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "lang", "source"))
     assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
   }
+
+  test("semantic dup clusters + canonical keep over embedding near-dups") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), "a"), // exact dup of 1
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f), "a"), // near-dup of 1 (cos ≈ 0.994)
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), "b")  // orthogonal: cos 0 < threshold
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 8, 8, 0.25)
+    val comp = graft.graph.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("component"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp.keySet == Set(1L, 2L, 3L)) // 4 pairs with no one
+    assert(comp.values.toSet == Set(1L))   // one cluster, min-id canonical
+    val kept = graft.graph.Components.keepCanonical(
+      emb.select(col("vec_id"), col("label")), pairs, "vec_id", "id_a", "id_b")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L)) // cluster canonical + untouched singleton
+  }
 }
