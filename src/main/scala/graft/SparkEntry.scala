@@ -422,6 +422,17 @@ object SparkEntry {
         .select(col("event_id"), col("period"), col("user_id"),
           col("event_type").cast("string").as("event_type"), col("value"))
     }),
+    "g8_compaction" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/compact_${pathTag(d)}"
+      // a year of incremental lands: the feed fragmented into 64 small
+      // files; compact to ~1 MiB targets and return the read-back —
+      // content must be layout-invariant (the oracle is the plain feed)
+      ev.repartition(64).write.mode("overwrite").parquet(s"$tmp/src")
+      graft.sources.Sources.compactParquet(s, s"$tmp/src", s"$tmp/dst", 1L << 20)
+    }),
     "g4_jsonl_roundtrip" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -1906,6 +1917,10 @@ object SparkEntry {
          FROM events, (SELECT unnest([0, 1]) AS k) ks
          WHERE ts IS NOT NULL GROUP BY 1, 2""",
     "g5_orc_roundtrip" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
+    // compaction is layout-only: read-back must equal the plain feed
+    "g8_compaction" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
     "g6_schema_evolution" ->

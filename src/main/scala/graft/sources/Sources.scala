@@ -152,4 +152,47 @@ object Sources {
 
   /** Read a bucketed table back (bucket metadata intact). */
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Small-file compaction — the maintenance chore every scheduled
+    * pipeline accumulates: each incremental land (a5/a8) writes a few
+    * files, and after a year a day-partition holds thousands of
+    * kilobyte parquet files whose per-file open/footer cost dominates
+    * scans (and whose listing dominates planning). Rewrites a directory
+    * into ceil(bytes / targetBytes) files of even size.
+    *
+    * Sizing comes from the filesystem (one `getContentSummary` metadata
+    * call — no data read), so the file count tracks the REAL byte
+    * volume, not a guessed row count. The rewrite uses `repartition(n)`
+    * (round-robin): one full shuffle, but every output file lands
+    * within a row of even — `coalesce(n)` would skip the shuffle and
+    * glue adjacent input files, inheriting whatever skew the small
+    * files had (and capping read parallelism at n for the whole
+    * rewrite). Compaction is a bytes-bound batch job; the shuffle IS
+    * the cost you signed up for, and it buys deterministic layout.
+    * Content is layout-invariant: the read-back equals the source
+    * row-for-row (the g8 oracle), only the file boundaries move.
+    *
+    * At 100 TB this runs per-partition (compact yesterday's partition
+    * after the last late batch), never over the whole table; pass the
+    * partition directory as `srcPath`. */
+  def compactParquet(spark: SparkSession, srcPath: String, dstPath: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(src).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcPath).repartition(n)
+      .write.mode("overwrite").parquet(dstPath)
+    spark.read.parquet(dstPath)
+  }
+
+  /** Data files (not _SUCCESS/metadata) under a sink path — the
+    * compaction spec's file-count probe. */
+  def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(f => f.endsWith(".parquet") || f.endsWith(".snappy.parquet"))
+  }
 }

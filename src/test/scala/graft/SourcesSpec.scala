@@ -253,4 +253,17 @@ class SourcesSpec extends SparkSpec {
     assert(merged.count() == 15)
     assert(merged.select("id").as[Long].collect().toSet == all.select("id").as[Long].collect().toSet)
   }
+
+  test("compaction shrinks the file count, content layout-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"row_$i", i * 1.5)).toDF("id", "name", "value")
+    df.repartition(40).write.mode("overwrite").parquet(s"$dir/src")
+    assert(Sources.dataFiles(spark, s"$dir/src").size == 40)
+    // generous byte target -> everything packs into very few files
+    val back = Sources.compactParquet(spark, s"$dir/src", s"$dir/dst", 8L << 20)
+    val nOut = Sources.dataFiles(spark, s"$dir/dst").size
+    assert(nOut < 40, s"expected fewer files, got $nOut")
+    assert(back.count() == 1000)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 1000L))
+  }
 }
