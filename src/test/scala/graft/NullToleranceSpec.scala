@@ -105,4 +105,31 @@ class NullToleranceSpec extends SparkSpec {
       "doc_id", "source", 1L, 1L).select("doc_id").as[Long].collect().toSet
     assert(mix == Set(1L, 2L, 3L)) // budget 1/1 admits every non-null-source row
   }
+
+  test("late round-7 operators tolerate null/degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // a10: null keys group together (groupBy null semantics) and the
+    // full-outer join matches them via the classifier's null-safe compare
+    val snap = Seq((Some(1L), Some(10L)), (None: Option[Long], Some(5L)))
+      .toDF("key", "digest")
+    val rec = graft.ingest.Ingest.snapshotReconcile(
+      snap.filter($"key".isNotNull), snap, "key", "digest").collect()
+    assert(rec.length == 1 && rec(0).isNullAt(0)) // null key missing_in_state
+    // b14: null categories land in __other__, null ts drops from both
+    // windows (bucket null), no crash
+    val ev = Seq(
+      (Some("X"), Some(Timestamp.valueOf("2024-02-01 00:00:00")), Some("click")),
+      (Some("X"), Some(Timestamp.valueOf("2024-01-20 00:00:00")), None: Option[String]),
+      (Some("X"), None: Option[Timestamp], Some("view"))
+    ).toDF("key", "ts", "cat")
+    graft.validate.Quality.psiDrift(ev, "key", "ts", "cat",
+      Seq("click", "view"), 14, 7, 0.1).collect()
+    // e36: null-text batch/seen docs form no shingles -> admitted
+    val admitted = Dedup.incrementalNeardupFilter(
+      docs, docs.withColumn("doc_id", $"doc_id" + 100L),
+      "doc_id", "text", Seq("lang", "source"), 3, 16, 4, 3, 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 3L, 4L)) // doc 1 near-dups its shifted copy
+  }
 }
