@@ -310,12 +310,19 @@ object SparkEntry {
     // SemDeDup-style semantic dedup (Abbas et al. 2023): the e22
     // LSH-blocked cosine pairs feed the SAME distributed components /
     // keep-canonical machinery as the text-side e17/e18 — near-dup
-    // semantics in embedding space, cluster resolution unchanged
+    // semantics in embedding space, cluster resolution unchanged.
+    // Threshold 0.45, NOT e22's 0.25: clustering needs a TIGHT near-dup
+    // cut. Measured at sf1, 99.9% of >=0.25 pairs are background
+    // similarity and the transitive closure collapses 20k vectors into
+    // ONE component (keep-canonical degenerates to keeping 1 row);
+    // at 0.45 the corpus resolves into 2,777 real components (largest
+    // 256). Same lesson as BASELINE's "LSH blocking earns its keep on
+    // tight thresholds", one level up: cluster RESOLUTION needs it too
     "e37_semantic_dup_clusters" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Components.connectedComponents(
         Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
-          Similarity.autoPlanes(emb.count(), 8), 8, 0.25),
+          Similarity.autoPlanes(emb.count(), 8), 8, 0.45),
         "id_a", "id_b")
         .select(col("node").as("vec_id"), col("component"))
     }),
@@ -323,7 +330,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Components.keepCanonical(emb.select(col("vec_id"), col("label")),
         Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
-          Similarity.autoPlanes(emb.count(), 8), 8, 0.25),
+          Similarity.autoPlanes(emb.count(), 8), 8, 0.45),
         "vec_id", "id_a", "id_b")
     }),
     "e23_sequence_pack" -> ((s, d) =>
@@ -1581,7 +1588,7 @@ object SparkEntry {
                 (${normVecSql("ea.embedding")} * ${normVecSql("eb.embedding")}), 4) AS cosine
             FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
               JOIN embeddings eb ON eb.vec_id = pairs.id_b),
-          jp AS (SELECT DISTINCT id_a, id_b FROM scored WHERE cosine >= 0.25),
+          jp AS (SELECT DISTINCT id_a, id_b FROM scored WHERE cosine >= 0.45),
           edges AS (SELECT id_a AS a, id_b AS b FROM jp
             UNION SELECT id_b, id_a FROM jp),
           reach AS (SELECT a AS n, a AS m FROM edges
@@ -1599,7 +1606,7 @@ object SparkEntry {
                 (${normVecSql("ea.embedding")} * ${normVecSql("eb.embedding")}), 4) AS cosine
             FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
               JOIN embeddings eb ON eb.vec_id = pairs.id_b),
-          jp AS (SELECT DISTINCT id_a, id_b FROM scored WHERE cosine >= 0.25),
+          jp AS (SELECT DISTINCT id_a, id_b FROM scored WHERE cosine >= 0.45),
           edges AS (SELECT id_a AS a, id_b AS b FROM jp
             UNION SELECT id_b, id_a FROM jp),
           reach AS (SELECT a AS n, a AS m FROM edges

@@ -580,7 +580,7 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, Array(0.9f, 0.1f, 0.0f, 0.0f), "a"), // near-dup of 1 (cos ≈ 0.994)
       (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), "b")  // orthogonal: cos 0 < threshold
     ).toDF("vec_id", "embedding", "label")
-    val pairs = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 8, 8, 0.25)
+    val pairs = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 8, 8, 0.45)
     val comp = graft.graph.Components.connectedComponents(pairs, "id_a", "id_b")
       .select(col("node").as("vec_id"), col("component"))
       .as[(Long, Long)].collect().toMap
