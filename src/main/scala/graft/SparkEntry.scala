@@ -928,11 +928,23 @@ object SparkEntry {
          FROM g WHERE gap_seconds > 3600 * 1.5 GROUP BY 1""",
     // Laplace-smoothed categorical PSI; per-term floor(·1e6) integer
     // quantization (the e34 micro-log pattern) makes key sums exact and
-    // the drift flag an integer compare; windows mirror c9's
-    "b14_psi_drift" ->
-      """WITH mx AS (SELECT max(date_trunc('second', ts)) AS max_ts FROM events),
+    // the drift flag an integer compare; windows mirror c9's. Domain
+    // list and the K+1 smoothing denominator interpolate from the SAME
+    // `eventTypes` Seq the Spark entry uses, so the two sides cannot
+    // silently diverge if the domain ever changes. Cross-engine caveat
+    // (shared with e34's micro-log pattern): the per-term ln() must
+    // agree between JVM Math.log and DuckDB's libm to the point where
+    // floor(term·1e6) lands on the same integer — neither is guaranteed
+    // correctly rounded, so a 1-ulp divergence exactly at a micro-unit
+    // boundary would flip one term by 1 on a different platform/libm.
+    // Holds empirically on this host; if a platform-parity failure ever
+    // shows a ±1 psi_micro delta, this is the place to look.
+    "b14_psi_drift" -> {
+      val domainSql = eventTypes.map(t => s"'$t'").mkString(",")
+      val kPlus1 = eventTypes.size + 1
+      s"""WITH mx AS (SELECT max(date_trunc('second', ts)) AS max_ts FROM events),
          b AS (SELECT user_id,
-             CASE WHEN event_type IN ('click','error','purchase','signup','view')
+             CASE WHEN event_type IN ($domainSql)
                   THEN event_type ELSE '__other__' END AS cat,
              CASE WHEN date_trunc('second', ts) >= max_ts - INTERVAL 7 DAY THEN 'current'
                   WHEN date_trunc('second', ts) >= max_ts - INTERVAL 21 DAY THEN 'reference'
@@ -946,20 +958,21 @@ object SparkEntry {
              CAST(sum(c) AS BIGINT) AS n_cur
            FROM cnt GROUP BY 1 HAVING sum(r) > 0 AND sum(c) > 0),
          grid AS (SELECT user_id, n_ref, n_cur,
-             unnest(['click','error','purchase','signup','view','__other__']) AS cat
+             unnest([$domainSql,'__other__']) AS cat
            FROM tot),
          t AS (SELECT g.user_id, g.n_ref, g.n_cur,
              CAST(floor(
-               (CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (g.n_cur + 6)
-                 - CAST(COALESCE(r, 0) + 1 AS DOUBLE) / (g.n_ref + 6))
-               * ln((CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (g.n_cur + 6))
-                 / (CAST(COALESCE(r, 0) + 1 AS DOUBLE) / (g.n_ref + 6)))
+               (CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (g.n_cur + $kPlus1)
+                 - CAST(COALESCE(r, 0) + 1 AS DOUBLE) / (g.n_ref + $kPlus1))
+               * ln((CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (g.n_cur + $kPlus1))
+                 / (CAST(COALESCE(r, 0) + 1 AS DOUBLE) / (g.n_ref + $kPlus1)))
                * 1e6) AS BIGINT) AS micro
            FROM grid g LEFT JOIN cnt ON cnt.user_id = g.user_id AND cnt.cat = g.cat)
          SELECT user_id, n_ref, n_cur,
            CAST(sum(micro) AS DOUBLE) / 1000000 AS psi,
            sum(micro) > 100000 AS drifted
-         FROM t GROUP BY 1, 2, 3""",
+         FROM t GROUP BY 1, 2, 3"""
+    },
     "c14_multi_horizon_forecast" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          r AS (SELECT user_id, period, event_id, value,

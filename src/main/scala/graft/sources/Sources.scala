@@ -160,9 +160,16 @@ object Sources {
     * scans (and whose listing dominates planning). Rewrites a directory
     * into ceil(bytes / targetBytes) files of even size.
     *
-    * Sizing comes from the filesystem (one `getContentSummary` metadata
-    * call — no data read), so the file count tracks the REAL byte
-    * volume, not a guessed row count. The rewrite uses `repartition(n)`
+    * Sizing comes from the filesystem (one directory listing — no data
+    * read), summing DATA files only: _SUCCESS / .crc / checksum
+    * sidecars would inflate the byte total and over-split the output.
+    * The file count tracks the REAL byte volume, not a guessed row
+    * count — though targetBytes is approximate under compression-ratio
+    * shift: the round-robin shuffle destroys whatever value clustering
+    * the source files had, so when that clustering compressed unusually
+    * well the rewritten files can overshoot targetBytes by the ratio
+    * change (sortWithinPartitions before the write if tight output
+    * sizing matters). The rewrite uses `repartition(n)`
     * (round-robin): one full shuffle, but every output file lands
     * within a row of even — `coalesce(n)` would skip the shuffle and
     * glue adjacent input files, inheriting whatever skew the small
@@ -180,19 +187,23 @@ object Sources {
     require(targetBytes > 0, "targetBytes must be positive")
     val src = new org.apache.hadoop.fs.Path(srcPath)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(src).getLength
+    val bytes = fs.listStatus(src).iterator
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
+      .map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(srcPath).repartition(n)
       .write.mode("overwrite").parquet(dstPath)
     spark.read.parquet(dstPath)
   }
 
+  private def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") || name.endsWith(".snappy.parquet")
+
   /** Data files (not _SUCCESS/metadata) under a sink path — the
     * compaction spec's file-count probe. */
   def dataFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(f => f.endsWith(".parquet") || f.endsWith(".snappy.parquet"))
+    fs.listStatus(p).toSeq.map(_.getPath.getName).filter(isDataFile)
   }
 }

@@ -181,9 +181,13 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
   /** Streaming twin of [[staticEnrich]]: the static dimension joins
-    * statelessly (re-read/re-broadcast each micro-batch, so dimension
-    * updates between batches are picked up), then a watermarked
-    * tumbling-window aggregate per segment. */
+    * statelessly (re-evaluated and re-broadcast each micro-batch),
+    * then a watermarked tumbling-window aggregate per segment.
+    * Dimension updates between micro-batches are picked up ONLY when
+    * the static side is an uncached file/table source that re-scans on
+    * evaluation; a `.cache()`d or in-memory (e.g. createDataFrame)
+    * dimension is frozen at first materialization and will NOT refresh
+    * — pass the dimension as a path-backed DataFrame for live updates. */
   def staticEnrichStream(events: DataFrame, dim: DataFrame, eventKey: String,
                          dimKey: String, tsCol: String, segCol: String,
                          valueCol: String, windowLen: String,

@@ -295,7 +295,13 @@ object Quality {
     * summation order, and the drift flag is an exact integer compare
     * against floor-rounded threshold·1e6. Shares come from exact
     * integer counts, so both engines evaluate ln on bit-identical
-    * doubles.
+    * doubles. Residual libm caveat (same as e34's micro-log pattern):
+    * the INPUTS to ln are bit-identical, but ln itself is JVM Math.log
+    * here vs DuckDB's libm in the oracle, and neither guarantees
+    * correct rounding — a 1-ulp divergence landing exactly on a
+    * micro-unit boundary would flip floor(term·1e6) by one on another
+    * platform. Empirically exact on the gate host; a future ±1
+    * psi_micro parity failure means platform libm skew, not a bug.
     *
     * Scale shape: the only full-data pass is the (key, category)
     * count — partial-aggregated, category fan-out bounded by K+1.
