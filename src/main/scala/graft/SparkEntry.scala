@@ -7,6 +7,7 @@ import graft.analytics.Analytics
 import graft.graph.Components
 import graft.ingest.Ingest
 import graft.sample.Sampling
+import graft.sources.ParquetStats
 import graft.multimodal.Binary
 import graft.streaming.Streams
 import graft.text.{Dedup, TextOps}
@@ -301,11 +302,14 @@ object SparkEntry {
       // scale-safe gate config: banding derives from the corpus count
       // (at sf0.01 this is autoPlanes(500,8)=16, the former fixed
       // config; at sf1 it self-tunes to the wider banding BASELINE.md
-      // showed is needed). The count() is one column-pruned metadata
-      // job — a catalog row-count stat on a real deployment.
-      val emb = Tables.embeddings(s, d)
-      Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
-        Similarity.autoPlanes(emb.count(), 8), 8, 0.25)
+      // showed is needed). The count comes from parquet FOOTER metadata
+      // (ParquetStats.rowCount — a catalog row-count stat on a real
+      // deployment), NOT a df.count(): through round 7 that was a
+      // column-pruned scan JOB per invocation; now no job runs before
+      // the query itself (PlanAuditSpec pins this).
+      Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        Similarity.autoPlanes(ParquetStats.rowCount(s, s"$d/embeddings.parquet"), 8),
+        8, 0.25)
     }),
     // SemDeDup-style semantic dedup (Abbas et al. 2023): the e22
     // LSH-blocked cosine pairs feed the SAME distributed components /
@@ -320,17 +324,19 @@ object SparkEntry {
     // tight thresholds", one level up: cluster RESOLUTION needs it too
     "e37_semantic_dup_clusters" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = ParquetStats.rowCount(s, s"$d/embeddings.parquet")
       Components.connectedComponents(
         Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
-          Similarity.autoPlanes(emb.count(), 8), 8, 0.45),
+          Similarity.autoPlanes(n, 8), 8, 0.45),
         "id_a", "id_b")
         .select(col("node").as("vec_id"), col("component"))
     }),
     "e38_semantic_keep_canonical" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = ParquetStats.rowCount(s, s"$d/embeddings.parquet")
       Components.keepCanonical(emb.select(col("vec_id"), col("label")),
         Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
-          Similarity.autoPlanes(emb.count(), 8), 8, 0.45),
+          Similarity.autoPlanes(n, 8), 8, 0.45),
         "vec_id", "id_a", "id_b")
     }),
     "e23_sequence_pack" -> ((s, d) =>

@@ -170,4 +170,48 @@ class PlanAuditSpec extends SparkSpec {
     val plan = finalPlan(SparkEntry.queries("e34_unigram_logprob")(spark, sf))
     assert("hashpartitioning\\(token".r.findAllIn(plan).size <= 1, plan)
   }
+
+  // jobs submitted so far (statusTracker lags the async listener bus;
+  // poll until the count is stable so the assertion isn't racy)
+  private def stableJobCount(): Int = {
+    def now = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    var prev = now
+    var stableMs = 0
+    while (stableMs < 500) {
+      Thread.sleep(100)
+      val cur = now
+      if (cur == prev) stableMs += 100 else { prev = cur; stableMs = 0 }
+    }
+    prev
+  }
+
+  test("e22/e37/e38 gate sizes banding from footer stats — no count job before the query") {
+    // through round 7 the autoPlanes gate ran emb.count() — a whole
+    // column-pruned scan job per invocation just to size the banding.
+    // ParquetStats.rowCount reads footer metadata driver-side: the ONLY
+    // job allowed during e22 plan construction is the 1-row
+    // dimensionality probe.
+    val before = stableJobCount()
+    val n = graft.sources.ParquetStats.rowCount(spark, s"$sf/embeddings.parquet")
+    assert(stableJobCount() == before, "footer row count must not submit a Spark job")
+    assert(n == spark.read.parquet(s"$sf/embeddings.parquet").count(),
+      "footer row count must equal the scan count")
+    // self-calibrating job accounting: footer-gate construction must
+    // run exactly countJobs fewer jobs than the round-7 count()-gate
+    // shape (both share the identical dim-probe + plan construction)
+    val a0 = stableJobCount()
+    val df = SparkEntry.queries("e22_cosine_dup_lsh")(spark, sf) // construction only
+    val a1 = stableJobCount()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.vector.Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding",
+      graft.vector.Similarity.autoPlanes(emb.count(), 8), 8, 0.25)
+    val a2 = stableJobCount()
+    emb.count()
+    val countJobs = stableJobCount() - a2
+    assert(countJobs >= 1, "calibration: count() must run at least one job")
+    assert((a1 - a0) == (a2 - a1) - countJobs,
+      s"footer gate ran ${a1 - a0} construction jobs vs ${a2 - a1} for the " +
+        s"count gate (count=$countJobs) — the count job is back in the plan path")
+    assert(df.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+  }
 }
