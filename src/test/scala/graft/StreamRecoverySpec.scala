@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.Streams
+
+/** Checkpoint-recovery proof for the F-group streaming twins: kill a
+  * query mid-stream, restart it from `checkpointLocation`, and the
+  * file sink must equal the uninterrupted batch result — no duplicated
+  * windows/rows (the sink's _spark_metadata commit log is the
+  * exactly-once surface `spark.read` respects), no holes (the restarted
+  * query resumes from the recovered offsets + state store + watermark,
+  * not from scratch). This is the Structured Streaming failure mode the
+  * batch-parity and late-data specs can't cover: state (dedup keys,
+  * open windows, watermark) surviving process death. The reference
+  * pipeline leans on Airflow task retries for the same guarantee
+  * (reference airflow_dag.py: retries on every task) — here the
+  * contract is the engine's, not the orchestrator's.
+  */
+class StreamRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+  private def freshDirs(name: String): (String, String, String) = {
+    val base = s"/tmp/graft_recovery_$name"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    (s"$base/in", s"$base/chk", s"$base/out")
+  }
+
+  private def land(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("append").parquet(dir)
+
+  /** Run one "process everything currently landed, then die" lifetime
+    * of a streaming query — the crash/restart boundary under test. */
+  private def runLifetime(build: DataFrame => DataFrame, schema: StructType,
+                          inDir: String, chkDir: String, outDir: String): Unit = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches per lifetime
+      .parquet(inDir)
+    val q = build(src).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", chkDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("f2 tumblingWindowStream restarted from checkpoint equals the uninterrupted batch result") {
+    val (inDir, chkDir, outDir) = freshDirs("f2")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def build(df: DataFrame) =
+      Streams.tumblingWindowStream(df, "ts", "event_type", "value", "1 hour", "10 minutes")
+
+    // lifetime 1: two files; watermark reaches 11:20, closing [10,11)
+    land(Seq((ts("10:05"), "view", 1.0), (ts("10:40"), "view", 2.0))
+      .toDF("ts", "event_type", "value"), inDir)
+    land(Seq((ts("11:30"), "view", 4.0)).toDF("ts", "event_type", "value"), inDir)
+    runLifetime(build, schema, inDir, chkDir, outDir)
+    val afterCrash = spark.read.parquet(outDir)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value")).collect()
+    assert(afterCrash.map(r => (r.getAs[Timestamp]("window_start"),
+      r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet ==
+      Set((ts("10:00"), 2L, 3.0)), "lifetime 1 must emit exactly the closed window")
+
+    // lifetime 2 (the restart under test): more rows for the OPEN
+    // window [11,12) — the recovered state must still hold its partial
+    // aggregate (1 row, 4.0) or the window under-counts — plus rows
+    // advancing the watermark to close [11,12) and [13,14)
+    land(Seq((ts("11:45"), "view", 8.0)).toDF("ts", "event_type", "value"), inDir)
+    land(Seq((ts("13:00"), "view", 16.0)).toDF("ts", "event_type", "value"), inDir)
+    land(Seq((ts("15:00"), "view", 0.5)).toDF("ts", "event_type", "value"), inDir)
+    runLifetime(build, schema, inDir, chkDir, outDir)
+
+    // lifetime 3: restart with NOTHING new — replay must be a no-op
+    // (re-emitting an already-committed batch would duplicate windows)
+    runLifetime(build, schema, inDir, chkDir, outDir)
+
+    val sink = spark.read.parquet(outDir)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    // uninterrupted batch truth over every row whose window closed
+    // (the 15:00 sentinel's window is still open, so it never emits)
+    val allRows = spark.read.schema(schema).parquet(inDir)
+      .filter(col("ts") < ts("15:00"))
+    val batch = Streams.tumblingWindow(allRows, "ts", "event_type", "value", "hour")
+    assert(sink.count() == batch.count(), "no duplicated and no missing windows")
+    assert(sink.collect().map(r => (r.getAs[Timestamp]("window_start"),
+      r.getAs[String]("event_type"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"))).toSet ==
+      batch.collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSet)
+  }
+
+  test("f3 streamDedupStream restarted from checkpoint keeps dedup state — replayed rows stay dropped") {
+    val (inDir, chkDir, outDir) = freshDirs("f3")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def build(df: DataFrame) =
+      Streams.streamDedupStream(df, "ts", Seq("user_id", "event_type"), "1 hour")
+
+    // lifetime 1: first occurrences + an in-flight duplicate
+    land(Seq((ts("10:00"), 7L, "view"), (ts("10:05"), 8L, "click"))
+      .toDF("ts", "user_id", "event_type"), inDir)
+    land(Seq((ts("10:00"), 7L, "view")).toDF("ts", "user_id", "event_type"), inDir)
+    runLifetime(build, schema, inDir, chkDir, outDir)
+    assert(spark.read.parquet(outDir).count() == 2,
+      "lifetime 1: duplicate within the run must be dropped")
+
+    // lifetime 2: the upstream re-delivers a row from BEFORE the crash
+    // (the at-least-once source the operator exists to absorb); only
+    // recovered state-store contents can catch it
+    land(Seq((ts("10:00"), 7L, "view"), (ts("10:10"), 7L, "view"))
+      .toDF("ts", "user_id", "event_type"), inDir)
+    runLifetime(build, schema, inDir, chkDir, outDir)
+
+    // lifetime 3: nothing new — committed batches must not re-emit
+    runLifetime(build, schema, inDir, chkDir, outDir)
+
+    val sink = spark.read.parquet(outDir)
+    val batch = Streams.streamDedup(
+      spark.read.schema(schema).parquet(inDir).withColumn("__id", lit(0L)),
+      Seq("user_id", "event_type", "ts"), "__id").drop("__id")
+    assert(sink.count() == 3, "exactly one row per (key, ts) across both lifetimes")
+    assert(sink.count() == batch.count())
+    assert(sink.collect().map(r => (r.getAs[Timestamp]("ts"),
+      r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet ==
+      batch.collect().map(r => (r.getAs[Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet)
+  }
+}
