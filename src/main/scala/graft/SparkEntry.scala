@@ -389,6 +389,21 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
         "doc_id", "text", Seq("lang", "source"), 3, 16, 4, 3, 0.6)
     }),
+    "e39_maintained_minhash" -> ((s, d) => {
+      // e35's semantics with the seen side as a MAINTAINED signature
+      // table — the production shape: the corpus text is never re-read
+      // per crawl, only its persisted (doc_id, band, sig) table is
+      // probed. Here the table is built in-query from the same docs so
+      // the e35 oracle applies verbatim; the localCheckpoint stands in
+      // for the table's materialized storage (two column-pruned
+      // consumers: hot-list agg + candidate join).
+      val docs = Tables.documents(s, d)
+      val table = Dedup.bandSignatures(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", 3, 16, 4)
+        .localCheckpoint(false)
+      Dedup.incrementalMinhashPairsFromTable(
+        docs.filter(col("doc_id") < 250), table, "doc_id", "text", 3, 16, 4)
+    }),
 
     // ---------------- G. sources / sinks ----------------
     // (scratch paths/table names derive from the sanitized dataset dir
@@ -581,6 +596,32 @@ object SparkEntry {
   private def foldSigSql(cols: Seq[String]): String =
     cols.foldLeft("CAST(0 AS BIGINT)")((acc, c) =>
       s"(($acc * 31 + $c) % ${graft.text.Dedup.PolyP})")
+
+  /** Incremental-minhash oracle, shared verbatim by e35 (recompute) and
+    * e39 (maintained signature table): SQL has no notion of where the
+    * seen side's band table came from, and identical parameters make
+    * the two engine paths signature-identical by construction. */
+  private lazy val incrementalMinhashOracle: String = {
+    val mhAggs = (0 until 16).map(i =>
+      s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+        sh AS (SELECT doc_id,
+            array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+          FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+                FROM w WHERE len(words) >= 3)),
+        h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
+        mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
+        bnd AS ($bandSelects),
+        seenb AS (SELECT * FROM bnd WHERE doc_id >= 250
+          QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
+        batchb AS (SELECT * FROM bnd WHERE doc_id < 250)
+        SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS seen_doc
+        FROM seenb s JOIN batchb b ON s.band = b.band AND s.sig = b.sig"""
+  }
 
   /** Scratch-path / table-name tag for the g-group sinks: the dataset
     * dir sanitized to [A-Za-z0-9_] for readability, plus the raw dir's
@@ -1417,27 +1458,12 @@ object SparkEntry {
     // the e2 band construction restricted to an asymmetric join: hot
     // buckets prune on the SEEN side only (the engine's broadcast
     // anti-join), candidates are batch×seen
-    "e35_incremental_minhash" -> {
-      val mhAggs = (0 until 16).map(i =>
-        s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
-        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-      }.mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
-          sh AS (SELECT doc_id,
-              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
-            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
-                  FROM w WHERE len(words) >= 3)),
-          h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
-          mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
-          bnd AS ($bandSelects),
-          seenb AS (SELECT * FROM bnd WHERE doc_id >= 250
-            QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
-          batchb AS (SELECT * FROM bnd WHERE doc_id < 250)
-          SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS seen_doc
-          FROM seenb s JOIN batchb b ON s.band = b.band AND s.sig = b.sig"""
-    },
+    "e35_incremental_minhash" -> incrementalMinhashOracle,
+    // e39 = e35's semantics with the seen side fed from a maintained
+    // signature TABLE instead of recomputed — same parameters produce
+    // signature-identical tables (the composition spec proves it), so
+    // the oracle is e35's verbatim
+    "e39_maintained_minhash" -> incrementalMinhashOracle,
     // e35's candidate construction + the e4 char-3-gram Jaccard verify;
     // a batch doc is admitted iff no candidate scores >= 0.6
     "e36_neardup_admit" -> {

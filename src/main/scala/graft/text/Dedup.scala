@@ -123,15 +123,20 @@ object Dedup {
 
   /** (doc_id, band, sig) LSH band-signature table shared by the
     * from-scratch ([[minhashLshPairs]]) and incremental
-    * ([[incrementalMinhashPairs]]) near-dup forms. Shingle hashes come
+    * ([[incrementalMinhashPairs]]) near-dup forms — and PUBLIC because
+    * it is also the maintenance API of the maintained-table path
+    * ([[incrementalMinhashPairsFromTable]]): after a batch is admitted,
+    * append `bandSignatures(admittedBatch, ...)` (same parameters) to
+    * the persisted signature table instead of ever recomputing the
+    * corpus side. Shingle hashes come
     * from ONE native pass per doc ([[graft.functions.StringExpressions
     * .ShingleHashes]]): each shingle string is a contiguous window of
     * the normalized text, so its polynomial hash folds in place — the
     * explode+slice+concat chain this replaced allocated a words array
     * plus a string per shingle through interpreted lambdas. Band
     * signature = order-sensitive fold of the band's minhash tuple. */
-  private def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
-                             shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val shingled = docs
@@ -170,13 +175,44 @@ object Dedup {
     * candidate rows). */
   def incrementalMinhashPairs(batch: DataFrame, seen: DataFrame, idCol: String,
                               textCol: String, shingleSize: Int, numHashes: Int,
-                              bands: Int, maxBucket: Int = 1000): DataFrame = {
-    val seenBands = bandSignatures(seen, idCol, textCol, shingleSize, numHashes, bands)
-      .localCheckpoint(false) // two consumers: hot-list agg + candidate join
-    val hot = seenBands.groupBy(col("band"), col("sig"))
+                              bands: Int, maxBucket: Int = 1000): DataFrame =
+    incrementalMinhashPairsFromTable(batch,
+      bandSignatures(seen, idCol, textCol, shingleSize, numHashes, bands)
+        .localCheckpoint(false), // two consumers: hot-list agg + candidate join
+      idCol, textCol, shingleSize, numHashes, bands, maxBucket)
+
+  /** The MAINTAINED-TABLE form of [[incrementalMinhashPairs]] — the
+    * production shape its scaladoc promises: the accumulated corpus's
+    * signatures arrive as a persisted `(doc_id, band, sig)` table
+    * (built and appended per admitted batch via [[bandSignatures]]),
+    * so the per-crawl cost is O(batch) signature computation plus a
+    * broadcast probe of the table — the 100 TB corpus's TEXT is never
+    * re-read, let alone re-shingled, per ingest.
+    *
+    * Contract: `seenBands` must come from [[bandSignatures]] runs with
+    * the SAME (shingleSize, numHashes, bands) parameters — signatures
+    * from different parameters are incompatible garbage, which is why
+    * the parameters stay in this signature even though only the batch
+    * side uses them. Maintenance loop per admitted batch:
+    * `table.append(bandSignatures(admitted, ...))`; the composition
+    * spec proves recompute ≡ maintained-table across consecutive
+    * batches.
+    *
+    * Scale shape: identical to [[incrementalMinhashPairs]] (batch side
+    * broadcasts into the candidate join, hot buckets prune via the
+    * partial-aggregated hot list) except the seen side is a TABLE SCAN,
+    * not a computation — its two consumers (hot-list agg + candidate
+    * join) are two column-pruned reads of materialized storage, so no
+    * checkpoint materialization is needed or wanted here. */
+  def incrementalMinhashPairsFromTable(batch: DataFrame, seenBands: DataFrame,
+                                       idCol: String, textCol: String,
+                                       shingleSize: Int, numHashes: Int,
+                                       bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val seenB = seenBands.select(col("doc_id"), col("band"), col("sig"))
+    val hot = seenB.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select(col("band"), col("sig"))
-    val pruned = seenBands.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+    val pruned = seenB.join(broadcast(hot), Seq("band", "sig"), "left_anti")
     val batchBands = bandSignatures(batch, idCol, textCol, shingleSize, numHashes, bands)
     pruned.select(col("band"), col("sig"), col("doc_id").as("seen_doc"))
       .join(broadcast(batchBands.select(col("band"), col("sig"),

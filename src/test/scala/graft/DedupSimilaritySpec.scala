@@ -538,6 +538,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == cross)
   }
 
+  test("maintained signature table ≡ recompute across two consecutive batches (e39)") {
+    // the production loop: probe the persisted band table, admit, append
+    // the admitted batch's signatures, probe the grown table with the
+    // next batch — at no point is the corpus text re-shingled
+    val seen0 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different content about spark engines at scale today")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "unrelated fresh material nothing shared here at all whatsoever")
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (21L, "unrelated fresh material nothing shared here at all whatsoever")
+    ).toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandSignatures(df, "doc_id", "text", 3, 16, 4)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+
+    val table0 = sigs(seen0)
+    val m1 = pairsOf(Dedup.incrementalMinhashPairsFromTable(
+      batch1, table0, "doc_id", "text", 3, 16, 4))
+    val r1 = pairsOf(Dedup.incrementalMinhashPairs(
+      batch1, seen0, "doc_id", "text", 3, 16, 4))
+    assert(m1 == r1, "batch 1: maintained table must equal recompute")
+    assert(m1.contains((10L, 100L))) // identical text: every band matches
+
+    val table1 = table0.unionByName(sigs(batch1)) // the append step
+    val m2 = pairsOf(Dedup.incrementalMinhashPairsFromTable(
+      batch2, table1, "doc_id", "text", 3, 16, 4))
+    val r2 = pairsOf(Dedup.incrementalMinhashPairs(
+      batch2, seen0.unionByName(batch1), "doc_id", "text", 3, 16, 4))
+    assert(m2 == r2, "batch 2 against the grown table must equal recompute")
+    assert(m2.contains((21L, 11L)), "batch 2 must see batch 1's appended signatures")
+  }
+
   test("unigramLogProb scores docs by corpus unigram surprisal with OOV smoothing") {
     val docs = Seq(
       (1L, "a a a b"),   // frequent tokens → high (less negative) score
