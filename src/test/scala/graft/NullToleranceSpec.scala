@@ -132,4 +132,37 @@ class NullToleranceSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(2L, 3L, 4L)) // doc 1 near-dups its shifted copy
   }
+
+  test("semantic dedup (e37/e38) tolerates null embeddings end to end") {
+    val emb = Seq(
+      (1L, Some(Array(1.0f, 0.0f)), "a"),
+      (2L, None: Option[Array[Float]], "a"),   // null embedding
+      (3L, Some(Array(0.99f, 0.01f)), "b"),    // near-dup of 1
+      (4L, Some(Array(-1.0f, 0.0f)), "c")
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 8, 2, 0.9)
+    // e37: the null-embedding vector forms no signature, so it reaches
+    // no cluster — and the closure still resolves the real pair
+    val comps = graft.graph.Components.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.keySet == Set(1L, 3L) && comps(1L) == comps(3L))
+    // e38: null-embedding rows are KEPT (never clustered, so never cut)
+    val kept = graft.graph.Components.keepCanonical(
+      emb.select($"vec_id", $"label"), pairs, "vec_id", "id_a", "id_b")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L)) // 3 deduped into 1's cluster; 2 untouched
+  }
+
+  test("maintained minhash (e39) tolerates null/empty text on both sides") {
+    // null/empty/short docs form no shingles ⇒ no signature rows in the
+    // maintained table and no candidates from the batch — never a crash
+    val table = Dedup.bandSignatures(docs, "doc_id", "text", 3, 16, 4)
+    assert(table.select("doc_id").as[Long].collect().toSet == Set(1L),
+      "only the signable doc may contribute signature rows")
+    val pairs = Dedup.incrementalMinhashPairsFromTable(
+      docs.withColumn("doc_id", $"doc_id" + 100L), table,
+      "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((101L, 1L))) // the signable doc matches its copy
+  }
 }
