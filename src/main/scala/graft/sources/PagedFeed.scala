@@ -89,6 +89,73 @@ object PagedFeed {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** A second lander is already holding the landing lease — fail fast
+    * rather than interleave pages with a live writer. */
+  final class ConcurrentLandingException(message: String)
+    extends RuntimeException(message)
+
+  /** The landing lease marker. Underscore-prefixed on purpose: Spark's
+    * file index treats `_`/`.` names as hidden, so [[load]] and the
+    * partition discovery never see it. */
+  private def lockFile(dir: String): Path = new Path(dir, "_LOCK")
+
+  /** Acquire the landing lease for `dir` or throw
+    * [[ConcurrentLandingException]]. The marker holds
+    * `token\nexpiryEpochMs`; a lease whose expiry has passed (its
+    * writer crashed without releasing) or whose content is torn (its
+    * writer died mid-acquire) is taken over by deleting + re-creating.
+    * Creation uses `fs.create(overwrite = false)` — atomic on HDFS; on
+    * a plain local FS it is check-then-create and on object stores it
+    * needs a conditional put, so the lease is ADVISORY there: it
+    * serializes the operational "two schedulers fired the same window"
+    * case, not adversarial racers. The takeover path re-races the
+    * create after deleting a stale marker, so exactly one of N
+    * concurrent takeover attempts wins. */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                           leaseMs: Long): String = {
+    val lp = lockFile(dir)
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lp, false)
+        try out.write(s"$token\n${System.currentTimeMillis() + leaseMs}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return token
+    val expiry: Long =
+      try {
+        val in = fs.open(lp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.split("\n")(1).trim.toLong
+      } catch { case _: Exception => Long.MinValue } // torn/vanished: stale
+    if (System.currentTimeMillis() <= expiry)
+      throw new ConcurrentLandingException(
+        s"another lander holds $lp until epoch-ms $expiry; refusing to interleave pages")
+    fs.delete(lp, false)
+    if (!tryCreate())
+      throw new ConcurrentLandingException(
+        s"lost the stale-lease takeover race on $lp to another lander")
+    token
+  }
+
+  /** Release the lease IF still ours: a token mismatch means the lease
+    * expired mid-run and another lander took over — leave its marker
+    * alone (the landing itself may have interleaved; size `leaseMs`
+    * above the worst-case window landing time to keep this a
+    * non-event). */
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                           token: String): Unit = {
+    val lp = lockFile(dir)
+    val ours =
+      try {
+        val in = fs.open(lp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.startsWith(token)
+      } catch { case _: Exception => false }
+    if (ours) fs.delete(lp, false)
+  }
+
   /** Land the feed as `dir/page=N` parquet pages, resuming from
     * whatever is already on disk. `maxPages` bounds the pages landed
     * by THIS call (specs use it to simulate a crash between pages).
@@ -96,10 +163,29 @@ object PagedFeed {
     * data_extraction.py:78-104's: fetch, sink, advance, stop once
     * `offset + pageSize >= total` — so the final page may be short,
     * which the refetch-overwrite resume rule handles the same as any
-    * other page. */
+    * other page.
+    *
+    * Single-writer contract: the whole call runs under the landing
+    * lease (`dir/_LOCK`). A second concurrent lander fails fast with
+    * [[ConcurrentLandingException]] instead of interleaving page
+    * overwrites; a CRASHED lander's lease expires after `leaseMs`, at
+    * which point the next run takes the marker over and resumes
+    * normally (the resume rule already absorbs whatever the dead
+    * writer tore). Size `leaseMs` above the worst-case window landing
+    * time — the default 10 min is generous for an API-bounded daily
+    * increment. */
   def land(spark: SparkSession, src: PageSource, dir: String, pageSize: Int,
-           maxPages: Int = Int.MaxValue): Int = {
+           maxPages: Int = Int.MaxValue, leaseMs: Long = 600000L): Int = {
     require(pageSize > 0, "pageSize must be positive")
+    require(leaseMs > 0, "leaseMs must be positive")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = acquireLease(fs, dir, leaseMs)
+    try landLocked(spark, src, dir, pageSize, maxPages)
+    finally releaseLease(fs, dir, token)
+  }
+
+  private def landLocked(spark: SparkSession, src: PageSource, dir: String,
+                         pageSize: Int, maxPages: Int): Int = {
     val total = src.total
     var page = resumePage(spark, dir)
     // a COMPLETE last page need not be refetched: completeness is

@@ -239,6 +239,38 @@ class SourcesSpec extends SparkSpec {
     assert(PagedFeed.land(spark, src, dir, 6) == 0)
   }
 
+  test("PagedFeed landing lease: a second live lander fails fast, a stale lease is taken over") {
+    val feed = pagedFeedFixture(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_paged_lock").toString + "/feed"
+    val src = new PagedFeed.OrderedFramePages(feed, "id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def plantLock(expiry: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_LOCK"), true)
+      try out.write(s"other-writer-token\n$expiry".getBytes("UTF-8")) finally out.close()
+    }
+    // a LIVE lease (far-future expiry): the second lander must refuse
+    plantLock(System.currentTimeMillis() + 3600000L)
+    intercept[PagedFeed.ConcurrentLandingException] {
+      PagedFeed.land(spark, src, dir, 4)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/page=0")),
+      "the refused lander must not have written any page")
+    // a STALE lease (its writer crashed): taken over, landing proceeds,
+    // and the marker is released afterwards
+    plantLock(System.currentTimeMillis() - 1L)
+    assert(PagedFeed.land(spark, src, dir, 4) == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_LOCK")),
+      "the lease must be released after a completed landing")
+    // a TORN lease (writer died mid-acquire, unparseable content): stale
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_LOCK"), true)
+    try out.write("garbage".getBytes("UTF-8")) finally out.close()
+    assert(PagedFeed.land(spark, src, dir, 4) == 0) // idempotent re-run, lease taken
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_LOCK")))
+    // the lock never leaks into the loaded feed
+    assert(PagedFeed.load(spark, dir).count() == 8)
+  }
+
   test("PagedFeed landed window merges into an accumulated feed via a5 without dups") {
     // the accumulated table already holds ids <= 100; the landed window
     // refetched an overlapping range — the a5 high-water-mark merge
