@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+import graft.graph.Components
+import graft.ingest.Ingest
+import graft.text.{Dedup, TextOps}
+import graft.timeseries.{Forecast, TimeSeries}
+import graft.validate.Quality
+import graft.vector.Similarity
+
+/** Keeps the README's "Point it at your tables" examples honest: each
+  * marked region below is character-identical (modulo indentation) to
+  * the corresponding README fence, compiled by this build, and RUN
+  * against small tables. Editing the README without this spec — or
+  * vice versa — fails the test, so a user pasting a README snippet
+  * over their own parquet gets code that is known to compile and
+  * execute against the current library surface. */
+class DocSnippetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lines(path: String): Vector[String] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.toVector
+
+  /** The README fence following `<!-- doc-snippet:TAG -->`. */
+  private def readmeBlock(tag: String): Seq[String] = {
+    val ls = lines("README.md")
+    val mark = ls.indexWhere(_.trim == s"<!-- doc-snippet:$tag -->")
+    assert(mark >= 0, s"README.md lost the doc-snippet:$tag marker")
+    val open = ls.indexWhere(_.trim == "```scala", mark)
+    val close = ls.indexWhere(_.trim == "```", open + 1)
+    assert(open > mark && close > open, s"doc-snippet:$tag fence malformed")
+    ls.slice(open + 1, close).map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** This file's region between `doc-snippet:TAG begin/end` comments. */
+  private def specRegion(tag: String): Seq[String] = {
+    val ls = lines("src/test/scala/graft/DocSnippetSpec.scala")
+    val s = ls.indexWhere(_.trim == s"// doc-snippet:$tag begin")
+    val e = ls.indexWhere(_.trim == s"// doc-snippet:$tag end")
+    assert(s >= 0 && e > s, s"spec region doc-snippet:$tag missing")
+    ls.slice(s + 1, e).map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def assertInSync(tag: String): Unit =
+    assert(readmeBlock(tag) == specRegion(tag),
+      s"README doc-snippet:$tag drifted from the compiled spec region")
+
+  private def hm(i: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00")
+
+  // "your tables" stand-ins — schemas are the snippets' only contract
+  lazy val accumulated = Seq((1L, 10L, hm(0), 1.5), (2L, 10L, hm(1), 2.0))
+    .toDF("reading_id", "meter_id", "ts", "kwh")
+  lazy val newBatch = Seq((2L, 10L, hm(1), 2.0), (3L, 11L, hm(1), 3.0))
+    .toDF("reading_id", "meter_id", "ts", "kwh")
+  lazy val base = Seq((7L, 1L, hm(0), "flat")).toDF("meter_id", "version", "ts", "tariff")
+  lazy val changes = Seq(
+    (7L, "U", 2L, hm(2), "peak"), (8L, "U", 1L, hm(2), "flat"),
+    (8L, "U", 2L, hm(3), "offpeak"))
+    .toDF("meter_id", "op", "version", "ts", "tariff")
+  lazy val telemetry = (0 until 60).map { i =>
+    (i.toLong, 10L, hm(i), if (i == 50) 999.0 else 10.0 + (i % 7).toDouble,
+      if (i % 9 == 0) "error" else "ok")
+  }.toDF("reading_id", "meter_id", "ts", "kwh", "status")
+  lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river"),
+    (3L, "completely different content about engines and shuffles today"))
+    .toDF("doc_id", "text")
+  lazy val vectors = Seq(
+    (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+    .toDF("vec_id", "embedding")
+  lazy val probes = vectors.filter($"vec_id" === 1L)
+
+  test("README group-A snippet compiles, runs, and matches the README verbatim") {
+    // doc-snippet:A begin
+    val appended = Ingest.incrementalIngest(accumulated, newBatch, "reading_id")
+    val latest   = Ingest.dedupKeepLatest(appended, Seq("meter_id"), "ts", "reading_id")
+    val upserted = Ingest.cdcMerge(base, changes, "meter_id", "op", "version", "meter_id")
+    val history  = Ingest.scd2History(changes, "meter_id", "ts", Seq("tariff"), "version")
+    // doc-snippet:A end
+    assert(appended.count() == 3)          // high-water mark admits only id 3
+    assert(latest.count() == 2)            // newest reading per meter
+    assert(upserted.count() == 2)          // 7 upserted to v2, 8 inserted at v2
+    assert(history.filter($"meter_id" === 8L).count() == 2) // two tariff eras
+    assertInSync("A")
+  }
+
+  test("README group-B snippet compiles, runs, and matches the README verbatim") {
+    // doc-snippet:B begin
+    val gaps    = Quality.gapDetection(telemetry, "meter_id", "ts", "reading_id", 3600L, 1.5)
+    val outlier = Quality.iqrOutliers(telemetry, "meter_id", "kwh")
+    val report  = Quality.qualityReport(telemetry, "meter_id", "ts", "reading_id", "kwh", 3600L, 1.5)
+    val verdict = Quality.validationVerdict(telemetry, "meter_id", "ts", "reading_id", "kwh", 5.0, 2.0)
+    val drift   = Quality.psiDrift(telemetry, "meter_id", "ts", "status", Seq("ok", "error"), 14, 7, 0.1)
+    // doc-snippet:B end
+    assert(gaps.count() == 0)              // perfectly hourly: no gaps
+    assert(outlier.head().getAs[Long]("outlier_count") == 1) // the planted 999.0
+    assert(report.count() >= 4)            // one (metric, value) row per headline check
+    assert(verdict.count() == 1)           // single pass/fail verdict row
+    drift.collect()                        // 60h of data: windows run empty, not crash
+    assertInSync("B")
+  }
+
+  test("README group-C snippet compiles, runs, and matches the README verbatim") {
+    // doc-snippet:C begin
+    val hourly = TimeSeries.resample(telemetry, "meter_id", "ts", "kwh", "hour")
+    val scaled = TimeSeries.scaleStandard(telemetry, "meter_id", "ts", "reading_id", "kwh")
+    val splits = TimeSeries.trainValTestSplit(telemetry, "meter_id", "ts", "reading_id", 0.7, 0.15)
+    val coefs  = Forecast.ridgeLagForecast(telemetry, "meter_id", "ts", "reading_id", "kwh", 24, 1.0)
+    val preds  = Forecast.applyCoefficients(telemetry, coefs, "meter_id", "ts", "reading_id", "kwh", 24)
+    val skill  = Forecast.metrics(preds, "meter_id", "kwh", "prediction")
+    // doc-snippet:C end
+    assert(hourly.count() == 60 && scaled.count() == 60 && splits.count() == 60)
+    assert(coefs.count() == 1)             // one fitted row per key
+    assert(preds.count() == 36)            // rows with both lags present
+    assert(skill.count() == 1 && skill.columns.contains("rmse"))
+    assertInSync("C")
+  }
+
+  test("README group-E snippet compiles, runs, and matches the README verbatim") {
+    // doc-snippet:E begin
+    val pairs     = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4)
+    val clusters  = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val kept      = Components.keepCanonical(corpus, pairs, "doc_id", "doc_a", "doc_b")
+    val quality   = TextOps.qualityScore(kept, "doc_id", "text")
+    val neighbors = Similarity.annLshTopK(vectors, probes, "vec_id", "embedding", 16, 4, 5)
+    // doc-snippet:E end
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    assert(clusters.count() == 2)          // both dup docs resolve to one component
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(quality.count() == 2)
+    assert(neighbors.filter($"neighbor_id" === 2L).count() == 1) // probe finds its near-dup
+    assertInSync("E")
+  }
+}
