@@ -100,6 +100,50 @@ class StreamRecoverySpec extends SparkSpec {
         r.getAs[Double]("sum_value"))).toSet)
   }
 
+  test("f1 sessionizeStream: an OPEN session's custom state survives restart and closes correctly") {
+    // the hardest state surface: flatMapGroupsWithState with an
+    // event-time timeout. A session left OPEN at the crash must be
+    // recovered from the state store — its later events extend it, and
+    // the recovered timeout still fires when the watermark passes.
+    val (inDir, chkDir, outDir) = freshDirs("f1")
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def build(df: DataFrame) = {
+      import df.sparkSession.implicits._
+      Streams.sessionizeStream(df.as[Streams.SessionEvent], 1800L).toDF()
+    }
+    def ev(key: Long, epochSec: Long, value: Double) =
+      (key, new Timestamp(epochSec * 1000), value)
+
+    // lifetime 1: session A (1000..1600) closes in-batch when the 9999
+    // burst begins; session B (start 9999) is OPEN at the "crash"
+    land(Seq(ev(7L, 1000L, 1.0), ev(7L, 1600L, 2.0)).toDF("key", "ts", "value"), inDir)
+    land(Seq(ev(7L, 9999L, 4.0)).toDF("key", "ts", "value"), inDir)
+    runLifetime(build, schema, inDir, chkDir, outDir)
+    val mid = spark.read.parquet(outDir).collect()
+    assert(mid.map(r => (r.getAs[Long]("sessionStart"), r.getAs[Long]("n"))).toSet ==
+      Set((1000L, 2L)), "only session A may have closed before the crash")
+
+    // lifetime 2: 10500 is within the gap of B's last event (9999) —
+    // ONLY recovered state can merge it into B instead of starting a
+    // fresh session; 20000 then pushes the watermark past B's timeout
+    land(Seq(ev(7L, 10500L, 8.0)).toDF("key", "ts", "value"), inDir)
+    land(Seq(ev(8L, 20000L, 16.0)).toDF("key", "ts", "value"), inDir)
+    runLifetime(build, schema, inDir, chkDir, outDir)
+
+    // lifetime 3: nothing new — no re-emission of committed sessions
+    runLifetime(build, schema, inDir, chkDir, outDir)
+
+    val sessions = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("sessionStart"),
+        r.getAs[Long]("sessionEnd"), r.getAs[Long]("n"), r.getAs[Double]("sum")))
+      .toSet
+    assert(sessions == Set(
+      (7L, 1000L, 1600L, 2L, 3.0),   // A: closed pre-crash
+      (7L, 9999L, 10500L, 2L, 12.0)  // B: spans the restart — state recovered
+    ), s"unexpected sessions: $sessions")
+  }
+
   test("f3 streamDedupStream restarted from checkpoint keeps dedup state — replayed rows stay dropped") {
     val (inDir, chkDir, outDir) = freshDirs("f3")
     val schema = StructType(Seq(StructField("ts", TimestampType),
