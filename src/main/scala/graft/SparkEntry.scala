@@ -365,6 +365,18 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
         "doc_id", "text", Seq("lang", "source"))
     }),
+    "e40_maintained_exact_dedup" -> ((s, d) => {
+      // e32's semantics with the seen side as the MAINTAINED distinct
+      // hash table (the e39 pattern for the exact path): per crawl,
+      // only the batch is hashed; the corpus contributes 16-byte keys
+      // from persisted storage. Table built in-query here so the e32
+      // oracle applies verbatim.
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExactDedupFromTable(
+        docs.filter(col("doc_id") < 250),
+        Dedup.seenHashTable(docs.filter(col("doc_id") >= 250), "doc_id", "text"),
+        "doc_id", "text", Seq("lang", "source"))
+    }),
     "e33_mixture_sample" -> ((s, d) =>
       Sampling.temperatureMixSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
@@ -596,6 +608,21 @@ object SparkEntry {
   private def foldSigSql(cols: Seq[String]): String =
     cols.foldLeft("CAST(0 AS BIGINT)")((acc, c) =>
       s"(($acc * 31 + $c) % ${graft.text.Dedup.PolyP})")
+
+  /** Incremental-exact-dedup oracle, shared verbatim by e32 (recompute)
+    * and e40 (maintained hash table) — the same one-oracle-two-paths
+    * rule as e35/e39 below. */
+  private lazy val incrementalExactDedupOracle: String =
+    s"""WITH seen AS (SELECT DISTINCT md5($normSql) AS text_hash
+           FROM documents WHERE doc_id >= 250),
+        batch AS (SELECT doc_id, lang, source, md5($normSql) AS text_hash
+           FROM documents WHERE doc_id < 250),
+        fresh AS (SELECT * FROM batch b
+           WHERE NOT EXISTS (SELECT 1 FROM seen s
+             WHERE s.text_hash = b.text_hash))
+        SELECT text_hash, min(doc_id) AS doc_id,
+          arg_min(lang, doc_id) AS lang, arg_min(source, doc_id) AS source
+        FROM fresh GROUP BY 1"""
 
   /** Incremental-minhash oracle, shared verbatim by e35 (recompute) and
     * e39 (maintained signature table): SQL has no notion of where the
@@ -1868,17 +1895,11 @@ object SparkEntry {
     // NOT EXISTS, not NOT IN: a null hash (null text) must behave like
     // the engine's anti-join — never matching, row kept — where NOT IN
     // against a set containing NULL would empty the whole result
-    "e32_incremental_dedup" ->
-      s"""WITH seen AS (SELECT DISTINCT md5($normSql) AS text_hash
-             FROM documents WHERE doc_id >= 250),
-          batch AS (SELECT doc_id, lang, source, md5($normSql) AS text_hash
-             FROM documents WHERE doc_id < 250),
-          fresh AS (SELECT * FROM batch b
-             WHERE NOT EXISTS (SELECT 1 FROM seen s
-               WHERE s.text_hash = b.text_hash))
-          SELECT text_hash, min(doc_id) AS doc_id,
-            arg_min(lang, doc_id) AS lang, arg_min(source, doc_id) AS source
-          FROM fresh GROUP BY 1""",
+    "e32_incremental_dedup" -> incrementalExactDedupOracle,
+    // e40 = e32 with the seen side fed from the maintained hash table;
+    // SQL has no notion of where the hash set came from (the e39
+    // pattern), so the oracle is e32's verbatim
+    "e40_maintained_exact_dedup" -> incrementalExactDedupOracle,
     // thresholds in pure integer arithmetic (HUGEINT here, decimal(38,0)
     // in the engine): w = floor(sqrt(n)*1000) is exact cross-engine
     // because IEEE-754 requires sqrt correctly rounded; // on positive

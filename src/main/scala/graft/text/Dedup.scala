@@ -40,12 +40,39 @@ object Dedup {
     * hash with attrs carried by `min_by` (id unique → deterministic).
     */
   def incrementalExactDedup(batch: DataFrame, seen: DataFrame, idCol: String,
-                            textCol: String, keepCols: Seq[String]): DataFrame = {
+                            textCol: String, keepCols: Seq[String]): DataFrame =
+    incrementalExactDedupFromTable(batch, seenHashTable(seen, idCol, textCol),
+      idCol, textCol, keepCols)
+
+  /** The distinct seen-hash table [[incrementalExactDedupFromTable]]
+    * probes — and the maintenance API that builds its per-batch
+    * appends: after admitting a batch, append the admitted rows'
+    * `text_hash` column (already carried in the operator's output).
+    * Appends preserve distinctness BY CONSTRUCTION: an admitted hash
+    * survived the anti-join (so it is not in the table) and the
+    * in-batch keep-min (so the batch contributes it once). */
+  def seenHashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(normalizeText(col(textCol))).as("text_hash")).distinct()
+
+  /** The MAINTAINED-TABLE form of [[incrementalExactDedup]] — the
+    * production shape its scaladoc promises: the accumulated corpus
+    * arrives as a persisted distinct `text_hash` table instead of raw
+    * docs, so the per-crawl cost is one narrow hash pass over the
+    * batch plus an anti-join against 16-byte keys — the corpus text is
+    * never re-read, let alone re-hashed, per ingest. Unlike the
+    * recompute path there is NO distinct on the seen side: the table's
+    * contract (see [[seenHashTable]]) is that appends keep it distinct,
+    * and a left-anti join is correct against duplicates anyway — so
+    * the one shuffle the recompute form spent distinct-ing the corpus
+    * vanishes entirely. Maintenance loop per admitted batch:
+    * `table.append(admitted.select("text_hash"))`. */
+  def incrementalExactDedupFromTable(batch: DataFrame, seenHashes: DataFrame,
+                                     idCol: String, textCol: String,
+                                     keepCols: Seq[String]): DataFrame = {
     val hash = md5(normalizeText(col(textCol)))
-    val seenHashes = seen.select(hash.as("text_hash")).distinct()
     val fresh = batch
       .select(col(idCol) +: keepCols.map(col) :+ hash.as("text_hash"): _*)
-      .join(seenHashes, Seq("text_hash"), "left_anti")
+      .join(seenHashes.select(col("text_hash")), Seq("text_hash"), "left_anti")
     fresh.groupBy(col("text_hash"))
       .agg(min(col(idCol)).as(idCol),
         keepCols.map(c => min_by(col(c), col(idCol)).as(c)): _*)

@@ -576,6 +576,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m2.contains((21L, 11L)), "batch 2 must see batch 1's appended signatures")
   }
 
+  test("maintained hash table ≡ recompute across two consecutive batches (e40)") {
+    // exact-dedup production loop: probe the persisted distinct-hash
+    // table, admit, append the admitted rows' text_hash — appends stay
+    // distinct by construction (admitted = not-in-table + in-batch min)
+    val seen0 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val batch1 = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog!", "en", "s2"), // dup of 100 (case/punct)
+      (11L, "fresh material one", "en", "s2"),
+      (12L, "fresh material one", "en", "s3")) // in-batch dup of 11
+      .toDF("doc_id", "text", "lang", "source")
+    val batch2 = Seq(
+      (20L, "fresh material one", "en", "s4"), // dup of batch-1's admitted 11
+      (21L, "fresh material two", "en", "s4"))
+      .toDF("doc_id", "text", "lang", "source")
+    def admit(batch: org.apache.spark.sql.DataFrame, table: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalExactDedupFromTable(batch, table, "doc_id", "text", Seq("lang", "source"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    val table0 = Dedup.seenHashTable(seen0, "doc_id", "text")
+    val m1 = admit(batch1, table0)
+    val r1 = Dedup.incrementalExactDedup(batch1, seen0, "doc_id", "text", Seq("lang", "source"))
+    assert(ids(m1) == Set(11L) && ids(m1) == ids(r1))
+
+    val table1 = table0.unionByName(m1.select($"text_hash")) // the append step
+    // the appended table must still be distinct (the contract appends rely on)
+    assert(table1.count() == table1.distinct().count())
+    val m2 = admit(batch2, table1)
+    val r2 = Dedup.incrementalExactDedup(batch2, seen0.unionByName(batch1),
+      "doc_id", "text", Seq("lang", "source"))
+    assert(ids(m2) == Set(21L), "batch 2 must see batch 1's appended hash")
+    assert(ids(m2) == ids(r2), "maintained table must equal recompute")
+  }
+
   test("unigramLogProb scores docs by corpus unigram surprisal with OOV smoothing") {
     val docs = Seq(
       (1L, "a a a b"),   // frequent tokens → high (less negative) score
