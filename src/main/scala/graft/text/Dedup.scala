@@ -65,7 +65,15 @@ object Dedup {
     * and a left-anti join is correct against duplicates anyway — so
     * the one shuffle the recompute form spent distinct-ing the corpus
     * vanishes entirely. Maintenance loop per admitted batch:
-    * `table.append(admitted.select("text_hash"))`. */
+    * `table.append(admitted.select("text_hash"))`.
+    *
+    * Storage tip for the last shuffle: the anti-join still
+    * hash-partitions BOTH sides on text_hash (the batch is tiny but a
+    * left-anti cannot broadcast its left side, and the corpus-side key
+    * table is the big one). Persist the maintained table BUCKETED on
+    * text_hash ([[graft.sources.Sources.writeBucketed]], the g3
+    * layout) and the join co-locates: only the batch's hashes move,
+    * the billion-row key table is read in place. */
   def incrementalExactDedupFromTable(batch: DataFrame, seenHashes: DataFrame,
                                      idCol: String, textCol: String,
                                      keepCols: Seq[String]): DataFrame = {

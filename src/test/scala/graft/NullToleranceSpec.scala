@@ -153,6 +153,23 @@ class NullToleranceSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L)) // 3 deduped into 1's cluster; 2 untouched
   }
 
+  test("maintained exact dedup (e40) tolerates null text on both sides") {
+    // a null text hashes to a null key: it lands in the table as a null
+    // row but an equality anti-join never matches null, so null-text
+    // batch docs are always admitted (merged to one per batch by the
+    // keep-min) — identical to e32's recompute semantics
+    val table = Dedup.seenHashTable(docs, "doc_id", "text")
+    val out = Dedup.incrementalExactDedupFromTable(
+      docs.withColumn("doc_id", $"doc_id" + 100L), table,
+      "doc_id", "text", Seq("lang", "source"))
+    val recompute = Dedup.incrementalExactDedup(
+      docs.withColumn("doc_id", $"doc_id" + 100L), docs,
+      "doc_id", "text", Seq("lang", "source"))
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      recompute.select("doc_id").as[Long].collect().toSet)
+    assert(out.filter($"text_hash".isNull).count() == 1) // nulls merge, never crash
+  }
+
   test("maintained minhash (e39) tolerates null/empty text on both sides") {
     // null/empty/short docs form no shingles ⇒ no signature rows in the
     // maintained table and no candidates from the batch — never a crash
