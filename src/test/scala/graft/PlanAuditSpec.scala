@@ -171,6 +171,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning\\(token".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("e39 probes the maintained signature table without shuffling it") {
+    // the operator's whole point: the accumulated corpus's band table
+    // is only SCANNED — the hot-bucket prune is a broadcast anti-join
+    // and the candidate join broadcasts the (small) batch side, so the
+    // table never enters an exchange before the candidate distinct
+    val plan = finalPlan(SparkEntry.queries("e39_maintained_minhash")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // no ENSURE_REQUIREMENTS exchange may partition the seen table's
+    // (band, sig) for either join — both consume it as scanned
+    assert(!"Exchange hashpartitioning\\((band|sig)[^)]*ENSURE_REQUIREMENTS".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   // jobs submitted so far (statusTracker lags the async listener bus;
   // poll until the count is stable so the assertion isn't racy)
   private def stableJobCount(): Int = {
