@@ -227,6 +227,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: maintained ≡ recompute and hash-closure on random corpora") {
+    import graft.text.Dedup
+    import graft.functions.normalizeText
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def randDoc(): String =
+      Seq.fill(3 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (_ <- 1 to 6) {
+      // small vocab + forced copies ⇒ duplicates within and across the split
+      val base = Vector.fill(24)(randDoc())
+      val texts = base.map(t => if (rnd.nextInt(3) == 0) base(rnd.nextInt(base.size)) else t)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", s"s${i % 3}") }
+        .toDF("doc_id", "text", "lang", "source")
+      val batch = docs.filter($"doc_id" < 12)
+      val seen = docs.filter($"doc_id" >= 12)
+
+      // exact family: table form ≡ recompute on arbitrary dup structure
+      val rec = Dedup.incrementalExactDedup(batch, seen, "doc_id", "text", Seq("lang", "source"))
+        .select("text_hash", "doc_id").as[(String, Long)].collect().toSet
+      val mnt = Dedup.incrementalExactDedupFromTable(batch,
+        Dedup.seenHashTable(seen, "doc_id", "text"), "doc_id", "text", Seq("lang", "source"))
+        .select("text_hash", "doc_id").as[(String, Long)].collect().toSet
+      assert(rec == mnt)
+      // hash-closure invariant (non-circular): every batch doc's hash is
+      // either in the seen table or among the admitted hashes — nothing
+      // is silently dropped; and no admitted hash was already seen
+      val seenH = Dedup.seenHashTable(seen, "doc_id", "text").as[String].collect().toSet
+      val batchH = batch.select(md5(normalizeText($"text"))).as[String].collect().toSet
+      val admittedH = rec.map(_._1)
+      assert(batchH.subsetOf(seenH ++ admittedH), "a batch hash vanished")
+      assert(admittedH.intersect(seenH).isEmpty, "an already-seen hash was admitted")
+
+      // minhash family: table form ≡ recompute on the same random corpus
+      val mrec = Dedup.incrementalMinhashPairs(batch, seen, "doc_id", "text", 3, 8, 2)
+        .as[(Long, Long)].collect().toSet
+      val mmnt = Dedup.incrementalMinhashPairsFromTable(batch,
+        Dedup.bandSignatures(seen, "doc_id", "text", 3, 8, 2),
+        "doc_id", "text", 3, 8, 2).as[(Long, Long)].collect().toSet
+      assert(mrec == mmnt)
+      // identical text across the split MUST pair (every band matches)
+      val batchTexts = texts.take(12).zipWithIndex
+      val seenTexts = texts.drop(12).zipWithIndex
+      for {
+        (bt, bi) <- batchTexts if bt.split(" ").length >= 3
+        (st, si) <- seenTexts if st == bt
+      } assert(mrec.contains((bi.toLong, (si + 12).toLong)),
+        s"identical text pair ($bi, ${si + 12}) missing")
+    }
+  }
+
   test("temperatureMixSample selection grows monotonically with the budget") {
     import graft.sample.Sampling
     val df = (0L until 3000L)
