@@ -1299,13 +1299,21 @@ object SparkEntry {
            round(val_raw, 4) AS val_rmse, round(test_raw, 4) AS test_rmse
          FROM sc
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY val_raw, lambda) = 1""",
+    // exact-integer value masses (the d2/d8 discipline) — the plain
+    // double sums drifted by summation order at sf30 where the price
+    // sum's magnitude (1e12) puts a double ULP at ~1e-4; HUGEINT keeps
+    // the 6-decimal charge mass exact where BIGINT would overflow
     "d1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
-         round(sum(l_extendedprice), 4) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-         round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price,
-         round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS HUGEINT)) / 1000000.0 AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 200 + count(*))
+           / (count(*) * 2)) / 10000.0 AS avg_price,
+         floor((sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 200 + count(*))
+           / (count(*) * 2)) / 10000.0 AS avg_disc,
+         count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01' GROUP BY 1, 2""",
     "d2_revenue_by_nation" ->
       """SELECT r_name, n_name,
@@ -1959,11 +1967,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n,
          count(*) FILTER (WHERE value IS NULL) AS null_values,
          count(*) FILTER (WHERE value < 0) AS negative_values,
-         round(sum(value), 4) AS sum_value
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM events GROUP BY 1""",
     "f2_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-         count(*) AS n, round(sum(value), 4) AS sum_value
+         count(*) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM events GROUP BY 1, 2""",
     "f3_stream_dedup" ->
       """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS period, value

@@ -14,20 +14,43 @@ import graft.Tables
 object Analytics {
 
   /** Q1-style pricing summary: single wide scan, multi-aggregate, no
-    * join — the whole-stage-codegen happy path. */
-  def pricingSummary(lineitem: DataFrame): DataFrame =
+    * join — the whole-stage-codegen happy path.
+    *
+    * Value masses accumulate as EXACT INTEGERS at their native decimal
+    * scale (price 2, disc_price 4, charge 6) — the d2/d8 discipline,
+    * adopted here in round 8 after the sf30 oracle compare caught the
+    * plain double sums drifting: at a 1e12 price sum a double's ULP is
+    * ~1.2e-4, so summation ORDER moves the 4th decimal and the
+    * round(·,4) guard that held through sf1 stops absorbing it
+    * (measured: 1137268183973.9307 vs DuckDB's ...973.986). Quantity
+    * stays a plain double sum — the values are integral, and integer
+    * addition in doubles is exact and order-free below 2^53. The
+    * charge mass (6-decimal products) sums as decimal(38,0): a long at
+    * 1e6 scale overflows past ~9.2e18, i.e. ~100 TB of lineitem; both
+    * engines convert the identical exact integer to double at the
+    * output edge, so the division result is bit-identical even where
+    * the double is no longer exact. Means use the roundMeanE4 exact
+    * half-up formula. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val priceCents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val disc4 = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+      .cast("long")
+    val charge6 = round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+      (lit(1) + col("l_tax")) * 1000000, 0).cast("decimal(38,0)")
+    val discCents = round(col("l_discount") * 100, 0).cast("long")
     lineitem
       .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        (sum(priceCents) / 100.0).as("sum_base_price"),
+        (sum(disc4) / 10000.0).as("sum_disc_price"),
+        (sum(charge6).cast("double") / 1000000.0).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        graft.functions.roundMeanE4(sum(priceCents), count(lit(1))).as("avg_price"),
+        graft.functions.roundMeanE4(sum(discCents), count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
+  }
 
   /** Q5-style revenue rollup across the full star join. Bounded-size
     * dimensions (nation/region) are broadcast explicitly; customer and

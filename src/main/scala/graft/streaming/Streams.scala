@@ -16,7 +16,11 @@ object Streams {
 
   /** Gap-based sessionization (batch form): a new session starts after
     * `gapSeconds` of inactivity; emits per-session rollups.
-    * Timestamps are second-truncated for exact-integer gap math. */
+    * Timestamps are second-truncated for exact-integer gap math.
+    * The per-session value sum stays a plain double: a session is one
+    * key's bounded burst, so the addend count never scales with the
+    * corpus (unlike the per-WINDOW sums below, which are integer-cents
+    * per the f5 discipline). */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
                  valueCol: String, gapSeconds: Long): DataFrame = {
     val ordered = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
@@ -39,11 +43,17 @@ object Streams {
   }
 
   /** Tumbling-window aggregation (batch form): fixed windows via
-    * date_trunc; the streaming twin uses window() + watermark. */
+    * date_trunc; the streaming twin uses window() + watermark. Value
+    * mass in exact integer cents (the f5 discipline, extended here in
+    * round 8): a window's row count grows with the CORPUS, so at scale
+    * the per-window double sum re-accumulates in a different order
+    * every run/engine and drifts past the round(·,4) guard — the d1
+    * sf30 lesson. */
   def tumblingWindow(events: DataFrame, tsCol: String, dimCol: String,
                      valueCol: String, unit: String): DataFrame =
     events.groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(dimCol))
-      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
 
   /** Stream-static enrichment (batch form): join the event feed to a
     * slowly-changing dimension (here: segment attributes keyed by the
@@ -89,7 +99,8 @@ object Streams {
         count(lit(1)).as("n"),
         sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("null_values"),
         sum(when(col(valueCol) < 0, 1L).otherwise(0L)).as("negative_values"),
-        round(sum(col(valueCol)), 4).as("sum_value"))
+        // exact integer cents — corpus-scale windows, the f5 discipline
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
 
   /** Hopping (sliding) window aggregation (batch form): each event lands
     * in `size/hop` overlapping windows — the smoothing/trend view a
@@ -172,13 +183,15 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("n"), col("sum_value"))
 
-  /** Streaming tumbling-window aggregation with watermarking. */
+  /** Streaming tumbling-window aggregation with watermarking. Integer
+    * cents like the batch form — shared semantics by construction. */
   def tumblingWindowStream(events: DataFrame, tsCol: String, dimCol: String,
                            valueCol: String, windowLen: String, watermark: String): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(dimCol))
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
 
   /** Streaming twin of [[staticEnrich]]: the static dimension joins
     * statelessly (re-evaluated and re-broadcast each micro-batch),
@@ -219,7 +232,7 @@ object Streams {
         count(lit(1)).as("n"),
         sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("null_values"),
         sum(when(col(valueCol) < 0, 1L).otherwise(0L)).as("negative_values"),
-        sum(col(valueCol)).as("sum_value"))
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
 
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -17,7 +17,11 @@ import graft.functions.{roundMeanE4, VectorExpressions}
 object TimeSeries {
 
   /** Resample to fixed buckets (date_trunc) with per-bucket aggregates —
-    * the hourly-feed normalization step. */
+    * the hourly-feed normalization step. The per-bucket sum stays a
+    * plain double: a (key, bucket) group is bounded by one series' feed
+    * rate, never by corpus size (corpora add KEYS), so the addend count
+    * keeps the sum in double-exact territory — unlike corpus-wide
+    * groups (d1, f2/f4), which use exact integer cents. */
   def resample(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
                unit: String): DataFrame =
     df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
