@@ -9,7 +9,7 @@ import graft.ingest.Ingest
 import graft.sample.Sampling
 import graft.sources.ParquetStats
 import graft.multimodal.Binary
-import graft.streaming.Streams
+import graft.streaming.{Streams, Upsert}
 import graft.text.{Dedup, TextOps}
 import graft.timeseries.{Decompose, Forecast, TimeSeries}
 import graft.validate.Quality
@@ -260,6 +260,11 @@ object SparkEntry {
     "e7_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 16, 4, 5)
+    }),
+    "e41_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annRecall(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 16, 4, 5)
     }),
     "e13_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -524,6 +529,29 @@ object SparkEntry {
     "f7_stream_static_join" -> ((s, d) =>
       Streams.staticEnrich(Tables.events(s, d), Tables.customer(s, d),
         "user_id", "c_custkey", "ts", "c_mktsegment", "value", "hour")),
+    "f8_stream_upsert" -> ((s, d) => {
+      // the REAL streaming machinery end-to-end (not the batch twin):
+      // events land as a file-source stream, foreachBatch upserts the
+      // per-user latest state into a hash-bucketed parquet table,
+      // AvailableNow drains, and the maintained table is the result
+      val tmp = s"/tmp/graft_sources/upsert_${pathTag(d)}"
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type").cast("string").as("event_type"),
+        col("value"))
+      ev.write.mode("overwrite").parquet(s"$tmp/src")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/src")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/table"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/ckpt"), true)
+      Upsert.streamUpsert(stream, s"$tmp/table", s"$tmp/ckpt",
+        "user_id", "period", "event_id", nBuckets = 32)
+        .awaitTermination()
+      Upsert.readTable(s, s"$tmp/table")
+        .select(col("event_id"), col("period"), col("user_id"),
+          col("event_type"), col("value"))
+    }),
     "g6_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -776,6 +804,15 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS period, value
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+           ORDER BY date_trunc('second', ts) DESC, event_id DESC) = 1""",
+    // the maintained upsert table's contents ARE keep-latest-per-user —
+    // the streaming sink must land exactly this, however the feed was
+    // micro-batched (and across restarts; see StreamRecoverySpec)
+    "f8_stream_upsert" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id,
+         CAST(event_type AS VARCHAR) AS event_type, value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
            ORDER BY date_trunc('second', ts) DESC, event_id DESC) = 1""",
     "a4_retention_keep_last_n" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
@@ -1624,6 +1661,36 @@ object SparkEntry {
           SELECT query_id, neighbor_id, round(cos6, 4) AS cosine,
             row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
           FROM scored QUALIFY rank <= 5""",
+    // recall@k: the e6 exact ranking left-joined to the e7 LSH ranking
+    // (identical CTEs, identical tie-breaks), counted per query
+    "e41_ann_recall" ->
+      s"""WITH ${lshBandCte(16, 4)},
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bnd c JOIN bnd q ON c.band = q.band AND c.key = q.key
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          lsh_scored AS (SELECT query_id, neighbor_id,
+              round(${dotSql("qe.embedding", "ce.embedding")} /
+                (${normVecSql("qe.embedding")} * ${normVecSql("ce.embedding")}), 6) AS cos6
+            FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+          approx AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+              FROM lsh_scored) WHERE rank <= 5),
+          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          bf_scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+              round(${cosSql("qv", "c.embedding")}, 6) AS cosine
+            FROM embeddings c, q WHERE query_id <> c.vec_id),
+          exact AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM bf_scored) WHERE rank <= 5)
+          SELECT e.query_id, count(*) AS n_exact,
+            count(a.neighbor_id) AS n_matched,
+            round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+          FROM exact e LEFT JOIN approx a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1""",
     // Full Lloyd replay (2 unrolled iterations, k=8), then the
     // deterministic probe/score path: 3 nearest cells per query,
     // nearest-cell corpus assignment, exact cosine inside probed

@@ -345,4 +345,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Index-quality gate: recall@k of the LSH ANN path against the exact
+    * brute-force ranking, per query. The operational question every ANN
+    * deployment must answer — "how much does the approximate index
+    * lose?" — expressed as the engine's own two paths joined: exact
+    * top-k ([[bruteForceTopK]]) left-joined to the LSH top-k
+    * ([[annLshTopK]]) on (query, neighbor), recall = matched/k. Both
+    * paths share their tie-break (rounded cosine desc, then neighbor
+    * id), so the intersection — and therefore the recall — is
+    * deterministic and oracle-checkable. At 100 TB the cost profile is
+    * the two underlying operators' (query side broadcast both times;
+    * the corpus never shuffles); the recall join itself touches only
+    * |queries|·k rows. Tune numPlanes/bands until the recall row
+    * clears the quality bar, then ship the index parameters. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, numPlanes: Int, bands: Int, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annLshTopK(corpus, queries, idCol, vecCol, numPlanes, bands, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count(col("__hit")).as("n_matched"),
+        round(count(col("__hit")).cast("double") / count(lit(1)), 4).as("recall"))
+  }
 }

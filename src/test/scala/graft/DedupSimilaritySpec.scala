@@ -363,6 +363,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall too low: $recall") // 4 bands of 4 bits on random vectors
   }
 
+  test("annRecall agrees with recall computed from the engine's own exact and LSH rankings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val approx = topk(Similarity.annLshTopK(emb, queries, "vec_id", "embedding", 16, 4, 5))
+    val out = Similarity.annRecall(emb, queries, "vec_id", "embedding", 16, 4, 5)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_matched"), r.getAs[Double]("recall"))))
+      .toMap
+    assert(out.keySet == exact.keySet, "one recall row per query")
+    out.foreach { case (q, (nExact, nMatched, recall)) =>
+      assert(nExact == exact(q).size.toLong)
+      assert(nMatched == (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong)
+      assert(recall == BigDecimal(nMatched.toDouble / nExact)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("annIvfTopK achieves reasonable recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)

@@ -180,4 +180,61 @@ class StreamRecoverySpec extends SparkSpec {
       batch.collect().map(r => (r.getAs[Timestamp]("ts"),
         r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet)
   }
+
+  test("f8 streamUpsert: maintained table equals batch keep-latest across kill/restart; merges are idempotent") {
+    val (inDir, chkDir, tableDir) = freshDirs("f8")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType), StructField("key", LongType),
+      StructField("value", DoubleType)))
+    def lifetime(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // several merge commits per lifetime
+        .parquet(inDir)
+      val q = graft.streaming.Upsert.streamUpsert(
+        src, tableDir, chkDir, "key", "ts", "id", nBuckets = 4)
+      q.awaitTermination() // AvailableNow: drains landed files, then stops
+    }
+    def table(): Set[(Long, Timestamp, Long, Double)] =
+      graft.streaming.Upsert.readTable(spark, tableDir).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Timestamp]("ts"),
+          r.getAs[Long]("key"), r.getAs[Double]("value"))).toSet
+
+    // lifetime 1: key 1 upserted twice across two micro-batches (the
+    // second file's later row must replace the first's), key 2 once
+    land(Seq((1L, ts("10:00"), 1L, 1.0), (2L, ts("10:00"), 2L, 10.0))
+      .toDF("id", "ts", "key", "value"), inDir)
+    land(Seq((3L, ts("11:00"), 1L, 2.0)).toDF("id", "ts", "key", "value"), inDir)
+    lifetime()
+    assert(table() == Set((3L, ts("11:00"), 1L, 2.0), (2L, ts("10:00"), 2L, 10.0)),
+      "pre-crash table must already hold the per-key latest")
+
+    // lifetime 2 (the restart under test): key 2 advances, and a LATE
+    // out-of-order row for key 1 arrives — older seq must NOT displace
+    // the maintained winner (the merge is keep-latest, not keep-last-write)
+    land(Seq((4L, ts("12:00"), 2L, 20.0), (5L, ts("10:30"), 1L, 99.0))
+      .toDF("id", "ts", "key", "value"), inDir)
+    lifetime()
+
+    // lifetime 3: nothing new — committed batches must not re-merge
+    lifetime()
+
+    val expected = Set((3L, ts("11:00"), 1L, 2.0), (4L, ts("12:00"), 2L, 20.0))
+    assert(table() == expected, s"got ${table()}")
+
+    // batch truth: the table IS keep-latest over everything ever landed
+    val batch = graft.ingest.Ingest.dedupKeepLatest(
+      spark.read.schema(schema).parquet(inDir), Seq("key"), "ts", "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Timestamp]("ts"),
+        r.getAs[Long]("key"), r.getAs[Double]("value"))).toSet
+    assert(table() == batch)
+
+    // idempotence directly (the property that upgrades foreachBatch's
+    // at-least-once replay to exactly-once contents): re-merging an
+    // already-applied batch changes nothing
+    val replay = Seq((4L, ts("12:00"), 2L, 20.0), (5L, ts("10:30"), 1L, 99.0))
+      .toDF("id", "ts", "key", "value")
+    graft.streaming.Upsert.upsertIntoTable(spark, replay, tableDir,
+      "key", "ts", "id", nBuckets = 4)
+    assert(table() == expected, "replayed merge must be a no-op")
+  }
 }
