@@ -478,6 +478,16 @@ object SparkEntry {
       ev.repartition(64).write.mode("overwrite").parquet(s"$tmp/src")
       graft.sources.Sources.compactParquet(s, s"$tmp/src", s"$tmp/dst", 1L << 20)
     }),
+    "g9_sorted_layout" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/sorted_${pathTag(d)}"
+      // range-partition + sort on the time key: every file owns a
+      // disjoint period range (footer-stats proof in SourcesSpec), so
+      // time predicates skip files/row groups at read time
+      graft.sources.Sources.writeSortedLayout(ev, tmp, "period", 16)
+    }),
     "g4_jsonl_roundtrip" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -2075,6 +2085,10 @@ object SparkEntry {
          FROM events""",
     // compaction is layout-only: read-back must equal the plain feed
     "g8_compaction" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
+    // layout-invariant like g8: only file boundaries/order move
+    "g9_sorted_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
     "g6_schema_evolution" ->

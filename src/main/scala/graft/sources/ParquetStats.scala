@@ -51,4 +51,50 @@ object ParquetStats {
       finally rd.close()
     }.sum
   }
+
+  /** Per-file (min, max) of an integer-physical column (INT32/INT64 —
+    * which covers longs and µs timestamps), read from footer statistics
+    * only. This is the metadata a reader's predicate pushdown skips
+    * whole files/row groups WITH — so it is also the honest way to TEST
+    * a data layout: after [[Sources.writeSortedLayout]], these ranges
+    * must be pairwise disjoint (each file owns one key range); on an
+    * unsorted write every file spans ~the whole domain and nothing can
+    * skip. Driver-side footer opens, O(files), no data pages. */
+  def columnRange(spark: SparkSession, path: String,
+                  column: String): Seq[(String, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith("."))
+          buf += st.getPath
+      }
+      buf
+    }
+    files.iterator.map { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val ranges = rd.getFooter.getBlocks.asScala.iterator.flatMap { block =>
+          block.getColumns.asScala.iterator
+            .filter(_.getPath.toDotString == column)
+            .map { cc =>
+              val st = cc.getStatistics
+              require(st != null && !st.isEmpty, s"no stats for $column in $f")
+              (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) => (mn.toLong, mx.toLong)
+                case (mn: java.lang.Integer, mx: java.lang.Integer) => (mn.toLong, mx.toLong)
+                case other => sys.error(s"non-integer stats for $column: $other")
+              }
+            }
+        }.toSeq
+        (f.getName, ranges.map(_._1).min, ranges.map(_._2).max)
+      } finally rd.close()
+    }.toSeq
+  }
 }

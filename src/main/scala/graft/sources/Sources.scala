@@ -196,6 +196,28 @@ object Sources {
     spark.read.parquet(dstPath)
   }
 
+  /** Range-sorted data layout — the scan-pruning lever compaction
+    * alone doesn't give. `repartitionByRange` on the clustering key
+    * slices the domain into `nFiles` DISJOINT key ranges (one range
+    * exchange — sampled boundaries, no full sort), and the
+    * within-partition sort makes every row group's footer min/max
+    * tight. A predicate on the key then skips whole files and row
+    * groups at READ time via exactly those stats — on an unsorted
+    * layout every file spans the whole domain and nothing can skip.
+    * At 100 TB this is the difference between a time-range query
+    * touching one day's files and touching all 36,500: layout work is
+    * one extra shuffle at write time, amortized over every read.
+    * Content is layout-invariant (the oracle is the plain feed);
+    * the disjointness property itself is asserted from footer stats
+    * ([[ParquetStats.columnRange]]) in SourcesSpec. */
+  def writeSortedLayout(df: DataFrame, path: String, rangeCol: String,
+                        nFiles: Int): DataFrame = {
+    df.repartitionByRange(nFiles, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   private def isDataFile(name: String): Boolean =
     name.endsWith(".parquet") || name.endsWith(".snappy.parquet")
 

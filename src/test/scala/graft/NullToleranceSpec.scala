@@ -182,4 +182,33 @@ class NullToleranceSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((101L, 1L))) // the signable doc matches its copy
   }
+
+  test("round-8 operators (e41/f8) tolerate null/degenerate inputs") {
+    // e41: a null-embedding corpus row is excluded by BOTH underlying
+    // rankings (cosine of null is null -> filtered), so the recall join
+    // sees consistent sides and every query still reports a row
+    val emb = Seq(
+      (1L, Some(Array(1.0f, 0.0f))),
+      (2L, None: Option[Array[Float]]),
+      (3L, Some(Array(0.9f, 0.1f))),
+      (4L, Some(Array(-1.0f, 0.2f)))
+    ).toDF("vec_id", "embedding")
+    val rec = Similarity.annRecall(emb, emb.filter($"vec_id" === 1L),
+      "vec_id", "embedding", 8, 2, 2).collect()
+    assert(rec.length == 1 && rec.head.getAs[Long]("n_exact") == 2L)
+
+    // f8's merge: null seq ranks LAST under the desc ordering (Spark
+    // desc = nulls last), so a null-ts row can never displace a real
+    // one; a null key forms its own maintained group
+    val base = s"/tmp/graft_upsert_nulls_${System.nanoTime()}"
+    val b1 = Seq((1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), Some(7L), 1.0),
+      (2L, None: Option[java.sql.Timestamp], Some(7L), 2.0),
+      (3L, Some(java.sql.Timestamp.valueOf("2024-01-01 09:00:00")), None: Option[Long], 3.0))
+      .toDF("id", "ts", "key", "value")
+    graft.streaming.Upsert.upsertIntoTable(spark, b1, base, "key", "ts", "id", 4)
+    val rows = graft.streaming.Upsert.readTable(spark, base).collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[Long]("key")))).toSet
+    assert(rows == Set((1L, Some(7L)), (3L, None)),
+      s"null-ts loses, null key keeps its own group: $rows")
+  }
 }

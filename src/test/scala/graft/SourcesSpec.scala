@@ -298,4 +298,31 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 1000)
     assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 1000L))
   }
+
+  test("sorted layout: disjoint per-file key ranges from footer stats; unsorted control overlaps") {
+    val dir = s"/tmp/graft_sources_test/sorted_${System.nanoTime()}"
+    // ids shuffled so an unsorted write interleaves the domain
+    val rows = scala.util.Random.shuffle((1L to 4000L).toList).toDF("id")
+      .withColumn("payload", col("id") * 7)
+    val back = Sources.writeSortedLayout(rows, s"$dir/sorted", "id", 8)
+    assert(back.count() == 4000)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 4000L))
+
+    val ranges = graft.sources.ParquetStats.columnRange(spark, s"$dir/sorted", "id")
+      .sortBy(_._2)
+    assert(ranges.size > 1, "range partitioning must produce multiple files")
+    ranges.sliding(2).foreach {
+      case Seq((fa, _, maxA), (fb, minB, _)) =>
+        assert(minB > maxA, s"files $fa/$fb overlap: maxA=$maxA minB=$minB")
+      case _ =>
+    }
+    assert(ranges.head._2 == 1L && ranges.last._3 == 4000L)
+
+    // control: the same rows written unsorted — every file spans ~the
+    // whole domain, so no stats-based skipping is possible
+    rows.repartition(8).write.mode("overwrite").parquet(s"$dir/plain")
+    val plain = graft.sources.ParquetStats.columnRange(spark, s"$dir/plain", "id")
+    assert(plain.forall { case (_, mn, mx) => mn < 500L && mx > 3500L },
+      "unsorted control should interleave the domain in every file")
+  }
 }
