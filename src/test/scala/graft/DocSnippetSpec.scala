@@ -4,6 +4,8 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 import graft.graph.Components
 import graft.ingest.Ingest
+import graft.sources.{ParquetStats, Sources}
+import graft.streaming.Upsert
 import graft.text.{Dedup, TextOps}
 import graft.timeseries.{Forecast, TimeSeries}
 import graft.validate.Quality
@@ -134,5 +136,39 @@ class DocSnippetSpec extends SparkSpec {
     assert(quality.count() == 2)
     assert(neighbors.filter($"neighbor_id" === 2L).count() == 1) // probe finds its near-dup
     assertInSync("E")
+  }
+
+  test("README group-F snippet compiles, runs, and matches the README verbatim") {
+    val dir = s"/tmp/graft_docsnippet_f_${System.nanoTime()}"
+    val readings = Seq((1L, 10L, hm(0), 1.5), (2L, 10L, hm(2), 2.5), (3L, 11L, hm(1), 3.0))
+      .toDF("reading_id", "meter_id", "ts", "kwh")
+    readings.write.parquet(s"$dir/in")
+    // doc-snippet:F begin
+    val feed    = spark.readStream.schema(readings.schema).parquet(s"$dir/in")
+    val query   = Upsert.streamUpsert(feed, s"$dir/state", s"$dir/chk", "meter_id", "ts", "reading_id", 64)
+    query.awaitTermination()
+    val current = Upsert.readTable(spark, s"$dir/state")
+    // doc-snippet:F end
+    assert(current.select("reading_id").as[Long].collect().toSet == Set(2L, 3L),
+      "latest reading per meter survives in the maintained table")
+    assertInSync("F")
+  }
+
+  test("README group-G snippet compiles, runs, and matches the README verbatim") {
+    val dir = s"/tmp/graft_docsnippet_g_${System.nanoTime()}"
+    val readings = (1L to 200L).map(i => (i, hm((i % 48).toInt), i * 0.5))
+      .toDF("reading_id", "ts", "kwh")
+    readings.repartition(20).write.parquet(s"$dir/frag")
+    val todays = readings.withColumn("day", org.apache.spark.sql.functions.to_date($"ts"))
+    // doc-snippet:G begin
+    val sorted = Sources.writeSortedLayout(readings, s"$dir/by_ts", "ts", 8)
+    val packed = Sources.compactParquet(spark, s"$dir/frag", s"$dir/packed", 128L * 1024 * 1024)
+    Sources.relandPartitions(todays, s"$dir/by_day", Seq("day"))
+    val nRows  = ParquetStats.rowCount(spark, s"$dir/by_ts")
+    // doc-snippet:G end
+    assert(sorted.count() == 200 && packed.count() == 200 && nRows == 200L)
+    assert(Sources.dataFiles(spark, s"$dir/packed").size < 20)
+    assert(spark.read.parquet(s"$dir/by_day").count() == 200)
+    assertInSync("G")
   }
 }
