@@ -149,6 +149,13 @@ object SparkEntry {
     "b14_psi_drift" -> ((s, d) =>
       Quality.psiDrift(Tables.events(s, d), "user_id", "ts", "event_type",
         eventTypes, 14, 7, 0.1)),
+    "b15_expectation_rules" -> ((s, d) =>
+      Quality.expectationReport(Tables.events(s, d), Seq(
+        Quality.ExpectNotNull("r1_value_not_null", "value"),
+        Quality.ExpectBetween("r2_value_bounds", "value", Some(0.0), Some(100.0)),
+        Quality.ExpectInSet("r3_type_domain", "event_type", eventTypes),
+        Quality.ExpectUnique("r4_event_id_unique", "event_id"),
+        Quality.ExpectMatches("r5_type_shape", "event_type", "^[a-z]+$")))),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -1060,6 +1067,40 @@ object SparkEntry {
     // boundary would flip one term by 1 on a different platform/libm.
     // Holds empirically on this host; if a platform-parity failure ever
     // shows a ±1 psi_micro delta, this is the place to look.
+    // one scalar-aggregate row per rule, UNION ALL'd — the same counts
+    // the engine's single-scan suite produces; domain interpolated from
+    // the shared eventTypes like b14
+    "b15_expectation_rules" -> {
+      val domainSql = eventTypes.map(t => s"'$t'").mkString(",")
+      s"""SELECT 'r1_value_not_null' AS rule_id, 'value' AS col_name, 'not_null' AS kind,
+            count(*) AS n_rows,
+            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+            sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 AS pass FROM events
+          UNION ALL
+          SELECT 'r2_value_bounds', 'value', 'between', count(*),
+            CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+              THEN 1 ELSE 0 END) AS BIGINT),
+            sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+              THEN 1 ELSE 0 END) = 0 FROM events
+          UNION ALL
+          SELECT 'r3_type_domain', 'event_type', 'in_set', count(*),
+            CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ($domainSql)
+              THEN 1 ELSE 0 END) AS BIGINT),
+            sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ($domainSql)
+              THEN 1 ELSE 0 END) = 0 FROM events
+          UNION ALL
+          SELECT 'r4_event_id_unique', 'event_id', 'unique', count(*),
+            count(event_id) - count(DISTINCT event_id),
+            count(event_id) - count(DISTINCT event_id) = 0 FROM events
+          UNION ALL
+          SELECT 'r5_type_shape', 'event_type', 'matches', count(*),
+            CAST(sum(CASE WHEN event_type IS NOT NULL
+              AND NOT regexp_matches(event_type, '^[a-z]+${"$"}')
+              THEN 1 ELSE 0 END) AS BIGINT),
+            sum(CASE WHEN event_type IS NOT NULL
+              AND NOT regexp_matches(event_type, '^[a-z]+${"$"}')
+              THEN 1 ELSE 0 END) = 0 FROM events"""
+    },
     "b14_psi_drift" -> {
       val domainSql = eventTypes.map(t => s"'$t'").mkString(",")
       val kPlus1 = eventTypes.size + 1

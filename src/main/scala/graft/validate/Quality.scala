@@ -352,4 +352,73 @@ object Quality {
         (col("psi_micro").cast("double") / 1e6).as("psi"),
         (col("psi_micro") > thrMicro).as("drifted"))
   }
+
+  /** A declarative expectation rule for [[expectationReport]]. Rules are
+    * CONFIG (tens, not millions): the suite compiles to column
+    * expressions inside one aggregation, never to per-rule jobs. */
+  sealed trait Expectation { def ruleId: String; def column: String; def kind: String }
+  /** Column must have no nulls. */
+  case class ExpectNotNull(ruleId: String, column: String) extends Expectation {
+    val kind = "not_null" }
+  /** Non-null values must lie in [min, max] (either bound optional).
+    * Nulls do not violate bounds — pair with [[ExpectNotNull]]. */
+  case class ExpectBetween(ruleId: String, column: String,
+                           min: Option[Double], max: Option[Double]) extends Expectation {
+    val kind = "between" }
+  /** Non-null values must be members of the set. */
+  case class ExpectInSet(ruleId: String, column: String,
+                         values: Seq[String]) extends Expectation {
+    val kind = "in_set" }
+  /** Non-null values must be unique; violations = rows in excess of
+    * the distinct count (0 when unique). */
+  case class ExpectUnique(ruleId: String, column: String) extends Expectation {
+    val kind = "unique" }
+  /** Non-null values must match the (Java) regex. */
+  case class ExpectMatches(ruleId: String, column: String,
+                           pattern: String) extends Expectation {
+    val kind = "matches" }
+
+  /** Expectation-suite validation — the reference's hand-written check
+    * list (data_validation.py:25-226 runs one bespoke function per
+    * check) generalized to a CONFIG-DRIVEN suite any table can declare:
+    * pass rules, get one report row per rule with its violation count
+    * and verdict.
+    *
+    * Scale shape: every rule compiles to an aggregate expression in a
+    * SINGLE global aggregation over ONE scan — map-side partial
+    * aggregation collapses each task to one row of counters, so the
+    * suite costs one pass however many rules it carries. The only
+    * rule needing more than a counter is `unique` (an exact distinct);
+    * Spark plans the mixed distinct/non-distinct aggregate with one
+    * Expand, still a single scan. The per-rule report explosion
+    * happens on the 1-row aggregate — free. */
+  def expectationReport(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "empty expectation suite")
+    require(rules.map(_.ruleId).distinct.size == rules.size, "duplicate ruleId")
+    def violations(r: Expectation) = r match {
+      case ExpectNotNull(_, c) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L))
+      case ExpectBetween(_, c, mn, mx) =>
+        val bad = (mn.map(col(c) < _): Iterable[org.apache.spark.sql.Column]) ++
+          mx.map(col(c) > _)
+        sum(when(col(c).isNotNull && bad.reduce(_ || _), 1L).otherwise(0L))
+      case ExpectInSet(_, c, vs) =>
+        sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
+      case ExpectUnique(_, c) =>
+        count(col(c)) - countDistinct(col(c))
+      case ExpectMatches(_, c, p) =>
+        sum(when(col(c).isNotNull && !col(c).rlike(p), 1L).otherwise(0L))
+    }
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case (r, i) => violations(r).as(s"__v$i") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.ruleId).as("rule_id"), lit(r.column).as("col_name"),
+          lit(r.kind).as("kind"), col("__n").as("n_rows"),
+          coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule_id"), col("r.col_name"), col("r.kind"),
+        col("r.n_rows"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
 }

@@ -344,4 +344,38 @@ class IngestQualitySpec extends SparkSpec {
     assert(out("X")._1 == 0.0 && !out("X")._2) // identical mix: every term exactly 0
     assert(out("Y")._1 > 0.1 && out("Y")._2)   // full inversion: large PSI
   }
+
+  test("expectationReport: every rule kind counts its violations in one scan") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("click")),
+      (Some(2L), None, Some("view")),          // r1 violation (null value)
+      (Some(3L), Some(-1.0), Some("bogus")),   // r2 (below min), r3 (not in set)
+      (Some(3L), Some(200.0), Some("Click")),  // r2 (above max), r3, r4 (dup id), r5 (uppercase)
+      (None, Some(50.0), Some("view"))         // null id: no unique violation (nulls excluded)
+    ).toDF("event_id", "value", "event_type")
+    val rules = Seq(
+      Quality.ExpectNotNull("r1", "value"),
+      Quality.ExpectBetween("r2", "value", Some(0.0), Some(100.0)),
+      Quality.ExpectInSet("r3", "event_type", Seq("click", "view")),
+      Quality.ExpectUnique("r4", "event_id"),
+      Quality.ExpectMatches("r5", "event_type", "^[a-z]+$"))
+    val rep = Quality.expectationReport(df, rules)
+    val got = rep.collect().map(r => r.getAs[String]("rule_id") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+        r.getAs[Boolean]("pass")))).toMap
+    assert(got == Map(
+      "r1" -> ((5L, 1L, false)),
+      "r2" -> ((5L, 2L, false)),
+      "r3" -> ((5L, 2L, false)),
+      "r4" -> ((5L, 1L, false)),
+      "r5" -> ((5L, 1L, false))), s"got $got")
+    // a passing suite reports pass=true everywhere
+    val clean = Quality.expectationReport(df.filter(col("value") === 5.0),
+      rules).collect()
+    assert(clean.forall(_.getAs[Boolean]("pass")))
+    // the single-scan contract: the whole suite reads its input once
+    val leaves = rep.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, s"suite must compile to ONE scan, got ${leaves.size}")
+  }
 }
