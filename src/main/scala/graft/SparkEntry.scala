@@ -243,6 +243,7 @@ object SparkEntry {
     "d7_salted_agg" -> ((s, d) =>
       graft.analytics.Skew.saltedAggregate(Tables.events(s, d), "user_id", "event_id", "value", 16)),
     "d8_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
+    "d11_pricing_cube" -> ((s, d) => Analytics.pricingCube(s, d)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -1421,6 +1422,14 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "d11_pricing_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         count(*) AS n_lines,
+         sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "c19_scaler_apply" ->
       """WITH t AS (SELECT user_id, value, round(value * 100, 0) AS c FROM events),
          p AS (SELECT user_id,

@@ -82,6 +82,25 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** CUBE pricing summary — every subtotal combination of
+    * (returnflag, linestatus) in one pass, `grouping_id` exposed so
+    * consumers can tell a subtotal NULL from a data NULL. Like d8's
+    * rollup, Spark plans cube as ONE scan + Expand (4 grouping sets
+    * map-side, partial-aggregated) — no per-level rescan, and the
+    * grouping-set fan-out is bounded by 2^dims, not data. Money sums
+    * in exact integer ten-thousandths, quantity in integer cents (the
+    * corpus-scale-sum discipline: the grand-total row accumulates the
+    * whole fact table). */
+  def pricingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_lines"),
+        (sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0).as("sum_qty"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")) / 10000.0).as("revenue"))
+
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)

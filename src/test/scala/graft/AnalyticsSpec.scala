@@ -26,6 +26,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(nations.length == flat)
   }
 
+  test("pricingCube emits all four grouping sets, gid-consistent and level-exact") {
+    val out = Analytics.pricingCube(spark, sf).collect()
+    def level(gid: Long) = out.filter(_.getAs[Long]("gid") == gid)
+    val detail = level(0L); val byFlag = level(1L)
+    val byStatus = level(2L); val total = level(3L)
+    assert(total.length == 1 && detail.nonEmpty && byFlag.nonEmpty && byStatus.nonEmpty)
+    // gid is the authoritative subtotal marker: subtotal columns are
+    // null exactly where the gid bit says they are aggregated away
+    assert(byFlag.forall(r => !r.isNullAt(0) && r.isNullAt(1)))
+    assert(byStatus.forall(r => r.isNullAt(0) && !r.isNullAt(1)))
+    assert(total.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // exact-grid consistency across every level (integer 1e-4 / cents)
+    def rev(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => math.round(r.getAs[Double]("revenue") * 10000)).sum
+    def qty(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => math.round(r.getAs[Double]("sum_qty") * 100)).sum
+    def lines(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("n_lines")).sum
+    for (l <- Seq(detail, byFlag, byStatus)) {
+      assert(rev(total) == rev(l) && qty(total) == qty(l) && lines(total) == lines(l))
+    }
+  }
+
   test("bigOrders keeps exactly the orders whose line quantity exceeds the threshold") {
     val out = Analytics.bigOrders(spark, sf, 200L).collect()
     assert(out.nonEmpty)
