@@ -90,71 +90,18 @@ object PagedFeed {
   }
 
   /** A second lander is already holding the landing lease — fail fast
-    * rather than interleave pages with a live writer. */
-  final class ConcurrentLandingException(message: String)
-    extends RuntimeException(message)
+    * rather than interleave pages with a live writer. The machinery
+    * lives in [[LandingLease]] (shared with the f8 upsert sink since
+    * round 8); this alias keeps the a8 API surface stable. */
+  type ConcurrentLandingException = LandingLease.ConcurrentLandingException
 
-  /** The landing lease marker. Underscore-prefixed on purpose: Spark's
-    * file index treats `_`/`.` names as hidden, so [[load]] and the
-    * partition discovery never see it. */
-  private def lockFile(dir: String): Path = new Path(dir, "_LOCK")
-
-  /** Acquire the landing lease for `dir` or throw
-    * [[ConcurrentLandingException]]. The marker holds
-    * `token\nexpiryEpochMs`; a lease whose expiry has passed (its
-    * writer crashed without releasing) or whose content is torn (its
-    * writer died mid-acquire) is taken over by deleting + re-creating.
-    * Creation uses `fs.create(overwrite = false)` — atomic on HDFS; on
-    * a plain local FS it is check-then-create and on object stores it
-    * needs a conditional put, so the lease is ADVISORY there: it
-    * serializes the operational "two schedulers fired the same window"
-    * case, not adversarial racers. The takeover path re-races the
-    * create after deleting a stale marker, so exactly one of N
-    * concurrent takeover attempts wins. */
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                           leaseMs: Long): String = {
-    val lp = lockFile(dir)
-    val token = java.util.UUID.randomUUID().toString
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lp, false)
-        try out.write(s"$token\n${System.currentTimeMillis() + leaseMs}".getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (tryCreate()) return token
-    val expiry: Long =
-      try {
-        val in = fs.open(lp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        txt.split("\n")(1).trim.toLong
-      } catch { case _: Exception => Long.MinValue } // torn/vanished: stale
-    if (System.currentTimeMillis() <= expiry)
-      throw new ConcurrentLandingException(
-        s"another lander holds $lp until epoch-ms $expiry; refusing to interleave pages")
-    fs.delete(lp, false)
-    if (!tryCreate())
-      throw new ConcurrentLandingException(
-        s"lost the stale-lease takeover race on $lp to another lander")
-    token
-  }
+                           leaseMs: Long): String =
+    LandingLease.acquire(fs, dir, leaseMs)
 
-  /** Release the lease IF still ours: a token mismatch means the lease
-    * expired mid-run and another lander took over — leave its marker
-    * alone (the landing itself may have interleaved; size `leaseMs`
-    * above the worst-case window landing time to keep this a
-    * non-event). */
   private def releaseLease(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                           token: String): Unit = {
-    val lp = lockFile(dir)
-    val ours =
-      try {
-        val in = fs.open(lp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        txt.startsWith(token)
-      } catch { case _: Exception => false }
-    if (ours) fs.delete(lp, false)
-  }
+                           token: String): Unit =
+    LandingLease.release(fs, dir, token)
 
   /** Land the feed as `dir/page=N` parquet pages, resuming from
     * whatever is already on disk. `maxPages` bounds the pages landed

@@ -43,10 +43,29 @@ object Upsert {
 
   /** Merge one batch into the keyed parquet state table at `tablePath`,
     * keeping the latest row per `keyCol` (by `seqCol`, ties by
-    * `tieCol`). Creates the table on first call. Idempotent. */
+    * `tieCol`). Creates the table on first call. Idempotent.
+    *
+    * The read-merge-overwrite critical section runs under a
+    * [[graft.sources.LandingLease]] (same guard as the a8 lander):
+    * foreachBatch guarantees one live merge per QUERY, but nothing
+    * stops an operator error from starting a second query on the same
+    * table — two interleaved dynamic overwrites would corrupt buckets.
+    * A second writer fails fast with ConcurrentLandingException; a
+    * crashed writer's stale lease (past `leaseMs`) is taken over. */
   def upsertIntoTable(spark: SparkSession, batch: DataFrame, tablePath: String,
                       keyCol: String, seqCol: String, tieCol: String,
-                      nBuckets: Int): Unit = {
+                      nBuckets: Int, leaseMs: Long = 15 * 60 * 1000L): Unit = {
+    val leaseFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    leaseFs.mkdirs(new org.apache.hadoop.fs.Path(tablePath)) // lease marker needs the dir
+    val token = graft.sources.LandingLease.acquire(leaseFs, tablePath, leaseMs)
+    try upsertLocked(spark, batch, tablePath, keyCol, seqCol, tieCol, nBuckets)
+    finally graft.sources.LandingLease.release(leaseFs, tablePath, token)
+  }
+
+  private def upsertLocked(spark: SparkSession, batch: DataFrame, tablePath: String,
+                           keyCol: String, seqCol: String, tieCol: String,
+                           nBuckets: Int): Unit = {
     val bucketed = batch.withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
     // batch-local keep-latest first: the merge input shrinks to one row
     // per key before any table bytes are read
@@ -54,7 +73,10 @@ object Upsert {
       bucketed, Seq(keyCol), seqCol, tieCol)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(tablePath))
+    // "table exists" = has bucket partitions, not "directory exists" —
+    // the lease marker (and its parent mkdirs) precede the first merge
+    val exists = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
     val merged =
       if (!exists) batchLatest
       else {

@@ -237,4 +237,34 @@ class StreamRecoverySpec extends SparkSpec {
       "key", "ts", "id", nBuckets = 4)
     assert(table() == expected, "replayed merge must be a no-op")
   }
+
+  test("f8 upsert lease: a second live writer fails fast, a stale lease is taken over") {
+    val (_, _, tableDir) = freshDirs("f8lease")
+    val batch = Seq((1L, ts("10:00"), 1L, 1.0)).toDF("id", "ts", "key", "value")
+    graft.streaming.Upsert.upsertIntoTable(spark, batch, tableDir, "key", "ts", "id", 4)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def plantLease(expiryMs: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(tableDir, "_LOCK"), true)
+      try out.write(s"someone-else\n$expiryMs".getBytes("UTF-8")) finally out.close()
+    }
+    // live lease from "another writer": the merge must refuse to run
+    plantLease(System.currentTimeMillis() + 600000)
+    intercept[graft.sources.LandingLease.ConcurrentLandingException] {
+      graft.streaming.Upsert.upsertIntoTable(spark,
+        Seq((2L, ts("11:00"), 1L, 2.0)).toDF("id", "ts", "key", "value"),
+        tableDir, "key", "ts", "id", 4)
+    }
+    assert(graft.streaming.Upsert.readTable(spark, tableDir).count() == 1,
+      "the refused merge must not have touched the table")
+    // stale lease (writer crashed): taken over, merge proceeds, lease released
+    plantLease(System.currentTimeMillis() - 1000)
+    graft.streaming.Upsert.upsertIntoTable(spark,
+      Seq((2L, ts("11:00"), 1L, 2.0)).toDF("id", "ts", "key", "value"),
+      tableDir, "key", "ts", "id", 4)
+    assert(graft.streaming.Upsert.readTable(spark, tableDir)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tableDir, "_LOCK")),
+      "lease must be released after a successful merge")
+  }
 }
