@@ -104,6 +104,20 @@ object SparkEntry {
           when(col("event_id") % 97 === 0, col("value") + 5).otherwise(col("value"))))
       Ingest.snapshotReconcile(state, digest(ev), "user_id", "digest")
     }),
+    "a11_snapshot_diff" -> ((s, d) => {
+      // two generations of the customer dimension: every 17th key is
+      // new in cur (insert), every 13th vanished (delete), every 11th
+      // changed its balance (update); everything else must emit nothing
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val prev = base.filter(col("c_custkey") % 17 =!= 0)
+      val cur = base.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 11 === 0, round(col("c_acctbal") + 100, 2))
+            .otherwise(col("c_acctbal")))
+      Ingest.snapshotDiff(prev, cur, "c_custkey",
+        Seq("c_name", "c_mktsegment", "c_acctbal"))
+    }),
     "a6_cdc_merge" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -940,6 +954,26 @@ object SparkEntry {
            CAST(state_digest AS VARCHAR) AS state_digest,
            CAST(snapshot_digest AS VARCHAR) AS snapshot_digest, status
          FROM j WHERE status IS NOT NULL""",
+    "a11_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+         prev AS (SELECT * FROM base WHERE c_custkey % 17 <> 0),
+         cur AS (SELECT c_custkey, c_name, c_mktsegment,
+             CASE WHEN c_custkey % 11 = 0 THEN round(c_acctbal + 100, 2)
+                  ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 13 <> 0),
+         j AS (SELECT coalesce(p.c_custkey, c.c_custkey) AS c_custkey,
+             CASE WHEN p.c_custkey IS NULL THEN 'I'
+                  WHEN c.c_custkey IS NULL THEN 'D'
+                  WHEN p.c_name IS DISTINCT FROM c.c_name
+                    OR p.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+                    OR p.c_acctbal IS DISTINCT FROM c.c_acctbal THEN 'U'
+             END AS op,
+             CASE WHEN c.c_custkey IS NULL THEN p.c_name ELSE c.c_name END AS c_name,
+             CASE WHEN c.c_custkey IS NULL THEN p.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment,
+             CASE WHEN c.c_custkey IS NULL THEN p.c_acctbal ELSE c.c_acctbal END AS c_acctbal
+           FROM prev p FULL OUTER JOIN cur c ON p.c_custkey = c.c_custkey)
+         SELECT c_custkey, op, c_name, c_mktsegment, c_acctbal
+         FROM j WHERE op IS NOT NULL""",
     "a6_cdc_merge" ->
       """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS period,
            user_id, event_type, value FROM events),

@@ -213,6 +213,46 @@ object Ingest {
     * hash works). A null digest counts toward `*_rows` but adds nothing
     * to the sum on either side — both engines' SUM skips nulls — so
     * null-digest rows reconcile by count alone. */
+  /** CDC change-set GENERATION — the inverse of [[cdcMerge]]: diff two
+    * keyed snapshots into the minimal change feed (op ∈ I/U/D) that
+    * replays one into the other. Completes the engine's CDC triangle:
+    * a11 generates changes, a6 applies them, a10 audits the result —
+    * and the roundtrip identity `cdcMerge(prev, snapshotDiff(prev,
+    * cur)) == cur` is spec-pinned. This is how a pipeline whose source
+    * only offers full snapshots (the reference's full re-land,
+    * data_extraction.py:135-172) feeds incremental consumers: ship the
+    * diff, not the snapshot.
+    *
+    * Row semantics: I/U rows carry the CURRENT values, D rows the
+    * PREVIOUS (the tombstone names what died); unchanged keys emit
+    * nothing. Attribute comparison is null-safe (null↔null unchanged,
+    * null↔value a change). Contract: one row per key per snapshot
+    * (dimension shape — dedupe upstream with [[dedupKeepLatest]]).
+    *
+    * Scale shape: ONE hash-partitioned full-outer join on the key —
+    * both snapshots shuffle once, only changed rows are emitted, and
+    * presence/difference tests are row-local. At 100 TB, land both
+    * snapshots bucketed on the key (Sources.writeBucketed) and even
+    * that exchange disappears (the g3 zero-Exchange plan). */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    val p = prev.select(col(keyCol) +: lit(1L).as("__p") +:
+      attrCols.map(a => col(a).as(s"__p_$a")): _*)
+    val c = cur.select(col(keyCol) +: lit(1L).as("__c") +:
+      attrCols.map(a => col(a).as(s"__c_$a")): _*)
+    val changed = attrCols.map(a => !(col(s"__p_$a") <=> col(s"__c_$a")))
+      .reduce(_ || _)
+    p.join(c, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__p").isNull, "I")
+          .when(col("__c").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(col(keyCol) +: col("op") +: attrCols.map(a =>
+        when(col("op") === "D", col(s"__p_$a"))
+          .otherwise(col(s"__c_$a")).as(a)): _*)
+  }
+
   def snapshotReconcile(state: DataFrame, snapshot: DataFrame, keyCol: String,
                         digestCol: String): DataFrame = {
     def digests(df: DataFrame, n: String, s: String) =

@@ -345,6 +345,38 @@ class IngestQualitySpec extends SparkSpec {
     assert(out("Y")._1 > 0.1 && out("Y")._2)   // full inversion: large PSI
   }
 
+  test("snapshotDiff emits the minimal I/U/D set and roundtrips through cdcMerge") {
+    val prev = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("id", "name", "bal")
+    val cur = Seq(
+      (1L, Some("a"), 10.0),                 // unchanged: no row
+      (2L, Some("b"), 25.0),                 // U (value)
+      (3L, Some("c"), 30.0),                 // U (null -> value, null-safe)
+      (5L, Some("e"), 50.0))                 // I; 4 deleted
+      .toDF("id", "name", "bal")
+    val diff = Ingest.snapshotDiff(prev, cur, "id", Seq("name", "bal"))
+    val got = diff.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("op"),
+      Option(r.getAs[String]("name")), r.getAs[Double]("bal"))).toSet
+    assert(got == Set(
+      (2L, "U", Some("b"), 25.0),
+      (3L, "U", Some("c"), 30.0),
+      (4L, "D", Some("d"), 40.0),            // tombstone carries PREV values
+      (5L, "I", Some("e"), 50.0)), s"got $got")
+    // the roundtrip identity: applying the generated change set to prev
+    // reproduces cur exactly (op semantics line up with cdcMerge's)
+    // cdcMerge keeps the version column in the row (it is data in a6),
+    // so both sides carry one; it is dropped before the set compare
+    val replayed = Ingest.cdcMerge(prev.withColumn("v", lit(0L)),
+      diff.withColumn("v", lit(1L)), "id", "op", "v", "id")
+      .select("id", "name", "bal")
+    assert(replayed.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      r.getDouble(2))).toSet ==
+      cur.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2))).toSet)
+  }
+
   test("expectationReport: every rule kind counts its violations in one scan") {
     import org.apache.spark.sql.functions._
     val df = Seq(
