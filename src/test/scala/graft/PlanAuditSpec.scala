@@ -228,4 +228,35 @@ class PlanAuditSpec extends SparkSpec {
         s"count gate (count=$countJobs) — the count job is back in the plan path")
     assert(df.columns.toSeq == Seq("id_a", "id_b", "cosine"))
   }
+
+  // AQE tree strings carry a "== Final Plan ==" section followed by the
+  // "== Initial Plan ==" echo — count operators in the final section only
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==")(0)
+
+  test("d11 cube runs one scan through one Expand; b15 suite is one scan") {
+    val cube = finalSection(finalPlan(SparkEntry.queries("d11_pricing_cube")(spark, sf)))
+    assert("Expand".r.findAllIn(cube).size == 1, cube)
+    assert("FileScan parquet".r.findAllIn(cube).size == 1,
+      "cube must not rescan per grouping set: " + cube)
+    val suite = finalSection(finalPlan(SparkEntry.queries("b15_expectation_rules")(spark, sf)))
+    assert("FileScan parquet".r.findAllIn(suite).size == 1,
+      "the whole expectation suite must read its input once: " + suite)
+  }
+
+  test("a11 snapshot diff is one join over the two snapshot branches — no extra exchange") {
+    val plan = finalSection(finalPlan(SparkEntry.queries("a11_snapshot_diff")(spark, sf)))
+    assert(plan.contains("FullOuter"), plan)
+    // both branches hash-partition on the key for the join and nothing
+    // else re-shuffles afterwards (classification is row-local)
+    assert("hashpartitioning\\(c_custkey".r.findAllIn(plan).size <= 2,
+      "classification must stay row-local after the join: " + plan)
+  }
+
+  test("e41 broadcasts the query side in both underlying rankings") {
+    val plan = finalPlan(SparkEntry.queries("e41_ann_recall")(spark, sf))
+    // e6's crossJoin(broadcast(q)) + e7's band join broadcast: at least
+    // two broadcast exchanges of the 10-probe query side
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+  }
 }

@@ -300,4 +300,75 @@ class PropertySpec extends SparkSpec {
     assert(smallest.subsetOf(takes.last))
     assert(takes.last.size < 3000)
   }
+
+  test("snapshotDiff ∘ cdcMerge is the identity on random snapshot pairs") {
+    import graft.ingest.Ingest
+    // 30 random (prev, cur) pairs with overlapping keys, random nulls,
+    // random per-key mutations — diff must replay prev into cur exactly
+    // and emit NO row for unchanged keys
+    for (round <- 1 to 30) {
+      val keys = (1L to 40L).filter(_ => rnd.nextDouble() < 0.8)
+      def snap(mutate: Boolean): Seq[(Long, Option[String], Option[Double])] =
+        keys.filter(_ => !mutate || rnd.nextDouble() < 0.9).map { k =>
+          val drift = mutate && rnd.nextDouble() < 0.3
+          (k,
+            if (rnd.nextDouble() < 0.15) None
+            else Some(s"n${k}${if (drift && rnd.nextBoolean()) "x" else ""}"),
+            if (rnd.nextDouble() < 0.15) None
+            else Some((k * 10 + (if (drift) 1 else 0)).toDouble))
+        }
+      val prevRows = snap(mutate = false)
+      val curRows = snap(mutate = true) ++
+        (41L to 45L).filter(_ => rnd.nextDouble() < 0.5)
+          .map(k => (k, Some(s"new$k"), Some(k.toDouble)))
+      val prev = prevRows.toDF("id", "name", "bal")
+      val cur = curRows.toDF("id", "name", "bal")
+      val diff = Ingest.snapshotDiff(prev, cur, "id", Seq("name", "bal"))
+      // no row for unchanged keys
+      val changedOrMoved = {
+        val p = prevRows.map(r => r._1 -> ((r._2, r._3))).toMap
+        val c = curRows.map(r => r._1 -> ((r._2, r._3))).toMap
+        (p.keySet ++ c.keySet).filter(k => p.get(k) != c.get(k))
+      }
+      val diffKeys = diff.select("id").as[Long].collect().toSet
+      assert(diffKeys == changedOrMoved, s"round $round: $diffKeys vs $changedOrMoved")
+      // roundtrip identity
+      val replayed = Ingest.cdcMerge(prev.withColumn("v", lit(0L)),
+        diff.withColumn("v", lit(1L)), "id", "op", "v", "id")
+        .select("id", "name", "bal")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      assert(replayed == curRows.toSet, s"round $round roundtrip broke")
+    }
+  }
+
+  test("expectationReport counts match a brute-force Scala evaluation on random tables") {
+    import graft.validate.Quality
+    for (round <- 1 to 20) {
+      val rows = (1 to 200).map { _ =>
+        (if (rnd.nextDouble() < 0.2) None else Some(rnd.nextInt(30).toLong),
+          if (rnd.nextDouble() < 0.2) None else Some(rnd.nextDouble() * 200 - 50),
+          if (rnd.nextDouble() < 0.2) None
+          else Some(Seq("click", "view", "Bogus", "err0r")(rnd.nextInt(4))))
+      }
+      val df = rows.toDF("id", "value", "kind")
+      val rep = Quality.expectationReport(df, Seq(
+        Quality.ExpectNotNull("nn", "value"),
+        Quality.ExpectBetween("bt", "value", Some(0.0), Some(100.0)),
+        Quality.ExpectInSet("is", "kind", Seq("click", "view")),
+        Quality.ExpectUnique("uq", "id"),
+        Quality.ExpectMatches("rx", "kind", "^[a-z]+$")))
+        .collect().map(r => r.getAs[String]("rule_id") ->
+          r.getAs[Long]("n_violations")).toMap
+      val vs = rows.flatMap(_._2)
+      val ks = rows.flatMap(_._3)
+      val ids = rows.flatMap(_._1)
+      assert(rep("nn") == rows.count(_._2.isEmpty).toLong)
+      assert(rep("bt") == vs.count(v => v < 0.0 || v > 100.0).toLong)
+      assert(rep("is") == ks.count(k => k != "click" && k != "view").toLong)
+      assert(rep("uq") == (ids.size - ids.distinct.size).toLong)
+      assert(rep("rx") == ks.count(k => !k.matches("^[a-z]+$")).toLong,
+        s"round $round regex count")
+    }
+  }
 }
