@@ -90,7 +90,10 @@ object Analytics {
     * grouping-set fan-out is bounded by 2^dims, not data. Money sums
     * in exact integer ten-thousandths, quantity in integer cents (the
     * corpus-scale-sum discipline: the grand-total row accumulates the
-    * whole fact table). */
+    * whole fact table). Empty-input caveat (EdgeCasesSpec-pinned):
+    * Spark's cube emits NO rows on an empty table, where SQL-standard
+    * GROUP BY CUBE (DuckDB) emits a grand-total zero row — oracle
+    * parity is claimed on non-empty tables only. */
   def pricingCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))

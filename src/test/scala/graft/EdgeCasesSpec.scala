@@ -81,4 +81,51 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.quantizeInt8Flat(noVecs, "vec_id", "embedding").count() == 0)
     assert(Similarity.quantizedTopK(noVecs, noVecs, "vec_id", "embedding", 3).count() == 0)
   }
+
+  test("round-8 operators tolerate empty inputs end to end") {
+    import graft.ingest.Ingest
+    import graft.validate.Quality
+    import graft.vector.Similarity
+    val snap = Seq((1L, "a", 1.0)).toDF("id", "name", "bal")
+    val noSnap = snap.limit(0)
+    // empty prev: everything is an insert; empty cur: everything a
+    // delete; both empty: nothing
+    assert(Ingest.snapshotDiff(noSnap, snap, "id", Seq("name", "bal"))
+      .select("op").as[String].collect().toSeq == Seq("I"))
+    assert(Ingest.snapshotDiff(snap, noSnap, "id", Seq("name", "bal"))
+      .select("op").as[String].collect().toSeq == Seq("D"))
+    assert(Ingest.snapshotDiff(noSnap, noSnap, "id", Seq("name", "bal")).count() == 0)
+    // empty table under the suite: zero rows, zero violations, all pass
+    val rep = Quality.expectationReport(noSnap, Seq(
+      Quality.ExpectNotNull("r1", "bal"), Quality.ExpectUnique("r2", "id")))
+      .collect()
+    assert(rep.length == 2)
+    assert(rep.forall(r => r.getAs[Long]("n_rows") == 0L &&
+      r.getAs[Long]("n_violations") == 0L && r.getAs[Boolean]("pass")))
+    // empty corpus under the cube: Spark's cube emits NO rows — unlike
+    // SQL-standard GROUP BY CUBE (DuckDB emits the grand-total zero
+    // row). Pinned as a documented divergence (d11 scaladoc): the
+    // operator's contract is Spark semantics; oracle parity is only
+    // claimed on non-empty tables.
+    val cube = Seq((1.0, 2.0, 0.1, "A", "F"))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+      .limit(0)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    assert(cube.count() == 0)
+    // upsert: an empty batch into an existing table is a no-op, and an
+    // empty first batch must not leave a corrupt half-created table
+    val dir = s"/tmp/graft_edge_upsert_${System.nanoTime()}"
+    val batch = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, 1.0))
+      .toDF("id", "ts", "key", "value")
+    graft.streaming.Upsert.upsertIntoTable(spark, batch.limit(0), dir, "key", "ts", "id", 4)
+    graft.streaming.Upsert.upsertIntoTable(spark, batch, dir, "key", "ts", "id", 4)
+    graft.streaming.Upsert.upsertIntoTable(spark, batch.limit(0), dir, "key", "ts", "id", 4)
+    assert(graft.streaming.Upsert.readTable(spark, dir).count() == 1)
+    // recall with an empty query side: no rows, no crash
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.annRecall(vecs, vecs.limit(0), "vec_id", "embedding", 8, 2, 2)
+      .count() == 0)
+  }
 }
