@@ -50,7 +50,21 @@ object Similarity {
     * re-tune with corpus size — held 6×/decade. Use an LSH bucket or
     * cluster id at scale, never a static category column. */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     blockCol: String, threshold: Double): DataFrame = {
+                     blockCol: String, threshold: Double,
+                     maxBlockSize: Option[Long] = None): DataFrame = {
+    // round-8 guard rail for the block-size contract above: when set,
+    // one cheap aggregate on the block column fails fast naming the
+    // oversized blocks BEFORE the quadratic join can melt the cluster,
+    // with the fix spelled out. Default None = exact-baseline
+    // semantics unchanged.
+    maxBlockSize.foreach { cap =>
+      val over = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).orderBy(col("__n").desc).limit(5)
+        .collect().map(r => s"${r.get(0)}=${r.getLong(1)}")
+      require(over.isEmpty,
+        s"cosineDupPairs blocks exceed maxBlockSize=$cap (quadratic pair space): " +
+          over.mkString(", ") + " -- use cosineDupPairsLsh (e22) or a finer block column")
+    }
     val pre = withVecNorm(
       emb.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol)),
       vecCol, "v", "n2")

@@ -363,6 +363,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall too low: $recall") // 4 bands of 4 bits on random vectors
   }
 
+  test("cosineDupPairs maxBlockSize guard fails fast naming the oversized block") {
+    val emb = (1L to 30L).map(i => (i, Array(i.toFloat, 1.0f), if (i <= 25) "big" else "ok"))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairs(emb, "vec_id", "embedding", "label", 0.25,
+        maxBlockSize = Some(10L))
+    }
+    assert(ex.getMessage.contains("big=25") &&
+      ex.getMessage.contains("cosineDupPairsLsh"), ex.getMessage)
+    // under the cap: identical output to the unguarded baseline
+    val guarded = Similarity.cosineDupPairs(emb, "vec_id", "embedding", "label", 0.25,
+      maxBlockSize = Some(25L)).collect().map(_.toSeq).toSet
+    val plain = Similarity.cosineDupPairs(emb, "vec_id", "embedding", "label", 0.25)
+      .collect().map(_.toSeq).toSet
+    assert(guarded == plain)
+  }
+
   test("annRecall agrees with recall computed from the engine's own exact and LSH rankings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
