@@ -219,6 +219,8 @@ object SparkEntry {
       TimeSeries.windowSamplesFlat(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24, 6, 4)),
     "c21_seasonal_decompose" -> ((s, d) =>
       Decompose.seasonalDecompose(Tables.events(s, d), "user_id", "ts", "event_id", "value", 12)),
+    "c23_residual_anomalies" -> ((s, d) =>
+      Decompose.residualAnomalies(Tables.events(s, d), "user_id", "ts", "event_id", "value", 12, 3)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
     "c19_scaler_apply" -> ((s, d) => {
@@ -1532,6 +1534,41 @@ object SparkEntry {
            season_e4 / 10000.0 AS seasonal,
            (det_e4 - season_e4) / 10000.0 AS remainder
          FROM s2""",
+    // c21's CTE chain + per-key exact median/MAD of the integer-e4
+    // remainders (quantile_cont on longs — the b5 parity argument);
+    // only rows beyond k·MAD survive
+    "c23_residual_anomalies" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+         FROM events WHERE ts IS NOT NULL),
+         w AS (SELECT *, count(cents) OVER win AS n, sum(cents) OVER win AS s FROM t
+           WINDOW win AS (PARTITION BY user_id ORDER BY period, event_id
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         d AS (SELECT *, CASE WHEN n = 25 THEN
+             CASE WHEN s * 100 < 0 THEN -(((-(s * 100)) + n // 2) // n)
+                  ELSE (s * 100 + n // 2) // n END END AS trend_e4 FROM w),
+         d2 AS (SELECT *, cents * 100 - trend_e4 AS det_e4, hour(period) AS hod FROM d),
+         s2 AS (SELECT *, count(det_e4) OVER hw AS m, sum(det_e4) OVER hw AS ssum,
+           CASE WHEN count(det_e4) OVER hw > 0 THEN
+             CASE WHEN sum(det_e4) OVER hw < 0
+               THEN -(((-(sum(det_e4) OVER hw)) + (count(det_e4) OVER hw) // 2) // (count(det_e4) OVER hw))
+               ELSE (sum(det_e4) OVER hw + (count(det_e4) OVER hw) // 2) // (count(det_e4) OVER hw) END
+           END AS season_e4
+           FROM d2 WINDOW hw AS (PARTITION BY user_id, hod)),
+         r AS (SELECT user_id, period, event_id, value,
+             (det_e4 - season_e4) / 10000.0 AS remainder,
+             det_e4 - season_e4 AS r_e4
+           FROM s2 WHERE det_e4 - season_e4 IS NOT NULL),
+         med AS (SELECT user_id, CAST(quantile_cont(r_e4, 0.5) AS DOUBLE) AS med
+           FROM r GROUP BY 1),
+         ad AS (SELECT r.*, abs(r.r_e4 - med.med) AS deviation_e4
+           FROM r JOIN med ON r.user_id = med.user_id),
+         mad AS (SELECT user_id, CAST(quantile_cont(deviation_e4, 0.5) AS DOUBLE) AS mad
+           FROM ad GROUP BY 1)
+         SELECT ad.user_id, ad.period, ad.event_id, ad.value, ad.remainder,
+           ad.deviation_e4, mad.mad AS mad_e4
+         FROM ad JOIN mad ON ad.user_id = mad.user_id
+         WHERE ad.deviation_e4 > 3 * mad.mad""",
     "c17_ema_smooth" -> {
       val weights = graft.timeseries.TimeSeries.emaWeights(0.2, 24)
       val wvals = weights.zipWithIndex.map { case (w, j) => s"($j, $w)" }.mkString(", ")

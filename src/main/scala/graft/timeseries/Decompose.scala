@@ -73,4 +73,46 @@ object Decompose {
       (col("__season_e4") / 10000.0).as("seasonal"),
       ((col("__det_e4") - col("__season_e4")) / 10000.0).as("remainder"))
   }
+
+  /** Robust residual anomaly detection (round 8) — the alerting layer
+    * on top of [[seasonalDecompose]]: a reading is anomalous when its
+    * decomposition remainder deviates from the key's median remainder
+    * by more than k·MAD (median absolute deviation). Median/MAD, not
+    * mean/σ, because anomalies are exactly what corrupts mean/σ — the
+    * estimator must be robust to the points it is hunting.
+    *
+    * Exactness: remainders are exact 1e-4 integers (the c21 integer-e4
+    * path), so median and MAD are exact percentiles of integers —
+    * interpolated midpoints are (a+b)/2 of longs, exact in doubles and
+    * bit-identical across engines (the b5 median argument). The flag
+    * compare runs on those doubles with k integer: no rounding rescue
+    * needed. MAD = 0 (over half the key's remainders identical) makes
+    * ANY nonzero deviation anomalous — the degenerate case is strict,
+    * not silent.
+    *
+    * Scale shape: decompose windows are per-key (entity-bounded); the
+    * two robust-stat passes are per-key exact percentiles (value
+    * buffer bounded by the key's history) whose outputs are one row
+    * per key — AQE broadcasts them back. Output is anomalous rows
+    * ONLY, so downstream moves alerts, not the corpus. */
+  def residualAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valueCol: String,
+                        halfWindow: Int = 12, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = seasonalDecompose(df, keyCol, tsCol, idCol, valueCol, halfWindow)
+      .filter(col("remainder").isNotNull)
+      .withColumn("__r", round(col("remainder") * 10000, 0).cast("long"))
+    val med = dec.groupBy(col(keyCol))
+      .agg(percentile(col("__r"), lit(0.5)).as("__med"))
+    val withMed = dec.join(med, Seq(keyCol))
+      .withColumn("__ad", abs(col("__r") - col("__med")))
+    val mad = withMed.groupBy(col(keyCol))
+      .agg(percentile(col("__ad"), lit(0.5)).as("__mad"))
+    withMed.join(mad, Seq(keyCol))
+      .filter(col("__ad") > lit(k) * col("__mad"))
+      .select(col(keyCol), col("period"), col(idCol), col(valueCol),
+        col("remainder"),
+        col("__ad").as("deviation_e4"),
+        col("__mad").as("mad_e4"))
+  }
 }
