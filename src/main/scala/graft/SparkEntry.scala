@@ -285,6 +285,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 16, 4, 5)
     }),
+    "e42_source_token_lift" -> ((s, d) =>
+      TextOps.sourceTokenLift(Tables.documents(s, d), "doc_id", "text", "source", 5L, 10)),
     "e41_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annRecall(emb, emb.filter(col("vec_id") < 10),
@@ -2086,6 +2088,30 @@ object SparkEntry {
             FROM documents)
           SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
           FROM t WHERE length(token) > 0 GROUP BY 1 HAVING count(*) >= 5""",
+    // the lift double is the identical expression shape both engines
+    // evaluate on exact integer counts; ranking ties break on token
+    "e42_source_token_lift" ->
+      s"""WITH t AS (SELECT source, unnest(string_split($normSql, ' ')) AS token
+            FROM documents WHERE source IS NOT NULL),
+          st AS (SELECT source, token, count(*) AS c_s
+            FROM t WHERE length(token) > 0 GROUP BY 1, 2),
+          tot AS (SELECT token, CAST(sum(c_s) AS BIGINT) AS c_all FROM st GROUP BY 1),
+          src AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM st GROUP BY 1),
+          al AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_all FROM st),
+          cand AS (SELECT st.source, st.token, st.c_s, tot.c_all,
+              (CAST(st.c_s AS DOUBLE) * al.n_all) /
+                (CAST(src.n_s AS DOUBLE) * tot.c_all) AS lift_raw
+            FROM st JOIN tot ON st.token = tot.token
+              JOIN src ON st.source = src.source
+              CROSS JOIN al
+            WHERE st.c_s >= 5),
+          ranked AS (SELECT source, token, c_s, c_all,
+              floor(lift_raw * 10000 + 0.5) / 10000.0 AS lift,
+              row_number() OVER (PARTITION BY source
+                ORDER BY lift_raw DESC, token) AS rank
+            FROM cand)
+          SELECT source, token, c_s, c_all, lift, rank
+          FROM ranked WHERE rank <= 10""",
     // bigram strings via the e2-proven slice construction; the
     // doc_freq count mirrors e16's COUNT(DISTINCT doc_id) semantics
     "e31_ngram_freq" ->

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -431,4 +432,55 @@ object TextOps {
   /** `functions.size` under a name that doesn't collide with the
     * chunker's `size` parameter. */
   private def size2(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** Per-source distinctive tokens by LIFT vs the whole corpus —
+    * "what makes this source different" (round 8): lift =
+    * (c_s/n_s)/(c_all/n_all), top-k per source among tokens the
+    * source uses ≥ minCount times. The corpus-composition view a
+    * mixture designer reads before setting e33's sampling rates.
+    *
+    * Skew discipline (SURVEY §8 rule 1): token keys are Zipfian, so
+    * every corpus-scale aggregate is a partial-aggregated groupBy —
+    * (source, token) counts collapse map-side, token/source totals
+    * are aggregates OF that aggregate. The per-source top-k cannot
+    * window over (source) directly (a source's candidate set scales
+    * with vocabulary): it runs the distributed two-stage top-k — a
+    * salt on hash(token) bounds the first window's partitions at
+    * 1/64th of a source's candidates, and the final window ranks at
+    * most 64·k survivors per source. Exact: a token in a source's
+    * true top-k is necessarily in its own salt bucket's top-k.
+    *
+    * Lift doubles are ratios of exact integer counts evaluated with
+    * one expression shape, so ordering and the floor-half-up 1e-4
+    * rounding are engine-portable (§8 round-half-up finding). */
+  def sourceTokenLift(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, minCount: Long, k: Int): DataFrame = {
+    require(k > 0 && minCount >= 1)
+    val tok = docs.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_s"))
+    val tot = st.groupBy(col("token")).agg(sum(col("c_s")).as("c_all"))
+    val src = st.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val all = st.agg(sum(col("c_s")).as("n_all"))
+    val cand = st.filter(col("c_s") >= minCount)
+      .join(tot, Seq("token"))
+      .join(broadcast(src), Seq("source"))
+      .crossJoin(broadcast(all))
+      .withColumn("__lift",
+        (col("c_s").cast("double") * col("n_all")) /
+          (col("n_s").cast("double") * col("c_all")))
+    val w1 = Window.partitionBy(col("source"), pmod(hash(col("token")), lit(64)))
+      .orderBy(col("__lift").desc, col("token"))
+    val survivors = cand.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k).drop("__r")
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("__lift").desc, col("token"))
+    survivors.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("token"), col("c_s"), col("c_all"),
+        (floor(col("__lift") * 10000 + 0.5) / 10000.0).as("lift"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -380,6 +380,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(guarded == plain)
   }
 
+  test("sourceTokenLift ranks each source's distinctive tokens; two-stage top-k is exact") {
+    // source A over-uses "alpha", B over-uses "beta"; "common" is flat
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha alpha common common common", "A"),
+      (2L, "alpha alpha alpha alpha alpha common common common", "A"),
+      (3L, "beta beta beta beta beta common common common", "B"),
+      (4L, "beta beta beta beta beta common common common", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceTokenLift(docs, "doc_id", "text", "source", 1L, 2)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Double]("lift")))).toMap
+    assert(out(("A", 1L))._1 == "alpha" && out(("B", 1L))._1 == "beta")
+    // exact lift check: alpha in A: c_s=10, n_s=16, c_all=10, n_all=32
+    // lift = (10*32)/(16*10) = 2.0; common rank-2: (6*32)/(16*12) = 1.0
+    assert(out(("A", 1L))._2 == 2.0 && out(("A", 2L))._2 == 1.0)
+    // two-stage exactness: the salted partial top-k + final top-k must
+    // equal a naive per-source ranking on a bigger random corpus
+    val rnd = new scala.util.Random(8L)
+    val big = (1 to 400).map { i =>
+      val src = s"s${i % 5}"
+      val words = (1 to 30).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+      (i.toLong, words, src)
+    }.toDF("doc_id", "text", "source")
+    val fast = TextOps.sourceTokenLift(big, "doc_id", "text", "source", 2L, 5)
+      .select("source", "rank", "token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // naive reference: same candidate set, single global window
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      val tok = big.select(col("source"),
+        explode(split(graft.functions.normalizeText(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_s"))
+      val tot = st.groupBy(col("token")).agg(sum(col("c_s")).as("c_all"))
+      val src = st.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+      val all = st.agg(sum(col("c_s")).as("n_all"))
+      val cand = st.filter(col("c_s") >= 2).join(tot, Seq("token"))
+        .join(src, Seq("source")).crossJoin(all)
+        .withColumn("__lift", (col("c_s").cast("double") * col("n_all")) /
+          (col("n_s").cast("double") * col("c_all")))
+      cand.withColumn("rank", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("__lift").desc, col("token"))))
+        .filter(col("rank") <= 5)
+        .select("source", "rank", "token").collect()
+        .map(r => (r.getString(0), r.getInt(1).toLong, r.getString(2))).toSet
+    }
+    assert(fast == naive, "salt-bucketed top-k must equal the naive ranking")
+  }
+
   test("annRecall agrees with recall computed from the engine's own exact and LSH rankings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
