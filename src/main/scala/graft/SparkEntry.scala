@@ -104,6 +104,14 @@ object SparkEntry {
           when(col("event_id") % 97 === 0, col("value") + 5).otherwise(col("value"))))
       Ingest.snapshotReconcile(state, digest(ev), "user_id", "digest")
     }),
+    "a12_backfill_plan" -> ((s, d) => {
+      // a feed with planted landing damage: day-of-month 11 never
+      // landed (missing), day 7 kept only a third of its rows (short)
+      val ev = Tables.events(s, d).select(col("ts"), col("event_id"))
+        .filter(dayofmonth(col("ts")) =!= 11)
+        .filter(dayofmonth(col("ts")) =!= 7 || col("event_id") % 3 === 0)
+      Ingest.backfillPlan(ev, "ts", 0.6)
+    }),
     "a11_snapshot_diff" -> ((s, d) => {
       // two generations of the customer dimension: every 17th key is
       // new in cur (insert), every 13th vanished (delete), every 11th
@@ -957,6 +965,25 @@ object SparkEntry {
          SELECT user_id, state_rows, snapshot_rows,
            CAST(state_digest AS VARCHAR) AS state_digest,
            CAST(snapshot_digest AS VARCHAR) AS snapshot_digest, status
+         FROM j WHERE status IS NOT NULL""",
+    "a12_backfill_plan" ->
+      """WITH feed AS (SELECT ts, event_id FROM events
+           WHERE ts IS NOT NULL AND day(ts) <> 11
+             AND (day(ts) <> 7 OR event_id % 3 = 0)),
+         daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_rows
+           FROM feed GROUP BY 1),
+         b AS (SELECT min(day) AS d0, max(day) AS d1,
+             CAST(quantile_cont(n_rows, 0.5) AS DOUBLE) AS median_rows
+           FROM daily),
+         cal AS (SELECT median_rows,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+           FROM b),
+         j AS (SELECT cal.day, daily.n_rows, cal.median_rows,
+             CASE WHEN daily.n_rows IS NULL THEN 'missing'
+                  WHEN daily.n_rows < cal.median_rows * 0.6 THEN 'short'
+             END AS status
+           FROM cal LEFT JOIN daily ON cal.day = daily.day)
+         SELECT day, coalesce(n_rows, 0) AS n_rows, median_rows, status
          FROM j WHERE status IS NOT NULL""",
     "a11_snapshot_diff" ->
       """WITH base AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),

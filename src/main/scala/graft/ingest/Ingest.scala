@@ -213,6 +213,41 @@ object Ingest {
     * hash works). A null digest counts toward `*_rows` but adds nothing
     * to the sum on either side — both engines' SUM skips nulls — so
     * null-digest rows reconcile by count alone. */
+  /** Backfill planner (round 8): which day-partitions of a time-keyed
+    * feed need re-landing — the decision input [[graft.sources.Sources
+    * .relandPartitions]] consumes and the reference's scheduler decides
+    * by hand (airflow_dag.py re-runs fixed windows blindly). A day is
+    * `missing` when the calendar (min..max of the feed) has no rows for
+    * it, `short` when its row count is below `minFraction` of the
+    * feed's median daily count (a torn land). Healthy days emit
+    * nothing — the plan IS the work list.
+    *
+    * Scale shape: one partial-aggregated groupBy(day) collapses the
+    * corpus to ≤ days rows; the calendar explode, median, and
+    * classification all run on that aggregate (years = thousands of
+    * rows). The exact median-of-days is fine at any corpus size —
+    * the value buffer is bounded by the calendar, not the data.
+    * `day` is a midnight TIMESTAMP (the engine's period convention —
+    * see the date_trunc('second') feeds), not a DATE. */
+  def backfillPlan(df: DataFrame, tsCol: String,
+                   minFraction: Double): DataFrame = {
+    require(minFraction > 0 && minFraction <= 1, s"bad minFraction $minFraction")
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+      percentile(col("n_rows"), lit(0.5)).as("median_rows"))
+    val calendar = bounds.select(col("median_rows"),
+      explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    calendar.join(daily, Seq("day"), "left")
+      .withColumn("status",
+        when(col("n_rows").isNull, "missing")
+          .when(col("n_rows") < col("median_rows") * minFraction, "short"))
+      .filter(col("status").isNotNull)
+      .select(col("day"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("median_rows"), col("status"))
+  }
+
   /** CDC change-set GENERATION — the inverse of [[cdcMerge]]: diff two
     * keyed snapshots into the minimal change feed (op ∈ I/U/D) that
     * replays one into the other. Completes the engine's CDC triangle:

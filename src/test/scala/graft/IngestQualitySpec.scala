@@ -345,6 +345,27 @@ class IngestQualitySpec extends SparkSpec {
     assert(out("Y")._1 > 0.1 && out("Y")._2)   // full inversion: large PSI
   }
 
+  test("backfillPlan reports exactly the missing and short days") {
+    import java.sql.Timestamp
+    // 10 days × 24 hourly rows; day 4 absent, day 7 torn to 6 rows
+    val rows = for {
+      d <- 1 to 10 if d != 4
+      h <- 0 until 24 if d != 7 || h < 6
+    } yield (d * 100L + h, Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00"))
+    val df = rows.toDF("event_id", "ts")
+    val plan = Ingest.backfillPlan(df, "ts", 0.5)
+      .collect().map(r => (r.getAs[Timestamp]("day").toString.take(10),
+        r.getAs[Long]("n_rows"), r.getAs[String]("status"))).toSet
+    assert(plan == Set(
+      ("2024-01-04", 0L, "missing"),
+      ("2024-01-07", 6L, "short")), s"got $plan")
+    // a healthy feed plans nothing
+    val healthy = (1 to 5).flatMap(d => (0 until 24).map(h =>
+      (d * 100L + h, Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00"))))
+      .toDF("event_id", "ts")
+    assert(Ingest.backfillPlan(healthy, "ts", 0.5).count() == 0)
+  }
+
   test("snapshotDiff emits the minimal I/U/D set and roundtrips through cdcMerge") {
     val prev = Seq(
       (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
