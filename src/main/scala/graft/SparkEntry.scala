@@ -177,7 +177,9 @@ object SparkEntry {
         Quality.ExpectBetween("r2_value_bounds", "value", Some(0.0), Some(100.0)),
         Quality.ExpectInSet("r3_type_domain", "event_type", eventTypes),
         Quality.ExpectUnique("r4_event_id_unique", "event_id"),
-        Quality.ExpectMatches("r5_type_shape", "event_type", "^[a-z]+$")))),
+        Quality.ExpectMatches("r5_type_shape", "event_type", "^[a-z]+$"),
+        Quality.ExpectImplies("r6_purchase_has_value", "event_type", "purchase",
+          Quality.ExpectNotNull("_", "value"))))),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -1165,6 +1167,12 @@ object SparkEntry {
               THEN 1 ELSE 0 END) AS BIGINT),
             sum(CASE WHEN event_type IS NOT NULL
               AND NOT regexp_matches(event_type, '^[a-z]+${"$"}')
+              THEN 1 ELSE 0 END) = 0 FROM events
+          UNION ALL
+          SELECT 'r6_purchase_has_value', 'event_type', 'implies_not_null', count(*),
+            CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT),
+            sum(CASE WHEN event_type = 'purchase' AND value IS NULL
               THEN 1 ELSE 0 END) = 0 FROM events"""
     },
     "b14_psi_drift" -> {

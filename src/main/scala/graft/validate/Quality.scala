@@ -377,6 +377,18 @@ object Quality {
   case class ExpectMatches(ruleId: String, column: String,
                            pattern: String) extends Expectation {
     val kind = "matches" }
+  /** Conditional rule: when `column` equals `ifValue`, the nested
+    * row-local rule must hold (its own ruleId/kind are display-only —
+    * the report row carries THIS rule's id). `thenRule` must be
+    * row-local (not [[ExpectUnique]] — a conditional distinct is a
+    * different aggregate shape). Rows where the condition is false or
+    * the condition column is null cannot violate. */
+  case class ExpectImplies(ruleId: String, column: String, ifValue: String,
+                           thenRule: Expectation) extends Expectation {
+    require(!thenRule.isInstanceOf[ExpectUnique] &&
+      !thenRule.isInstanceOf[ExpectImplies],
+      s"$ruleId: thenRule must be a row-local check")
+    val kind = s"implies_${thenRule.kind}" }
 
   /** Expectation-suite validation — the reference's hand-written check
     * list (data_validation.py:25-226 runs one bespoke function per
@@ -395,19 +407,23 @@ object Quality {
   def expectationReport(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "empty expectation suite")
     require(rules.map(_.ruleId).distinct.size == rules.size, "duplicate ruleId")
-    def violations(r: Expectation) = r match {
-      case ExpectNotNull(_, c) =>
-        sum(when(col(c).isNull, 1L).otherwise(0L))
+    // the row-local violation PREDICATE (unique is the one aggregate-
+    // shaped rule and is handled in violations() directly)
+    def rowViolation(r: Expectation): org.apache.spark.sql.Column = r match {
+      case ExpectNotNull(_, c) => col(c).isNull
       case ExpectBetween(_, c, mn, mx) =>
         val bad = (mn.map(col(c) < _): Iterable[org.apache.spark.sql.Column]) ++
           mx.map(col(c) > _)
-        sum(when(col(c).isNotNull && bad.reduce(_ || _), 1L).otherwise(0L))
-      case ExpectInSet(_, c, vs) =>
-        sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
-      case ExpectUnique(_, c) =>
-        count(col(c)) - countDistinct(col(c))
-      case ExpectMatches(_, c, p) =>
-        sum(when(col(c).isNotNull && !col(c).rlike(p), 1L).otherwise(0L))
+        col(c).isNotNull && bad.reduce(_ || _)
+      case ExpectInSet(_, c, vs) => col(c).isNotNull && !col(c).isin(vs: _*)
+      case ExpectMatches(_, c, p) => col(c).isNotNull && !col(c).rlike(p)
+      case ExpectImplies(_, c, v, then_) =>
+        col(c) === v && rowViolation(then_)
+      case _: ExpectUnique => sys.error("unique has no row-local predicate")
+    }
+    def violations(r: Expectation) = r match {
+      case ExpectUnique(_, c) => count(col(c)) - countDistinct(col(c))
+      case other => sum(when(rowViolation(other), 1L).otherwise(0L))
     }
     val aggs = count(lit(1)).as("__n") +:
       rules.zipWithIndex.map { case (r, i) => violations(r).as(s"__v$i") }

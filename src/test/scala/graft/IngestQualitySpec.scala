@@ -412,7 +412,11 @@ class IngestQualitySpec extends SparkSpec {
       Quality.ExpectBetween("r2", "value", Some(0.0), Some(100.0)),
       Quality.ExpectInSet("r3", "event_type", Seq("click", "view")),
       Quality.ExpectUnique("r4", "event_id"),
-      Quality.ExpectMatches("r5", "event_type", "^[a-z]+$"))
+      Quality.ExpectMatches("r5", "event_type", "^[a-z]+$"),
+      // conditional: only the null-value VIEW row violates; rows where
+      // the condition is false (or its column null) cannot
+      Quality.ExpectImplies("r6", "event_type", "view",
+        Quality.ExpectNotNull("_", "value")))
     val rep = Quality.expectationReport(df, rules)
     val got = rep.collect().map(r => r.getAs[String]("rule_id") ->
       ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
@@ -422,7 +426,8 @@ class IngestQualitySpec extends SparkSpec {
       "r2" -> ((5L, 2L, false)),
       "r3" -> ((5L, 2L, false)),
       "r4" -> ((5L, 1L, false)),
-      "r5" -> ((5L, 1L, false))), s"got $got")
+      "r5" -> ((5L, 1L, false)),
+      "r6" -> ((5L, 1L, false))), s"got $got")
     // a passing suite reports pass=true everywhere
     val clean = Quality.expectationReport(df.filter(col("value") === 5.0),
       rules).collect()
