@@ -180,6 +180,11 @@ object SparkEntry {
         Quality.ExpectMatches("r5_type_shape", "event_type", "^[a-z]+$"),
         Quality.ExpectImplies("r6_purchase_has_value", "event_type", "purchase",
           Quality.ExpectNotNull("_", "value"))))),
+    "b16_expectation_by_key" -> ((s, d) =>
+      Quality.expectationReportByKey(Tables.events(s, d), "user_id", Seq(
+        Quality.ExpectNotNull("r1_value_not_null", "value"),
+        Quality.ExpectBetween("r2_value_bounds", "value", Some(0.0), Some(100.0)),
+        Quality.ExpectUnique("r3_event_id_unique", "event_id")))),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -1174,6 +1179,27 @@ object SparkEntry {
               THEN 1 ELSE 0 END) AS BIGINT),
             sum(CASE WHEN event_type = 'purchase' AND value IS NULL
               THEN 1 ELSE 0 END) = 0 FROM events"""
+    },
+    // the same rule counters grouped per key — one UNION ALL branch
+    // per rule, each a per-user aggregate
+    "b16_expectation_by_key" -> {
+      """SELECT user_id, 'r1_value_not_null' AS rule_id, 'value' AS col_name,
+            'not_null' AS kind, count(*) AS n_rows,
+            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+            sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+          FROM events GROUP BY 1
+          UNION ALL
+          SELECT user_id, 'r2_value_bounds', 'value', 'between', count(*),
+            CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+              THEN 1 ELSE 0 END) AS BIGINT),
+            sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+              THEN 1 ELSE 0 END) = 0
+          FROM events GROUP BY 1
+          UNION ALL
+          SELECT user_id, 'r3_event_id_unique', 'event_id', 'unique', count(*),
+            count(event_id) - count(DISTINCT event_id),
+            count(event_id) - count(DISTINCT event_id) = 0
+          FROM events GROUP BY 1"""
     },
     "b14_psi_drift" -> {
       val domainSql = eventTypes.map(t => s"'$t'").mkString(",")

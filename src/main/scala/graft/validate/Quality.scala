@@ -407,34 +407,62 @@ object Quality {
   def expectationReport(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "empty expectation suite")
     require(rules.map(_.ruleId).distinct.size == rules.size, "duplicate ruleId")
-    // the row-local violation PREDICATE (unique is the one aggregate-
-    // shaped rule and is handled in violations() directly)
-    def rowViolation(r: Expectation): org.apache.spark.sql.Column = r match {
-      case ExpectNotNull(_, c) => col(c).isNull
-      case ExpectBetween(_, c, mn, mx) =>
-        val bad = (mn.map(col(c) < _): Iterable[org.apache.spark.sql.Column]) ++
-          mx.map(col(c) > _)
-        col(c).isNotNull && bad.reduce(_ || _)
-      case ExpectInSet(_, c, vs) => col(c).isNotNull && !col(c).isin(vs: _*)
-      case ExpectMatches(_, c, p) => col(c).isNotNull && !col(c).rlike(p)
-      case ExpectImplies(_, c, v, then_) =>
-        col(c) === v && rowViolation(then_)
-      case _: ExpectUnique => sys.error("unique has no row-local predicate")
-    }
-    def violations(r: Expectation) = r match {
-      case ExpectUnique(_, c) => count(col(c)) - countDistinct(col(c))
-      case other => sum(when(rowViolation(other), 1L).otherwise(0L))
-    }
     val aggs = count(lit(1)).as("__n") +:
-      rules.zipWithIndex.map { case (r, i) => violations(r).as(s"__v$i") }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    one.select(explode(array(rules.zipWithIndex.map { case (r, i) =>
-        struct(lit(r.ruleId).as("rule_id"), lit(r.column).as("col_name"),
-          lit(r.kind).as("kind"), col("__n").as("n_rows"),
-          coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
-      }: _*)).as("r"))
+      rules.zipWithIndex.map { case (r, i) => ruleViolations(r).as(s"__v$i") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(ruleExplode(rules).as("r"))
       .select(col("r.rule_id"), col("r.col_name"), col("r.kind"),
         col("r.n_rows"), col("r.n_violations"),
         (col("r.n_violations") === 0L).as("pass"))
   }
+
+  /** Per-key twin of [[expectationReport]] — the reference's per-region
+    * checks generalized: the SAME rule algebra evaluated per key, one
+    * report row per (key, rule). Identical single-scan shape; the only
+    * difference is that the counters partial-aggregate per key instead
+    * of globally (still map-side combinable — the key is the bounded
+    * entity dimension, never a Zipfian token). The per-key verdict
+    * drives per-partition quarantine the way b10's global verdict
+    * gates a whole land. */
+  def expectationReportByKey(df: DataFrame, keyCol: String,
+                             rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "empty expectation suite")
+    require(rules.map(_.ruleId).distinct.size == rules.size, "duplicate ruleId")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case (r, i) => ruleViolations(r).as(s"__v$i") }
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol), ruleExplode(rules).as("r"))
+      .select(col(keyCol), col("r.rule_id"), col("r.col_name"), col("r.kind"),
+        col("r.n_rows"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
+  /** The row-local violation PREDICATE (unique is the one aggregate-
+    * shaped rule and is handled in [[ruleViolations]] directly). */
+  private def rowViolation(r: Expectation): org.apache.spark.sql.Column = r match {
+    case ExpectNotNull(_, c) => col(c).isNull
+    case ExpectBetween(_, c, mn, mx) =>
+      val bad = (mn.map(col(c) < _): Iterable[org.apache.spark.sql.Column]) ++
+        mx.map(col(c) > _)
+      col(c).isNotNull && bad.reduce(_ || _)
+    case ExpectInSet(_, c, vs) => col(c).isNotNull && !col(c).isin(vs: _*)
+    case ExpectMatches(_, c, p) => col(c).isNotNull && !col(c).rlike(p)
+    case ExpectImplies(_, c, v, then_) =>
+      col(c) === v && rowViolation(then_)
+    case _: ExpectUnique => sys.error("unique has no row-local predicate")
+  }
+
+  private def ruleViolations(r: Expectation) = r match {
+    case ExpectUnique(_, c) => count(col(c)) - countDistinct(col(c))
+    case other => sum(when(rowViolation(other), 1L).otherwise(0L))
+  }
+
+  /** Explode the 1-row-per-group counter layout into per-rule rows —
+    * runs on the already-aggregated (tiny) side. */
+  private def ruleExplode(rules: Seq[Expectation]) =
+    explode(array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.ruleId).as("rule_id"), lit(r.column).as("col_name"),
+        lit(r.kind).as("kind"), col("__n").as("n_rows"),
+        coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+    }: _*))
 }

@@ -432,6 +432,14 @@ class IngestQualitySpec extends SparkSpec {
     val clean = Quality.expectationReport(df.filter(col("value") === 5.0),
       rules).collect()
     assert(clean.forall(_.getAs[Boolean]("pass")))
+    // per-key twin: the same rules, counters per key
+    val byKey = Quality.expectationReportByKey(
+      df.withColumn("k", when($"event_type" === "view", "B").otherwise("A")),
+      "k", Seq(Quality.ExpectNotNull("kn", "value")))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[String]("rule_id")) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations")))).toMap
+    assert(byKey(("B", "kn")) == ((2L, 1L)) && byKey(("A", "kn")) == ((3L, 0L)),
+      s"got $byKey")
     // the single-scan contract: the whole suite reads its input once
     val leaves = rep.queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.size == 1, s"suite must compile to ONE scan, got ${leaves.size}")
