@@ -236,6 +236,8 @@ object SparkEntry {
       Decompose.seasonalDecompose(Tables.events(s, d), "user_id", "ts", "event_id", "value", 12)),
     "c23_residual_anomalies" -> ((s, d) =>
       Decompose.residualAnomalies(Tables.events(s, d), "user_id", "ts", "event_id", "value", 12, 3)),
+    "c24_forecast_intervals" -> ((s, d) =>
+      Forecast.forecastIntervals(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
     "c19_scaler_apply" -> ((s, d) => {
@@ -1306,6 +1308,26 @@ object SparkEntry {
              lag(value, 24) OVER (PARTITION BY user_id
                ORDER BY date_trunc('second', ts), event_id) AS prediction
            FROM events) t WHERE prediction IS NOT NULL""",
+    // c6's lag + exact-cents residual quantiles per key; lo/hi are
+    // (pred_cents + q)/100 with no round() — boundary-free
+    "c24_forecast_intervals" ->
+      """WITH fc AS (SELECT * FROM (
+           SELECT event_id, user_id, date_trunc('second', ts) AS period, value,
+             lag(value, 24) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS prediction
+           FROM events) t WHERE prediction IS NOT NULL),
+         r AS (SELECT *, CAST(round(prediction * 100, 0) AS BIGINT) AS pc,
+             CAST(round(value * 100, 0) AS BIGINT)
+               - CAST(round(prediction * 100, 0) AS BIGINT) AS rc
+           FROM fc),
+         q AS (SELECT user_id,
+             CAST(quantile_cont(rc, 0.1) AS DOUBLE) AS qlo,
+             CAST(quantile_cont(rc, 0.9) AS DOUBLE) AS qhi
+           FROM r GROUP BY 1)
+         SELECT r.user_id, r.period, r.event_id, r.value, r.prediction,
+           (r.pc + q.qlo) / 100.0 AS lo,
+           (r.pc + q.qhi) / 100.0 AS hi
+         FROM r JOIN q ON r.user_id = q.user_id""",
     "c7_forecast_metrics" ->
       """WITH f AS (
            SELECT user_id, value,

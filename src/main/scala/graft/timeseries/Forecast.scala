@@ -117,6 +117,41 @@ object Forecast {
           .as("mape"))
   }
 
+  /** Empirical prediction intervals (round 8) — the uncertainty bands
+    * every operational forecast needs and the reference's point
+    * forecasters never emit: per key, the [qLo, qHi] quantiles of the
+    * in-sample seasonal-naive residuals attach to each prediction as
+    * `lo`/`hi` (split-conformal shape: the interval's coverage is the
+    * residual distribution's, assuming exchangeable errors).
+    *
+    * Exactness: values are 2-decimal, the seasonal-naive prediction is
+    * a lagged value, so residuals are EXACT integer cents; the per-key
+    * quantiles are exact percentiles of longs (interpolated midpoints
+    * exact in doubles — the b5 argument), and lo/hi are
+    * (pred_cents + q)/100 evaluated with one expression shape — no
+    * round() anywhere, so no half-even/half-up boundary to diverge on.
+    *
+    * Scale shape: one per-key window for the lag (entity-bounded), one
+    * per-key exact percentile pass (value buffer bounded by the key's
+    * history), quantile rows broadcast back by AQE. */
+  def forecastIntervals(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valueCol: String, season: Int,
+                        qLo: Double = 0.1, qHi: Double = 0.9): DataFrame = {
+    require(qLo > 0 && qHi < 1 && qLo < qHi, s"bad quantiles [$qLo, $qHi]")
+    val fc = seasonalNaive(df, keyCol, tsCol, idCol, valueCol, season)
+      .withColumn("__pc", round(col("prediction") * 100, 0).cast("long"))
+      .withColumn("__rc",
+        round(col(valueCol) * 100, 0).cast("long") - col("__pc"))
+    val q = fc.groupBy(col(keyCol)).agg(
+      percentile(col("__rc"), lit(qLo)).as("__qlo"),
+      percentile(col("__rc"), lit(qHi)).as("__qhi"))
+    fc.join(q, Seq(keyCol))
+      .select(col(keyCol), col("period"), col(idCol), col(valueCol),
+        col("prediction"),
+        ((col("__pc") + col("__qlo")) / 100.0).as("lo"),
+        ((col("__pc") + col("__qhi")) / 100.0).as("hi"))
+  }
+
   /** Distributed ridge regression on lag features via normal equations.
     *
     * The scalable stand-in for the reference's lag-window → horizon

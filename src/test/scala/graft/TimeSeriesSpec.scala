@@ -374,4 +374,27 @@ class TimeSeriesSpec extends SparkSpec {
       clean.forall(_.getAs[Double]("deviation_e4") <
         top.getAs[Double]("deviation_e4")))
   }
+
+  test("forecastIntervals covers ~[qLo,qHi] of actuals and brackets every prediction") {
+    // noisy seasonal series: residuals are the noise, so the empirical
+    // band should cover roughly 80% of in-sample actuals
+    val rnd = new scala.util.Random(24L)
+    val rows = (0 until 480).map { i =>
+      val v = 50.0 + (i % 24) + math.round(rnd.nextGaussian() * 300) / 100.0
+      (i.toLong, Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"), "A", v)
+    }.toDF("event_id", "ts", "key", "value")
+    val out = Forecast.forecastIntervals(rows, "key", "ts", "event_id", "value", 24)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      // the band is centered on the prediction by construction
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("prediction") ||
+        r.getAs[Double]("hi") >= r.getAs[Double]("prediction"))
+    }
+    val covered = out.count(r => r.getAs[Double]("value") >= r.getAs[Double]("lo") &&
+      r.getAs[Double]("value") <= r.getAs[Double]("hi"))
+    val frac = covered.toDouble / out.length
+    assert(frac > 0.7 && frac < 0.95, s"in-sample coverage $frac should be ~0.8")
+  }
 }
