@@ -238,6 +238,39 @@ class StreamRecoverySpec extends SparkSpec {
     assert(table() == expected, "replayed merge must be a no-op")
   }
 
+  test("f8 upsert partial maintenance: untouched buckets are byte-identical after a merge") {
+    val (_, _, tableDir) = freshDirs("f8partial")
+    // keys 0..3 hash into distinct buckets with nBuckets=4? not
+    // guaranteed — probe: find two keys in DIFFERENT buckets
+    val probe = (1L to 50L).map(k => (k, ts("10:00"), k, 1.0))
+      .toDF("id", "ts", "key", "value")
+      .withColumn("bucket", pmod(hash(col("key")), lit(4)))
+      .select("key", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (kA, bA) = probe.head
+    val (kB, _) = probe.find(_._2 != bA).get
+    def land(k: Long, id: Long, v: Double): Unit =
+      graft.streaming.Upsert.upsertIntoTable(spark,
+        Seq((id, ts("10:00"), k, v)).toDF("id", "ts", "key", "value"),
+        tableDir, "key", "ts", "id", 4)
+    land(kA, 1L, 1.0)
+    land(kB, 2L, 2.0)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketFiles(b: Int): Map[String, (Long, Long)] = {
+      val dir = new org.apache.hadoop.fs.Path(tableDir, s"bucket=$b")
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> ((st.getLen, st.getModificationTime))).toMap
+    }
+    val aBefore = bucketFiles(bA)
+    // merge a new version of kB only: kA's bucket must not be rewritten
+    land(kB, 3L, 20.0)
+    assert(bucketFiles(bA) == aBefore,
+      s"bucket=$bA (untouched by the merge) must keep identical files")
+    val rows = graft.streaming.Upsert.readTable(spark, tableDir).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Double]("value"))).toSet
+    assert(rows == Set((kA, 1.0), (kB, 20.0)))
+  }
+
   test("f8 upsert lease: a second live writer fails fast, a stale lease is taken over") {
     val (_, _, tableDir) = freshDirs("f8lease")
     val batch = Seq((1L, ts("10:00"), 1L, 1.0)).toDF("id", "ts", "key", "value")
