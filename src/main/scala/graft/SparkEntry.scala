@@ -277,6 +277,9 @@ object SparkEntry {
       graft.analytics.Skew.saltedAggregate(Tables.events(s, d), "user_id", "event_id", "value", 16)),
     "d8_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "d11_pricing_cube" -> ((s, d) => Analytics.pricingCube(s, d)),
+    "d12_activity_pivot" -> ((s, d) =>
+      Analytics.activityPivot(Tables.events(s, d), "user_id", "event_type",
+        "value", eventTypes)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -2317,6 +2320,16 @@ object SparkEntry {
     "g8_compaction" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
+    // the pivot hand-lowered to FILTER aggregates, domain interpolated
+    // from the shared eventTypes
+    "d12_activity_pivot" -> {
+      val cols = eventTypes.map(t =>
+        s"""count(*) FILTER (WHERE event_type = '$t') AS n_$t""").mkString(",\n           ")
+      s"""SELECT user_id,
+           $cols,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM events GROUP BY 1"""
+    },
     // layout-invariant like g8: only file boundaries/order move
     "g9_sorted_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value

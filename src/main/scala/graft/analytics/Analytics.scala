@@ -104,6 +104,26 @@ object Analytics {
         (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
           .cast("long")) / 10000.0).as("revenue"))
 
+  /** Pivoted activity report (round 8): per-user event counts widened
+    * into one column per event type plus exact-cents value mass — the
+    * wide reporting shape BI consumers join against. The type DOMAIN
+    * is an explicit argument and the pivot is hand-lowered to
+    * conditional aggregates: ONE partial-aggregated scan carries every
+    * per-type counter AND the value mass (Spark's `pivot()` without
+    * values runs an extra distinct job and makes the schema
+    * data-dependent — wrong at 100 TB and for oracle parity; with
+    * values it still can't co-compute the non-pivoted mass without a
+    * second scan). Width is bounded by the domain, never the data. */
+  def activityPivot(events: DataFrame, keyCol: String, typeCol: String,
+                    valueCol: String, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty)
+    val counters = types.map(t =>
+      count(when(col(typeCol) === t, lit(1))).as(s"n_$t"))
+    val mass = (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0)
+      .as("sum_value")
+    events.groupBy(col(keyCol)).agg(counters.head, (counters.tail :+ mass): _*)
+  }
+
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)

@@ -49,6 +49,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("activityPivot widens per-type counts in one scan; row sums reconcile") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, "click", 1.0), (2L, 7L, "view", 2.0), (3L, 7L, "view", 3.5),
+      (4L, 8L, "purchase", 10.0), (5L, 8L, "other", 0.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = Analytics.activityPivot(ev, "user_id", "event_type", "value",
+      Seq("click", "view", "purchase"))
+    val got = out.collect().map(r => r.getAs[Long]("user_id") ->
+      ((r.getAs[Long]("n_click"), r.getAs[Long]("n_view"),
+        r.getAs[Long]("n_purchase"), r.getAs[Double]("sum_value")))).toMap
+    // out-of-domain types count toward no column but DO count in mass
+    assert(got == Map(7L -> ((1L, 2L, 0L, 6.5)), 8L -> ((0L, 0L, 1L, 10.5))),
+      s"got $got")
+    // one-scan contract (the same pin as b15)
+    assert(out.queryExecution.optimizedPlan.collectLeaves().size == 1)
+  }
+
   test("bigOrders keeps exactly the orders whose line quantity exceeds the threshold") {
     val out = Analytics.bigOrders(spark, sf, 200L).collect()
     assert(out.nonEmpty)
