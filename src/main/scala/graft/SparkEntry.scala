@@ -307,6 +307,9 @@ object SparkEntry {
     }),
     "e42_source_token_lift" -> ((s, d) =>
       TextOps.sourceTokenLift(Tables.documents(s, d), "doc_id", "text", "source", 5L, 10)),
+    "e43_ngram_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), 3, 0.8)),
     "e41_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annRecall(emb, emb.filter(col("vec_id") < 10),
@@ -1989,6 +1992,18 @@ object SparkEntry {
     "e4_ngram_jaccard" ->
       s"""WITH $ngramPairCte
           SELECT doc_a, doc_b, jaccard FROM jpairs""",
+    // e4's gram CTEs, directed: containment = inter / |grams(a)|
+    "e43_ngram_containment" ->
+      s"""WITH norm AS (SELECT doc_id, concat_ws(chr(1), lang, source) AS block, $normSql AS t FROM documents),
+          pos AS (SELECT doc_id, block, t, unnest(range(1, greatest(length(t) - 1, 1))) AS g FROM norm),
+          grams AS (SELECT DISTINCT doc_id, block, substr(t, CAST(g AS INT), 3) AS gram FROM pos),
+          counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          dpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM grams a JOIN grams b ON a.block = b.block AND a.gram = b.gram
+              AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+          SELECT doc_a, doc_b, round(inter * 1.0 / ca.n, 4) AS containment
+          FROM dpairs JOIN counts ca ON ca.doc_id = doc_a
+          WHERE round(inter * 1.0 / ca.n, 4) >= 0.8""",
     "e17_dup_clusters" ->
       s"""WITH RECURSIVE $ngramPairCte,
           edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs

@@ -637,4 +637,76 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Directed near-CONTAINMENT pairs (round 8): (a, b) where
+    * |grams(a) ∩ grams(b)| / |grams(a)| ≥ minContainment — doc a is
+    * (nearly) inside doc b. The asymmetric cousin of
+    * [[ngramJaccardPairs]]: symmetric Jaccard misses the
+    * quote/boilerplate/expansion case where a short document lives
+    * verbatim inside a much longer one (their union dilutes J below
+    * any useful threshold). Deduplication pipelines drop or down-weight
+    * the contained side.
+    *
+    * Same exact sub-quadratic machinery as e4 with the asymmetric
+    * prefix math: only the CONTAINED side can be prefix-pruned
+    * (C ≥ t ⟹ inter ≥ t·n_a, so a's rare-first prefix of
+    * n_a − ⌈t·n_a⌉ + 1 grams must hit at least one shared gram), while
+    * the container side posts ALL its grams — there is no length or
+    * prefix bound on b beyond n_b ≥ t·n_a. That makes containment
+    * inherently heavier than Jaccard at the same threshold; the block
+    * columns and the rare-first ordering carry the pruning. Exact
+    * verification runs the same allocation-free sorted-intersect. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            blockCols: Seq[String], n: Int, minContainment: Double,
+                            persistIntermediate: Boolean = true): DataFrame = {
+    require(n >= 1 && n <= 7, "gram packing supports 1 <= n <= 7")
+    val t = minContainment - 1e-4 // round(·,4) boundary allowance, as e4
+    val block = concat_ws("", blockCols.map(col): _*)
+    val base = docs
+      .select(col(idCol).as("doc_id"), block.as("block"),
+        normalizeText(col(textCol)).as("norm"))
+      .select(col("doc_id"), col("block"),
+        when(col("norm").isNotNull,
+          graft.functions.StringExpressions.packedGrams(col("norm"), n))
+          .otherwise(array().cast("array<bigint>")).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+      .filter(col("n_grams") > 0)
+      .repartition(col("doc_id")) // shuffle barrier, as e4
+    val baseM =
+      if (persistIntermediate) base.localCheckpoint(false) else base
+    val exploded = baseM.select(col("doc_id"), col("block"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val dfreq = exploded.groupBy(col("block"), col("gram")).agg(count(lit(1)).as("df"))
+    val prefixLen = (col("n_grams") - ceil(lit(t) * col("n_grams")) + 1).cast("int")
+    val prefixes = exploded.join(dfreq, Seq("block", "gram"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("block")).as("block"), max(col("n_grams")).as("n_grams"),
+        array_sort(collect_list(struct(col("df"), col("gram")))).as("ordered"))
+      .select(col("doc_id"), col("block"), col("n_grams"),
+        posexplode(slice(col("ordered"), lit(1), prefixLen)))
+      .select(col("doc_id"), col("block"), col("n_grams"),
+        col("pos"), col("col.gram").as("gram"))
+    val a = prefixes.select(col("block"), col("gram"), col("doc_id").as("doc_a"),
+      col("n_grams").as("na"), col("pos").as("pos_a"))
+    // the container side posts ALL grams — no prefix bound exists on b
+    val b = exploded.select(col("block"), col("gram"), col("doc_id").as("doc_b"),
+      col("n_grams").as("nb"))
+    val candidates = a.join(b, Seq("block", "gram"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // container must be able to hold the required overlap
+      .filter(col("nb") >= lit(t) * col("na"))
+      // positional: grams of a from pos_a on cannot reach t·na
+      .filter((col("na") - col("pos_a")) >= lit(t) * col("na"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ga = baseM.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = baseM.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions
+          .sortedIntersectCount(col("grams_a"), col("grams_b")).cast("int"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / size(col("grams_a")), 4))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
 }

@@ -380,6 +380,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(guarded == plain)
   }
 
+  test("ngramContainmentPairs finds the quote-inside-document case Jaccard misses") {
+    val short = "the quick brown fox jumps over the lazy dog near the river bank"
+    val long = short + " and then a great deal of additional unrelated prose follows " +
+      "for many further sentences about engines shuffles partitions and executors " +
+      "until the shared fragment is a small minority of the full document text"
+    val cdocs = Seq(
+      (1L, short, "en", "s1"),
+      (2L, long, "en", "s1"),
+      (3L, "completely different content about sailing ships and harbors", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val contained = Dedup.ngramContainmentPairs(cdocs, "doc_id", "text",
+      Seq("lang", "source"), 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // directed: the short doc is inside the long one, never the reverse
+    assert(contained.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"got ${contained.toSeq}")
+    assert(contained.head._3 >= 0.95)
+    // symmetric Jaccard at its e4 threshold cannot see this pair — the
+    // union dilutes it (this is WHY the directed operator exists)
+    val j = Dedup.ngramJaccardPairs(cdocs, "doc_id", "text",
+      Seq("lang", "source"), 3, 0.6).collect()
+    assert(j.isEmpty, s"jaccard unexpectedly paired: ${j.toSeq}")
+  }
+
   test("sourceTokenLift ranks each source's distinctive tokens; two-stage top-k is exact") {
     // source A over-uses "alpha", B over-uses "beta"; "common" is flat
     val docs = Seq(
