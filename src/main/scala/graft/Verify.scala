@@ -24,7 +24,13 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): both land the single file the
+        // compare expects, but coalesce collapses the query's FINAL
+        // stage (joins/aggregates included) onto one task — at sf30 the
+        // e43 dump spent 40+ min single-threaded in the pair aggregate
+        // that Bench finishes in 7. The extra 1-partition shuffle is
+        // noise next to that.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -655,7 +655,16 @@ object Dedup {
     * prefix bound on b beyond n_b ≥ t·n_a. That makes containment
     * inherently heavier than Jaccard at the same threshold; the block
     * columns and the rare-first ordering carry the pruning. Exact
-    * verification runs the same allocation-free sorted-intersect. */
+    * verification runs the same allocation-free sorted-intersect.
+    *
+    * Scale note (measured, BASELINE.md round-8 e43 section): at n=3
+    * the gram space is only 37³ ≈ 50k keys, so past ~10⁶ docs per
+    * block-set every gram's df grows linearly with the corpus and
+    * prefix-candidate volume Σ_g df_prefix(g)·df(g) turns quadratic —
+    * the sf10→sf30 leg ran 9.25× for 3× data. At 100 TB raise n
+    * (packedGrams packs up to n=7; 37⁷ keys keep rare-first prefixes
+    * selective) or add a length band to blockCols so containers and
+    * contained docs only meet within compatible length ranges. */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             blockCols: Seq[String], n: Int, minContainment: Double,
                             persistIntermediate: Boolean = true): DataFrame = {
