@@ -522,6 +522,103 @@ object Dedup {
       .distinct()
   }
 
+  /** Measured-size join planning for the gram operators.
+    *
+    * Join strategy CANNOT be left to Catalyst's size estimates here:
+    * every stream descends from the gram table's localCheckpoint,
+    * whose LogicalRDD carries the PRE-checkpoint estimate — and that
+    * estimate prices the packed-gram array column at a few bytes.
+    * Measured consequences, both directions, on the same operator: at
+    * sf10 the planner priced e43's container stream under the 64 MB
+    * broadcast budget and died building a 13.2 GiB broadcast (n=5;
+    * 8.4 GiB at the registered n=3) against the 8 GiB exchange cap;
+    * at sf30 the estimate crossed the budget and the same query fell
+    * to a sort-merge join that sorts hundreds of millions of gram
+    * rows a hash build would stream past.
+    *
+    * So the operators price their own joins from EXACT quantities —
+    * row count and total gram count of the materialized gram table
+    * (one cheap aggregate that merely front-loads the checkpoint
+    * materialization the query pays anyway) — against an honest
+    * budget:
+    *
+    *  - local master (single JVM): a broadcast is a same-heap
+    *    reference hand-off, so the budget is heap-derived
+    *    (maxMemory/8, capped at 6 GiB to clear Spark's hard 8 GiB
+    *    exchange limit with relation overhead).
+    *  - distributed master: the session's configured
+    *    autoBroadcastJoinThreshold — at 100 TB the corpus-sized
+    *    streams always exceed it and take the shuffled-hash path,
+    *    whose build sides are bounded (prefix stream or per-partition
+    *    array-table slice), shrinking as shuffle.partitions scales
+    *    with the cluster.
+    *
+    * The byte models below are UnsafeRow layout (8-byte null bitmap +
+    * one 8-byte slot per field + 8-byte-aligned variable payload) over
+    * MEASURED string bytes — a flat per-row constant is not enough:
+    * the first cut priced rows at 48 B and let the sf10 container
+    * stream through its 6 GiB cap when the real relation was 8.4 GiB,
+    * still over Spark's hard 8 GiB exchange limit. The 4 GiB
+    * local cap leaves 2× headroom under that limit for relation-build
+    * overhead and residual model error. */
+  private def broadcastCap(spark: org.apache.spark.sql.SparkSession): Long =
+    if (spark.sparkContext.isLocal)
+      math.min(Runtime.getRuntime.maxMemory() / 8, 4L << 30)
+    else
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+
+  /** Exact quantities of the materialized gram table, priced into the
+    * dataSize BroadcastExchange would observe for each derived stream.
+    * varGramBytes = per-exploded-row aligned (doc_id + block) payload
+    * summed over all gram rows; varDocBytes = per-doc aligned doc_id
+    * payload. Sentinel -1s = caller opted out of persistence, so no
+    * stats job runs and every join takes the scale-safe shuffled-hash
+    * path rather than paying a full recompute for stats. */
+  private final case class GramStats(nDocs: Long, totalGrams: Long,
+                                     varGramBytes: Long, varDocBytes: Long) {
+    /** The FULL exploded gram stream (block, gram, doc, n[, pos]):
+      * bitmap + up to five fixed slots + measured string payload, then
+      * ×2 for the HashedRelation's page/map overhead — the exchange's
+      * 8 GiB check runs against relation.estimatedSize, NOT raw row
+      * bytes. Probe-calibrated: sf1 relation 0.973 GB vs 0.456 GB raw
+      * (2.13×); sf10 crash 8.4 GiB vs ~4.5 GB raw (1.98×). */
+    def fullStreamBytes: Long =
+      if (totalGrams < 0) -1L else (totalGrams * 48L + varGramBytes) * 2
+    /** The prefix-pruned stream — only n − ⌈t·n⌉ + 1 grams per doc
+      * survive, so scale the full stream by the surviving fraction. */
+    def prefixStreamBytes(t: Double): Long =
+      if (totalGrams < 0) -1L
+      else if (totalGrams == 0) 0L
+      else {
+        val rows = ((1 - t) * totalGrams).toLong + nDocs
+        (fullStreamBytes.toDouble * rows / totalGrams).toLong
+      }
+    /** The (doc_id, grams array<bigint>) side of exact verification:
+      * bitmap + two slots + array header/null-bits per doc, 8 B per
+      * packed gram, measured doc_id payload. The map overhead swings
+      * with BytesToBytesMap capacity doubling (probe: 1.13× raw at
+      * sf1, 1.80× at sf10) — ×2 bounds it. */
+    def arrayTableBytes: Long =
+      if (totalGrams < 0) -1L
+      else (nDocs * 56L + varDocBytes + totalGrams * 8L) * 2
+  }
+
+  private def pad8(e: Column): Column = floor((e + lit(7)) / lit(8)) * lit(8)
+
+  private def gramStats(baseM: DataFrame, persisted: Boolean): GramStats =
+    if (!persisted) GramStats(-1L, -1L, -1L, -1L)
+    else {
+      val docB = pad8(octet_length(col("doc_id")))
+      val blockB = pad8(octet_length(col("block")))
+      val r = baseM.agg(count(lit(1)), sum(col("n_grams")),
+        sum(col("n_grams") * (docB + blockB)), sum(docB)).head()
+      if (r.isNullAt(1)) GramStats(r.getLong(0), 0L, 0L, 0L)
+      else GramStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+
+  private def fits(bytes: Long, cap: Long): Boolean = bytes >= 0 && bytes <= cap
+
   /** Character n-gram Jaccard similarity with prefix + positional
     * filtering (AllPairs / PPJoin; Bayardo et al. WWW'07, Xiao et al.
     * WWW'08).
@@ -588,18 +685,26 @@ object Dedup {
     // 10.9/10.5 s at sf1 (best-of-legs, same direction at sf0.1).
     val baseM =
       if (persistIntermediate) base.localCheckpoint(false) else base
+    // exact sizes for join planning (see broadcastCap's scaladoc)
+    val st = gramStats(baseM, persistIntermediate)
+    val cap = broadcastCap(docs.sparkSession)
     val exploded = baseM.select(col("doc_id"), col("block"), col("n_grams"),
       explode(col("grams")).as("gram"))
-    // per-block document frequency -> canonical rare-first total order
-    val dfreq = exploded.groupBy(col("block"), col("gram")).agg(count(lit(1)).as("df"))
+    // per-block document frequency -> canonical rare-first total order.
+    // n <= 3 bounds the vocabulary by the gram space (37³ ≈ 50k per
+    // block over the normalized alphabet) — always broadcastable; wider
+    // spaces are priced by the corpus-derived upper bound.
+    val dfreqAgg =
+      exploded.groupBy(col("block"), col("gram")).agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (n <= 3 || fits(st.fullStreamBytes, cap)) broadcast(dfreqAgg)
+      else dfreqAgg.hint("shuffle_hash")
     val prefixLen = (col("n_grams") - ceil(lit(t) * col("n_grams")) + 1).cast("int")
     // group by doc_id ALONE: block/n_grams are functionally dependent
     // (constant per doc, folded via max), so when the df join broadcasts
-    // — the common case; the vocabulary is small next to the corpus —
-    // base's existing doc_id partitioning satisfies the aggregation and
-    // the joined gram table never re-shuffles. If the vocabulary side
-    // ever outgrows the broadcast budget, Catalyst re-inserts the
-    // exchange automatically.
+    // — the bounded-vocabulary regime — base's existing doc_id
+    // partitioning satisfies the aggregation and the joined gram table
+    // never re-shuffles.
     val prefixes = exploded.join(dfreq, Seq("block", "gram"))
       .groupBy(col("doc_id"))
       .agg(max(col("block")).as("block"), max(col("n_grams")).as("n_grams"),
@@ -614,7 +719,17 @@ object Dedup {
       col("n_grams").as("nb"), col("pos").as("pos_b"))
     // required overlap: J >= t  =>  inter >= t/(1+t) * (na+nb)
     val minOverlap = lit(t / (1 + t)) * (col("na") + col("nb"))
-    val candidates = a.join(b, Seq("block", "gram"))
+    // Candidate join, priced from measured bytes (broadcastCap doc):
+    // under the budget, broadcasting the build side keeps the probe
+    // side on its existing partitioning (zero shuffles — the measured
+    // fast path at bench scales); over it, SHUFFLE_HASH with build =
+    // the prefix side, whose per-partition build shrinks as
+    // shuffle.partitions scales with the cluster. Never sort-merge:
+    // sorting hundreds of millions of gram rows measured ~2.8× slower
+    // than the hash paths at sf1.
+    val candidates = (
+      if (fits(st.prefixStreamBytes(t), cap)) a.join(broadcast(b), Seq("block", "gram"))
+      else a.hint("shuffle_hash").join(b, Seq("block", "gram")))
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J >= t implies |smaller| >= t * |larger|
       .filter(least(col("na"), col("nb")) >= lit(t) * greatest(col("na"), col("nb")))
@@ -628,7 +743,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     val ga = baseM.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = baseM.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
+    verifyJoinBack(candidates, ga, gb, st, cap)
       .withColumn("inter",
         graft.functions.VectorExpressions
           .sortedIntersectCount(col("grams_a"), col("grams_b")).cast("int"))
@@ -636,6 +751,29 @@ object Dedup {
         (size(col("grams_a")) + size(col("grams_b")) - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Attach both docs' gram arrays to the candidate pairs, priced from
+    * measured bytes. Under the budget, broadcast both array tables —
+    * the pair stream then never shuffles (the measured fast path at
+    * bench scales; in local mode a broadcast is a same-heap reference).
+    * Over it: SHUFFLE_HASH both ways with bounded build sides — first
+    * join builds on the bare pair ids (output-scale) while the array
+    * table, which inherits baseM's doc_id hash partitioning through
+    * the checkpoint, streams in place without re-shuffling; second
+    * join builds on gb's per-partition array slice (corpus bytes /
+    * shuffle.partitions) so the array-laden intermediate streams with
+    * no sort. A merge join would sort pairs × gram-array bytes, and
+    * an over-budget broadcast pins the corpus's arrays on every
+    * executor plus the driver — the mid-scale crash under the rigged
+    * estimates. */
+  private def verifyJoinBack(candidates: DataFrame, ga: DataFrame, gb: DataFrame,
+                             st: GramStats, cap: Long): DataFrame = {
+    if (fits(st.arrayTableBytes, cap))
+      candidates.join(broadcast(ga), "doc_a").join(broadcast(gb), "doc_b")
+    else
+      candidates.hint("shuffle_hash").join(ga, "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
   }
 
   /** Directed near-CONTAINMENT pairs (round 8): (a, b) where
@@ -683,9 +821,16 @@ object Dedup {
       .repartition(col("doc_id")) // shuffle barrier, as e4
     val baseM =
       if (persistIntermediate) base.localCheckpoint(false) else base
+    // exact sizes for join planning, as e4 (see broadcastCap)
+    val st = gramStats(baseM, persistIntermediate)
+    val cap = broadcastCap(docs.sparkSession)
     val exploded = baseM.select(col("doc_id"), col("block"), col("n_grams"),
       explode(col("grams")).as("gram"))
-    val dfreq = exploded.groupBy(col("block"), col("gram")).agg(count(lit(1)).as("df"))
+    val dfreqAgg =
+      exploded.groupBy(col("block"), col("gram")).agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (n <= 3 || fits(st.fullStreamBytes, cap)) broadcast(dfreqAgg)
+      else dfreqAgg.hint("shuffle_hash")
     val prefixLen = (col("n_grams") - ceil(lit(t) * col("n_grams")) + 1).cast("int")
     val prefixes = exploded.join(dfreq, Seq("block", "gram"))
       .groupBy(col("doc_id"))
@@ -697,10 +842,17 @@ object Dedup {
         col("pos"), col("col.gram").as("gram"))
     val a = prefixes.select(col("block"), col("gram"), col("doc_id").as("doc_a"),
       col("n_grams").as("na"), col("pos").as("pos_a"))
-    // the container side posts ALL grams — no prefix bound exists on b
+    // The container side posts ALL grams — no prefix bound exists on
+    // b, so it is priced at the FULL gram stream (this exact side was
+    // the measured 13.2 GiB broadcast crash at sf10 under the rigged
+    // estimates — see ngramJaccardPairs). Under budget, broadcast it
+    // (the probe side keeps its partitioning, zero shuffles); over
+    // budget, SHUFFLE_HASH building on the bounded prefix side.
     val b = exploded.select(col("block"), col("gram"), col("doc_id").as("doc_b"),
       col("n_grams").as("nb"))
-    val candidates = a.join(b, Seq("block", "gram"))
+    val candidates = (
+      if (fits(st.fullStreamBytes, cap)) a.join(broadcast(b), Seq("block", "gram"))
+      else a.hint("shuffle_hash").join(b, Seq("block", "gram")))
       .filter(col("doc_a") =!= col("doc_b"))
       // container must be able to hold the required overlap
       .filter(col("nb") >= lit(t) * col("na"))
@@ -709,7 +861,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     val ga = baseM.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = baseM.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
+    verifyJoinBack(candidates, ga, gb, st, cap)
       .withColumn("inter",
         graft.functions.VectorExpressions
           .sortedIntersectCount(col("grams_a"), col("grams_b")).cast("int"))
