@@ -292,6 +292,8 @@ object SparkEntry {
       Dedup.simhashPairs128(Dedup.simhash128(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e30_dup_spans" -> ((s, d) =>
       Dedup.dupSpanStats(Tables.documents(s, d), "doc_id", "text", 8)),
+    "e44_dup_span_scrub" -> ((s, d) =>
+      Dedup.dupSpanScrub(Tables.documents(s, d), "doc_id", "text", 8)),
     "e4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         Seq("lang", "source"), 3, 0.6)),
@@ -1870,6 +1872,38 @@ object SparkEntry {
             round(CAST(sum(CASE WHEN isdup THEN k ELSE 0 END) AS BIGINT)
               / CAST(sum(k) AS BIGINT), 4) AS dup_fraction
           FROM m GROUP BY 1""",
+    // e44: same window machinery as e30 with POSITIONS carried through;
+    // covered = union of [start, start+7] over duplicated-window starts,
+    // survivors re-joined in position order.
+    "e44_dup_span_scrub" ->
+      s"""WITH w AS (SELECT doc_id,
+              CASE WHEN $normSql IS NULL OR $normSql = ''
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split($normSql, ' ') END AS words
+            FROM documents),
+          sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS win
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i
+                  FROM w WHERE len(words) >= 8)),
+          ph AS (SELECT doc_id, pos, ${polyHashSql("win")} AS h FROM sh),
+          dh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM ph)
+            GROUP BY h HAVING count(*) >= 2),
+          cov AS (SELECT DISTINCT p.doc_id, p.pos + u.u AS pos
+            FROM ph p JOIN dh USING (h)
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u),
+          tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              words[CAST(i AS INT)] AS token
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+                  FROM w)),
+          kept AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+            LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.doc_id IS NULL),
+          agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+              count(*) AS kept FROM kept GROUP BY 1)
+          SELECT w.doc_id, coalesce(a.clean_text, '') AS clean_text,
+            CAST(len(w.words) AS BIGINT) AS n_tokens,
+            CAST(len(w.words) - coalesce(a.kept, 0) AS BIGINT) AS removed_tokens
+          FROM w LEFT JOIN agg a USING (doc_id)""",
     "e7_ann_lsh" ->
       s"""WITH ${lshBandCte(16, 4)},
           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

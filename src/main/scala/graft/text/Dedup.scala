@@ -148,7 +148,18 @@ object Dedup {
     val hot = bandedM.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select(col("band"), col("sig"))
+    // Explicit shuffle barrier on the bucket key before the self-join
+    // (SURVEY §8 rule 8, the e22/e4 shape): the checkpoint's LogicalRDD
+    // carries the PRE-checkpoint size estimate, so without an exchange
+    // below it the join strategy is chosen STATICALLY from rigged
+    // numbers — the e43 crash mechanism, here ~10× past sf30 because
+    // band rows are 20× narrower. The barrier gives AQE a materialized
+    // stage with REAL sizes (broadcast at bench scales, shuffle at
+    // corpus scale — a per-run decision), and spreads the quadratic
+    // within-bucket pair generation across the cluster instead of the
+    // checkpoint's scan-split parallelism.
     val pruned = bandedM.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      .repartition(col("band"), col("sig"))
     val a = pruned.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = pruned.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -385,6 +396,75 @@ object Dedup {
         round(col("dup_windows") / col("n_windows"), 4))
   }
 
+  /** ExactSubstr-style duplicate-span SCRUB (round 8) — the removal
+    * step [[dupSpanStats]]'s statistics motivate (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * duplicated substrings are REMOVED from the corpus, not whole
+    * docs): rewrite each document's normalized token stream with every
+    * token covered by a cross-doc duplicated `windowTokens`-token
+    * window dropped, preserving the order of the survivors. A window
+    * is duplicated when its content appears in ≥ `minDocs` distinct
+    * documents (within-doc repetition alone never triggers removal —
+    * same contract as e30; that signal is e25's). Docs shorter than
+    * the window scrub nothing; null/empty text yields an empty clean
+    * text with zero tokens. Output: (doc_id, clean_text, n_tokens,
+    * removed_tokens) — clean_text is the single-space rejoin, i.e.
+    * the op rewrites the NORMALIZED stream the hashes are defined on.
+    *
+    * Scale shape: window hashes come from the same one-native-pass
+    * [[graft.functions.StringExpressions.ShingleHashes]] as e30, with
+    * START POSITIONS via posexplode (the array is position-ordered by
+    * construction). The duplicated-hash set builds through the e30
+    * two-level aggregate (per-(doc, hash) collapse before anything
+    * shuffles — SURVEY §8 rule 1); marking is a semi-join on the
+    * near-uniform hash (AQE skew-split country). Coverage explodes
+    * ONLY duplicated window starts ×windowTokens (bounded fanout on
+    * the dup mass, never the corpus), and duplicate cover rows need
+    * no distinct — the LEFT ANTI join they feed is multiplicity-
+    * insensitive. The rebuild is the one corpus-linear shuffle a
+    * rewrite op cannot avoid (you cannot rewrite 100 TB of text
+    * without moving it once): per-doc collect of (pos, token) structs
+    * — groups bounded by document length, the sanctioned bounded-
+    * group case — sorted and rejoined. The windows table materializes
+    * once (lazy localCheckpoint, rule 3) for its two consumers. */
+  def dupSpanScrub(docs: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, minDocs: Int = 2): DataFrame = {
+    val w = windowTokens
+    val base = docs.select(col(idCol).as("doc_id"),
+        coalesce(normalizeText(col(textCol)), lit("")).as("norm"))
+      .select(col("doc_id"),
+        when(col("norm") === "", array().cast("array<string>"))
+          .otherwise(split(col("norm"), " ")).as("words"),
+        graft.functions.StringExpressions.shingleHashes(col("norm"), w).as("hs"))
+      .localCheckpoint(false)
+    val starts = base.select(col("doc_id"),
+      posexplode(col("hs")).as(Seq("pos", "h")))
+    // two-level: collapse within-doc repeats map-side, then count DOCS
+    val perDocHash = starts.select(col("doc_id"), col("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("__k"))
+    val dupHashes = perDocHash.groupBy(col("h"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("h"))
+    val covered = starts.join(dupHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + w - 1)).as("pos"))
+    val tokens = base.select(col("doc_id"),
+      posexplode(col("words")).as(Seq("pos", "token")))
+    val rebuilt = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("removed_tokens"))
+  }
+
   /** Width-generalized SimHash: `words`×64 sign-aggregated bit votes of
     * token hashes, packed into long columns sim_0..sim_{words-1}
     * (global bit g lives in word g/64 at position g%64). All plain sum
@@ -508,7 +588,13 @@ object Dedup {
     val hot = withChunksM.groupBy(col("chunk"), col("key"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select(col("chunk"), col("key"))
+    // Shuffle barrier before the self-join (SURVEY §8 rule 8, the
+    // e22/e4 shape): without an exchange below the checkpoint the join
+    // strategy is chosen statically from the LogicalRDD's rigged
+    // pre-checkpoint estimate; the barrier gives AQE real sizes and
+    // spreads within-bucket pair work beyond scan-split parallelism.
     val pruned = withChunksM.join(broadcast(hot), Seq("chunk", "key"), "left_anti")
+      .repartition(col("chunk"), col("key"))
     val a = pruned.select((col("chunk") +: col("key") +:
       col("doc_id").as("doc_a") +: simCols.map(s => col(s).as(s"__a_$s"))): _*)
     val b = pruned.select((col("chunk") +: col("key") +:

@@ -188,6 +188,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L) == (2L, 0L))
   }
 
+  test("dupSpanScrub removes exactly the covered tokens, in order") {
+    val eight = "a b c d e f g h"               // one shared 8-token window
+    val d = Seq(
+      (1L, s"$eight tail one"),                 // window at pos 0 covers 0..7
+      (2L, s"lead $eight"),                     // window at pos 1 covers 1..8
+      (3L, "q r s t u v w x y"),                // no cross-doc window
+      (4L, "too short"),                        // < 8 tokens -> untouched
+      (5L, null.asInstanceOf[String])           // null text -> empty, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanScrub(d, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // every doc keeps a row, scrubbed or not
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // doc 1: the shared window's 8 tokens drop, the tail survives in order
+    assert(out(1L) == (("tail one", 10L, 8L)))
+    // doc 2: the lead token survives ahead of the covered span
+    assert(out(2L) == (("lead", 9L, 8L)))
+    // doc 3: unique windows corpus-wide -> nothing removed
+    assert(out(3L) == (("q r s t u v w x y", 9L, 0L)))
+    assert(out(4L) == (("too short", 2L, 0L)))
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("dupSpanScrub merges overlapping covered spans") {
+    // docs 1 and 2 share TWO overlapping windows (positions 0 and 1 of
+    // the 9-token run) — coverage is their union 0..8, not double-counted
+    val nine = "a b c d e f g h i"
+    val d = Seq(
+      (1L, s"$nine x"),
+      (2L, s"$nine y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanScrub(d, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) == (("x", 9L)))
+    assert(out(2L) == (("y", 9L)))
+  }
+
   test("tokenFrequency excludes null doc ids from doc_freq, not from n") {
     val d = Seq((Some(1L), "x x"), (None, "x"))
       .toDF("doc_id", "text")
