@@ -433,6 +433,20 @@ object SparkEntry {
         Dedup.seenHashTable(docs.filter(col("doc_id") >= 250), "doc_id", "text"),
         "doc_id", "text", Seq("lang", "source"))
     }),
+    "e45_bloom_dedup" -> ((s, d) => {
+      // e32's semantics behind a Bloom prefilter: the seen corpus
+      // never shuffles — its keys compress into a distributed-built
+      // filter, and only maybe-seen batch rows reach the exact check.
+      // The filter is SIZED from the parquet footer row count (the
+      // catalog-stats pattern e22 set), never a count() pre-scan; the
+      // full-table count over-sizes vs the seen split, which only
+      // lowers fpp.
+      val docs = Tables.documents(s, d)
+      Dedup.bloomPrefilterDedup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", Seq("lang", "source"),
+        ParquetStats.rowCount(s, s"$d/documents.parquet"))
+    }),
     "e33_mixture_sample" -> ((s, d) =>
       Sampling.temperatureMixSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
@@ -2267,6 +2281,10 @@ object SparkEntry {
     // SQL has no notion of where the hash set came from (the e39
     // pattern), so the oracle is e32's verbatim
     "e40_maintained_exact_dedup" -> incrementalExactDedupOracle,
+    // e45: the Bloom filter only PRUNES the exact path (no false
+    // negatives, membership decided by the md5 check) — output is
+    // e32's by construction, so the oracle is shared verbatim.
+    "e45_bloom_dedup" -> incrementalExactDedupOracle,
     // thresholds in pure integer arithmetic (HUGEINT here, decimal(38,0)
     // in the engine): w = floor(sqrt(n)*1000) is exact cross-engine
     // because IEEE-754 requires sqrt correctly rounded; // on positive

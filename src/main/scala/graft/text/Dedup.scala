@@ -86,6 +86,79 @@ object Dedup {
         keepCols.map(c => min_by(col(c), col(idCol)).as(c)): _*)
   }
 
+  /** Bloom-prefiltered incremental exact dedup (round 8) — EXACT-OUTPUT
+    * twin of [[incrementalExactDedup]] (same oracle, same rows) whose
+    * accumulated corpus NEVER crosses the network. The seen side's
+    * xxhash64 text keys compress into a Bloom filter built distributed
+    * (`DataFrameStatFunctions.bloomFilter`: per-partition partial
+    * filters, OR-merged — map-side work, filters move, rows don't);
+    * the filter broadcasts into a codegen'd membership probe
+    * ([[graft.functions.SketchExpressions.BloomMightContainLong]])
+    * over the batch:
+    *
+    *  - probe = false (or null key) ⟹ PROVABLY unseen — a Bloom
+    *    filter has no false negatives, and the key is the same
+    *    deterministic xxhash64 both sides — admitted with no join;
+    *  - probe = true ⟹ maybe-seen (fpp, default 1%) — only these rows
+    *    reach the exact check: the corpus is scanned once more and
+    *    semi-probed against the BROADCAST maybe-hash set, so the
+    *    second pass also moves nothing corpus-sized.
+    *
+    * The filter only ever prunes the expensive path; membership is
+    * decided by the exact md5 check, so output — including keep-min
+    * canonicalization — is byte-identical to e32's. Versus e32's
+    * anti-join, which hash-partitions a billion 16-byte corpus keys
+    * across the cluster every crawl, this trades that exchange for a
+    * second corpus SCAN — the right trade when the corpus is
+    * storage-backed columnar (scan is pruned to one column and
+    * pipelined) and the wrong one only when scans dominate exchanges.
+    * In production the filter is a persistable per-epoch artifact
+    * (`BloomFilter.writeTo`/`readFrom` — [[bloomFilterFor]] builds
+    * it), amortizing the build scan across crawls entirely.
+    *
+    * `expectedSeen` sizes the filter — read it from catalog/footer
+    * stats ([[graft.sources.ParquetStats]], the e22 pattern), never
+    * from a count() pre-scan; an overestimate just widens the filter
+    * (1.2 B/item at 1% fpp), an underestimate raises fpp and with it
+    * the exact-path traffic, never correctness. */
+  def bloomPrefilterDedup(batch: DataFrame, seen: DataFrame, idCol: String,
+                          textCol: String, keepCols: Seq[String],
+                          expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = bloomFilterFor(seen, textCol, expectedSeen, fpp)
+    val hash = md5(normalizeText(col(textCol)))
+    val batchH = batch
+      .select(col(idCol) +: keepCols.map(col) :+ hash.as("text_hash") :+
+        xxhash64(normalizeText(col(textCol))).as("__bk"): _*)
+      .localCheckpoint(false) // two consumers: maybe + definite branches
+    val probe = graft.functions.SketchExpressions
+      .bloomMightContainLong(col("__bk"), bf)
+    val maybe = batchH.filter(probe)
+    val definite = batchH.filter(!coalesce(probe, lit(false)))
+    val maybeHashes = maybe.select(col("text_hash")).distinct()
+    // corpus scan #2, pruned to the hash column, semi-probed against
+    // the broadcast maybe-set: emits only hashes the batch might have
+    val confirmed = seen
+      .select(md5(normalizeText(col(textCol))).as("text_hash"))
+      .join(broadcast(maybeHashes), Seq("text_hash"), "left_semi")
+      .distinct()
+    val fresh = maybe.join(broadcast(confirmed), Seq("text_hash"), "left_anti")
+      .unionByName(definite)
+      .drop("__bk")
+    fresh.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol),
+        keepCols.map(c => min_by(col(c), col(idCol)).as(c)): _*)
+  }
+
+  /** The per-epoch Bloom artifact [[bloomPrefilterDedup]] probes:
+    * distributed build over the corpus's xxhash64 text keys. Persist
+    * with `BloomFilter.writeTo` and reload with `readFrom` to amortize
+    * the build scan across crawls. */
+  def bloomFilterFor(seen: DataFrame, textCol: String, expectedItems: Long,
+                     fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    seen.select(xxhash64(normalizeText(col(textCol))).as("__bk"))
+      .filter(col("__bk").isNotNull)
+      .stat.bloomFilter("__bk", math.max(expectedItems, 1L), fpp)
+
   /** Prime moduli for the engine-reproducible hash family: every
     * intermediate stays under 2^62, so DuckDB (which raises on BIGINT
     * overflow) computes bit-identical values for the oracles. */

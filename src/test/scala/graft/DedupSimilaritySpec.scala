@@ -666,6 +666,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Set((11L, "fr", "s2"), (14L, "en", "s2")))
   }
 
+  test("bloomPrefilterDedup ≡ incrementalExactDedup, including nulls (e45)") {
+    val seen = Seq((1L, Some("Hello, World!"), "en", "s1"),
+      (2L, Some("bbb"), "de", "s1"), (3L, None: Option[String], "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (13L, Some("hello   world"), "en", "s2"), // seen after normalize → dropped
+      (11L, Some("ccc"), "fr", "s2"),
+      (12L, Some("CCC!"), "es", "s3"),          // in-batch dup of 11
+      (14L, Some("ddd"), "en", "s2"),
+      (15L, None: Option[String], "en", "s2")   // null text: provably-unseen path
+    ).toDF("doc_id", "text", "lang", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("text_hash"), col("doc_id"), col("lang"), col("source"))
+      .as[(Option[String], Long, String, String)].collect().toSet
+    val exact = rows(Dedup.incrementalExactDedup(batch, seen,
+      "doc_id", "text", Seq("lang", "source")))
+    // deliberately undersized filter (expected 1 vs 3 seen): fpp rises,
+    // output must not change — the filter only prunes the exact path
+    for (expected <- Seq(1L, 1000L)) {
+      val bloom = rows(Dedup.bloomPrefilterDedup(batch, seen,
+        "doc_id", "text", Seq("lang", "source"), expected))
+      assert(bloom == exact, s"diverged at expectedSeen=$expected")
+    }
+    assert(exact.map(_._2) == Set(11L, 14L, 15L))
+  }
+
+  test("bloomFilterFor has no false negatives over the seen corpus") {
+    val seen = (0 until 500).map(i => (i.toLong, s"doc text number $i"))
+      .toDF("doc_id", "text")
+    val bf = Dedup.bloomFilterFor(seen, "text", 500L)
+    val keys = seen.select(xxhash64(graft.functions.normalizeText(col("text"))))
+      .as[Long].collect()
+    assert(keys.forall(bf.mightContainLong), "a seen key probed false")
+    // and it actually filters: unseen keys mostly miss at 1% fpp
+    val misses = (100000 until 101000)
+      .count(i => !bf.mightContainLong(i.toLong * 2654435761L))
+    assert(misses > 900, s"filter passes too much: only $misses/1000 pruned")
+  }
+
   test("incrementalMinhashPairs emits batch-vs-seen candidates, nothing internal") {
     val seen = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
