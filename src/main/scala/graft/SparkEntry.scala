@@ -324,6 +324,19 @@ object SparkEntry {
     }),
     "e8_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "e9_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "e46_quality_quantile_filter" -> ((s, d) =>
+      // per-source quality filtering, the CCNet/FineWeb curation step:
+      // score in one narrow pass (source carried through), then keep
+      // each source's top half by exact histogram-derived quantile —
+      // boundary ties all kept, corpus never shuffled. Ranks on the
+      // near-continuous stopword_ratio (the C4 natural-prose proxy;
+      // the composite quality_score, carried through for the reader,
+      // is too coarse to rank on — its boundary tie group would
+      // swallow the quantile)
+      Sampling.quantileTopFilter(
+        TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text", Seq("source"))
+          .select(col("source"), col("doc_id"), col("quality_score"), col("stopword_ratio")),
+        "stopword_ratio", "source", 1L, 2L)),
     "e10_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d), "doc_id", "text")),
     "e11_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "e12_binary_meta" -> ((s, d) => Binary.binaryMeta(Tables.documents(s, d), "doc_id", "text")),
@@ -2152,6 +2165,44 @@ object SparkEntry {
              * (CASE WHEN round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) > 0.01 THEN 1.0 ELSE 0.7 END)
            END, 4) AS quality_score
          FROM t""",
+    // e46: e9's scoring pass per doc (source carried), then the same
+    // integer histogram arithmetic as the engine over the ranking value
+    // (stopword_ratio) — micro-unit quantize, top-down cumulative count
+    // per source, threshold = max value whose cumulative reaches
+    // ceil(n/2), keep value >= threshold (boundary ties kept)
+    "e46_quality_quantile_filter" ->
+      """WITH t AS (SELECT doc_id, source, text,
+           length(text) AS n_chars_computed,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b')) AS n_stop
+         FROM documents),
+         scored AS (SELECT doc_id, source,
+           round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+             1.0
+             * (CASE WHEN round(CAST(n_chars_computed AS DOUBLE) / greatest(n_words, 1), 4) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN round(CAST(n_punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) < 0.2 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) > 0.01 THEN 1.0 ELSE 0.7 END)
+           END, 4) AS quality_score,
+           round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stopword_ratio
+         FROM t),
+         q AS (SELECT doc_id, source, quality_score, stopword_ratio,
+           CAST(floor(stopword_ratio * 1e6) AS BIGINT) AS vu
+         FROM scored WHERE stopword_ratio IS NOT NULL),
+         hist AS (SELECT source, vu, CAST(count(*) AS BIGINT) AS c
+           FROM q GROUP BY source, vu),
+         cum AS (SELECT source, vu,
+           CAST(sum(c) OVER (PARTITION BY source ORDER BY vu DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+           CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+         FROM hist),
+         thr AS (SELECT source, max(vu) AS thr FROM cum
+           WHERE cumc >= (n * 1 + 2 - 1) // 2 GROUP BY source)
+         SELECT q.source, q.doc_id, q.quality_score, q.stopword_ratio
+         FROM q JOIN thr ON q.source = thr.source
+         WHERE q.vu >= thr.thr""",
     "e10_token_count" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

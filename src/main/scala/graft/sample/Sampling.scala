@@ -1,6 +1,7 @@
 package graft.sample
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data curation.
@@ -57,6 +58,47 @@ object Sampling {
     * shuffles. Intermediate products stay under 10^4·num·N·w_s ≈
     * 10^23·num at N = 10^11 docs — inside decimal(38,0)/HUGEINT range.
     */
+  /** Per-group top-quantile filter (round 8) — the quality-filtering
+    * step every pretraining corpus build runs (CCNet/FineWeb shape):
+    * within each group keep the rows whose `valueCol` lands in the top
+    * `keepNum/keepDen` fraction, ties at the boundary ALL kept (so the
+    * kept count is ⌈keepFrac·n⌉ plus boundary ties — deterministic,
+    * never an arbitrary tie pick).
+    *
+    * Exactness and scale come from the same move: the quantile is NOT
+    * computed by ranking the corpus (a per-group global sort — the
+    * window-on-unbounded-key anti-pattern) but from a value HISTOGRAM.
+    * Values quantize to integer micro-units (⌊v·10⁶⌋ — one double
+    * multiply + floor, bit-identical cross-engine), the per-(group,
+    * value) counts partial-aggregate map-side into a tiny table
+    * (groups × distinct values), a cumulative window over THAT finds
+    * each group's threshold — smallest value whose top-down cumulative
+    * count reaches ⌈n·keepNum/keepDen⌉, in pure integer arithmetic —
+    * and the G-row threshold table broadcasts back as a narrow filter.
+    * The corpus is scanned twice (histogram + filter) and never
+    * shuffled. Null values never count toward n and are never kept;
+    * null group keys are dropped (no quantile is defined for them). */
+  def quantileTopFilter(df: DataFrame, valueCol: String, groupCol: String,
+                        keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum,
+      "keep fraction must be in (0, 1]")
+    val withU = df
+      .withColumn("__vu", floor(col(valueCol) * 1e6).cast("long"))
+      .filter(col("__vu").isNotNull)
+    val hist = withU.groupBy(col(groupCol), col("__vu"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(groupCol).orderBy(col("__vu").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCol)))
+      .filter(col("__cum") >= expr(s"(__n * $keepNum + $keepDen - 1) div $keepDen"))
+      .groupBy(col(groupCol)).agg(max(col("__vu")).as("__thr"))
+    withU.join(broadcast(thr), Seq(groupCol))
+      .filter(col("__vu") >= col("__thr"))
+      .drop("__vu", "__thr")
+  }
+
   def temperatureMixSample(df: DataFrame, idCol: String, srcCol: String,
                            budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget must be a positive fraction")

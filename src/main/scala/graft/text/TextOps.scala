@@ -16,8 +16,11 @@ object TextOps {
 
   /** Document quality features + composite score: length, word stats,
     * punctuation/stopword/digit ratios. Mirrors standard pretraining
-    * quality filters (C4/Gopher-style heuristics). */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * quality filters (C4/Gopher-style heuristics). `keepCols` carries
+    * extra columns (e.g. the source for e46's per-source quantile
+    * filter) through the same single narrow pass. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
     val words = split(trim(t), "\\s+")
@@ -26,13 +29,13 @@ object TextOps {
     val nDigit = length(t) - length(regexp_replace(t, "[0-9]", ""))
     val nStop = size(regexp_extract_all(lower(t), lit(stopwordsRe), lit(0)))
     docs.select(
-      col(idCol),
-      nChars.cast("long").as("n_chars_computed"),
-      nWords.cast("long").as("n_words"),
-      round(nChars.cast("double") / greatest(nWords, lit(1)), 4).as("avg_word_len"),
-      round(nPunct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
-      round(nDigit.cast("double") / greatest(nChars, lit(1)), 6).as("digit_ratio"),
-      round(nStop.cast("double") / greatest(nWords, lit(1)), 6).as("stopword_ratio"))
+      col(idCol) +: keepCols.map(col) :+
+      nChars.cast("long").as("n_chars_computed") :+
+      nWords.cast("long").as("n_words") :+
+      round(nChars.cast("double") / greatest(nWords, lit(1)), 4).as("avg_word_len") :+
+      round(nPunct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio") :+
+      round(nDigit.cast("double") / greatest(nChars, lit(1)), 6).as("digit_ratio") :+
+      round(nStop.cast("double") / greatest(nWords, lit(1)), 6).as("stopword_ratio"): _*)
       .withColumn("quality_score",
         round(
           when(col("n_words") < 5, 0.0).otherwise(

@@ -116,4 +116,41 @@ class GraphSamplingSpec extends SparkSpec {
     // the realized take sits near the quarter-corpus budget (425 docs)
     assert(math.abs(out.size - 425) < 80)
   }
+
+  test("quantileTopFilter matches a driver-side replay of the histogram math (e46)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i =>
+      (i, s"g${i % 3}", Some(math.round(rnd.nextDouble() * 1e4) / 1e4)))
+    val df = rows.toDF("id", "g", "v")
+    val out = Sampling.quantileTopFilter(df, "v", "g", 1L, 4L)
+      .select("id").as[Long].collect().toSet
+    // replay: per group, threshold = smallest micro-value whose
+    // top-down cumulative count reaches ceil(n/4); keep v >= threshold
+    val expect = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      val us = grp.map(r => math.floor(r._3.get * 1e6).toLong)
+      val target = (us.size + 3) / 4
+      val thr = us.sorted(Ordering[Long].reverse).take(target).last
+      grp.filter(r => math.floor(r._3.get * 1e6).toLong >= thr).map(_._1)
+    }.toSet
+    assert(out == expect)
+    // a quarter-ish of each group survives (continuous values, few ties)
+    assert(out.size >= 75 && out.size <= 90, s"kept ${out.size}")
+  }
+
+  test("quantileTopFilter keeps ALL boundary ties and drops null values/groups (e46)") {
+    val df = Seq(
+      (1L, Some("a"), Some(3.0)), (2L, Some("a"), Some(2.0)),
+      (3L, Some("a"), Some(2.0)), (4L, Some("a"), Some(1.0)),
+      (5L, Some("a"), None: Option[Double]), // null value: not kept, not counted
+      (6L, None: Option[String], Some(9.0))  // null group: no quantile defined
+    ).toDF("id", "g", "v")
+    // n=4 non-null, keep 1/2 → target 2 → threshold 2.0 → ties 2,3 both kept
+    val out = Sampling.quantileTopFilter(df, "v", "g", 1L, 2L)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L))
+    // keepFrac = 1 keeps every non-null row of a non-null group
+    val all = Sampling.quantileTopFilter(df, "v", "g", 1L, 1L)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
 }

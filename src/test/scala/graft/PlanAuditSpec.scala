@@ -259,4 +259,15 @@ class PlanAuditSpec extends SparkSpec {
     // two broadcast exchanges of the 10-probe query side
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("e46 joins thresholds broadcast and never sorts the corpus") {
+    val plan = finalPlan(SparkEntry.queries("e46_quality_quantile_filter")(spark, sf))
+    // the G-row threshold table broadcasts back onto the scored corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the quantile comes from the tiny histogram: two Window ops over
+    // it (cumulative + group total; the plan string holds final AND
+    // initial copies, hence <= 4), never a rank of corpus rows
+    assert("Window \\[sum".r.findAllIn(plan).size <= 4, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
