@@ -324,6 +324,13 @@ object SparkEntry {
     }),
     "e8_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "e9_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "e47_group_cap_sample" -> ((s, d) =>
+      // exact per-source cap: keep exactly 15 docs per source in a
+      // deterministic pseudo-random order — the anti-over-representation
+      // cap a mixture build applies before e33's temperature sampling
+      Sampling.groupCapSample(
+        Tables.documents(s, d).select(col("source"), col("doc_id"), col("lang")),
+        "doc_id", "source", 15L)),
     "e46_quality_quantile_filter" -> ((s, d) =>
       // per-source quality filtering, the CCNet/FineWeb curation step:
       // score in one narrow pass (source carried through), then keep
@@ -2165,6 +2172,39 @@ object SparkEntry {
              * (CASE WHEN round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) > 0.01 THEN 1.0 ELSE 0.7 END)
            END, 4) AS quality_score
          FROM t""",
+    // e47: the affine hash constants are driver-derived literals (the
+    // hashConst pattern) embedded in both plans; same bucket-histogram
+    // arithmetic as the engine, rank window only inside the one
+    // boundary bucket per source
+    "e47_group_cap_sample" -> {
+      val p = graft.text.Dedup.AffineP
+      val a = graft.text.Dedup.hashConst("e47-a", 0)
+      val b = graft.text.Dedup.hashConst("e47-b", 0)
+      val q = (p + 4096 - 1) / 4096
+      s"""WITH src AS (SELECT source, doc_id, lang,
+           ($a * (doc_id % $p) + $b) % $p AS r,
+           (($a * (doc_id % $p) + $b) % $p) // $q AS bk
+         FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+         hist AS (SELECT source, bk, CAST(count(*) AS BIGINT) AS c
+           FROM src GROUP BY source, bk),
+         cum AS (SELECT source, bk,
+           CAST(sum(c) OVER (PARTITION BY source ORDER BY bk ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+           CAST(sum(c) OVER (PARTITION BY source ORDER BY bk ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS prev
+         FROM hist),
+         j AS (SELECT src.source, src.doc_id, src.lang, src.r,
+                 cum.cumc, cum.prev
+           FROM src JOIN cum ON src.source = cum.source AND src.bk = cum.bk
+           WHERE cum.prev < 15)
+         SELECT source, doc_id, lang FROM j WHERE cumc <= 15
+         UNION ALL
+         SELECT source, doc_id, lang FROM (
+           SELECT source, doc_id, lang, prev,
+             row_number() OVER (PARTITION BY source ORDER BY r ASC, doc_id ASC) AS rk
+           FROM j WHERE cumc > 15)
+         WHERE rk <= 15 - prev"""
+    },
     // e46: e9's scoring pass per doc (source carried), then the same
     // integer histogram arithmetic as the engine over the ranking value
     // (stopword_ratio) — micro-unit quantize, top-down cumulative count

@@ -99,6 +99,57 @@ object Sampling {
       .drop("__vu", "__thr")
   }
 
+  /** Exact per-group cap (round 8) — keep EXACTLY min(cap, n) rows per
+    * group, chosen by a deterministic pseudo-random order: the
+    * FineWeb-style per-domain cap against over-represented sources,
+    * and equally an exact-count stratified sampler ([[stratifiedSample]]
+    * keeps a hash FRACTION; this keeps a COUNT).
+    *
+    * The order key is an affine hash of the id ((a·(id mod p) + b)
+    * mod p, p = 2³¹−1 — bijective on [0, p), every intermediate under
+    * 2⁶² so the SQL oracle reproduces it bit-exactly), tie-broken by
+    * id. Exactness without a per-group sort, same histogram discipline
+    * as [[quantileTopFilter]]: hash values coarsen into `buckets`
+    * ranges, per-(group, bucket) counts partial-aggregate into a tiny
+    * table whose ascending cumulative marks each bucket WHOLLY kept
+    * (cum ≤ cap), wholly dropped (previous cum ≥ cap), or the ONE
+    * boundary bucket per group — and only the boundary bucket's rows
+    * (≈ n/buckets of the group) enter a rank window for the remaining
+    * k = cap − cum_prev slots. The corpus itself never sorts and never
+    * shuffles; the bucket-cum table broadcasts back. Null ids/groups
+    * are dropped (no deterministic order is defined for them). */
+  def groupCapSample(df: DataFrame, idCol: String, groupCol: String,
+                     cap: Long, nBuckets: Int = 4096): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(nBuckets > 0, "bucket count must be positive")
+    val p = graft.text.Dedup.AffineP
+    val (a, b) = (graft.text.Dedup.hashConst("e47-a", 0),
+      graft.text.Dedup.hashConst("e47-b", 0))
+    val q = (p + nBuckets - 1) / nBuckets // bucket width: b = r div q
+    val withR = df
+      .withColumn("__r", (lit(a) * pmod(col(idCol).cast("long"), lit(p)) + lit(b)) % p)
+      .filter(col("__r").isNotNull && col(groupCol).isNotNull)
+      .withColumn("__bk", floor(col("__r") / q).cast("long"))
+    val cum = withR.groupBy(col(groupCol), col("__bk"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(groupCol).orderBy(col("__bk").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", col("__cum") - col("__c"))
+      // buckets past the cap never reach the corpus join
+      .filter(col("__prev") < cap)
+      .select(col(groupCol), col("__bk"), col("__cum"), col("__prev"))
+    val joined = withR.join(broadcast(cum), Seq(groupCol, "__bk"))
+    val whole = joined.filter(col("__cum") <= cap)
+    val rankW = Window.partitionBy(groupCol)
+      .orderBy(col("__r").asc, col(idCol).asc)
+    val boundary = joined.filter(col("__cum") > cap)
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= lit(cap) - col("__prev"))
+      .drop("__rk")
+    whole.unionByName(boundary).drop("__r", "__bk", "__cum", "__prev")
+  }
+
   def temperatureMixSample(df: DataFrame, idCol: String, srcCol: String,
                            budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget must be a positive fraction")

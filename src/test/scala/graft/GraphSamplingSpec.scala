@@ -153,4 +153,41 @@ class GraphSamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(all == Set(1L, 2L, 3L, 4L))
   }
+
+  test("groupCapSample keeps exactly min(cap, n) per group, by the affine-hash order (e47)") {
+    val rows = (0L until 400L).map(i => (i, s"g${i % 4}")) ++ // 100 each
+      (400L until 410L).map(i => (i, "tiny"))                 // below the cap
+    val df = rows.toDF("id", "g")
+    val out = Sampling.groupCapSample(df, "id", "g", 30L)
+      .select("g", "id").as[(String, Long)].collect()
+    val byG = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG.keys.toSet == Set("g0", "g1", "g2", "g3", "tiny"))
+    (0 until 4).foreach(g => assert(byG(s"g$g").size == 30))
+    assert(byG("tiny") == (400L until 410L).toSet) // n <= cap: all kept
+    // driver replay of the exact order: smallest 30 by (affine hash, id)
+    val p = graft.text.Dedup.AffineP
+    val (a, b) = (graft.text.Dedup.hashConst("e47-a", 0),
+      graft.text.Dedup.hashConst("e47-b", 0))
+    def r(id: Long) = (a * (id % p) + b) % p
+    rows.filter(_._2 != "tiny").groupBy(_._2).foreach { case (g, grp) =>
+      val expect = grp.map(_._1).sortBy(id => (r(id), id)).take(30).toSet
+      assert(byG(g) == expect, s"group $g diverged from the hash order")
+    }
+    // exact-count determinism survives a coarse bucket grid (every
+    // group collapses into few buckets -> boundary path does the work)
+    val coarse = Sampling.groupCapSample(df, "id", "g", 30L, nBuckets = 4)
+      .select("g", "id").as[(String, Long)].collect()
+    assert(coarse.sortBy(x => (x._1, x._2)).sameElements(
+      out.sortBy(x => (x._1, x._2))), "bucket width changed the selection")
+  }
+
+  test("groupCapSample drops null ids and null groups (e47)") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")),
+      (None: Option[Long], Some("a")), (Some(4L), None: Option[String])
+    ).toDF("id", "g")
+    val out = Sampling.groupCapSample(df, "id", "g", 10L)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
 }

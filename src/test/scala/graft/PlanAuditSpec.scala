@@ -260,6 +260,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("e47 joins the bucket-cum table broadcast; rank window only after the boundary filter") {
+    val plan = finalPlan(SparkEntry.queries("e47_group_cap_sample")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the row_number window exists only on the boundary branch (plan
+    // string holds final + initial copies -> <= 2 occurrences)
+    assert("row_number".r.findAllIn(plan).size <= 4, plan)
+  }
+
   test("e46 joins thresholds broadcast and never sorts the corpus") {
     val plan = finalPlan(SparkEntry.queries("e46_quality_quantile_filter")(spark, sf))
     // the G-row threshold table broadcasts back onto the scored corpus
