@@ -573,6 +573,17 @@ object SparkEntry {
       // time predicates skip files/row groups at read time
       graft.sources.Sources.writeSortedLayout(ev, tmp, "period", 16)
     }),
+    "g10_zorder_layout" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/zorder_${pathTag(d)}"
+      // Morton-interleave user_id × period: every file gets a tight
+      // min/max box in BOTH dimensions, so user predicates AND time
+      // predicates each skip ~√nFiles of the files (footer-stats proof
+      // vs a single-key-sorted control in SourcesSpec)
+      graft.sources.Sources.writeZorderLayout(ev, tmp, "user_id", "period", 16)
+    }),
     "g4_jsonl_roundtrip" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -2490,6 +2501,11 @@ object SparkEntry {
     },
     // layout-invariant like g8: only file boundaries/order move
     "g9_sorted_layout" ->
+      """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
+         FROM events""",
+    // g10: content is layout-invariant like g9 — the z-order property
+    // itself is footer-stats-asserted in SourcesSpec
+    "g10_zorder_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
     "g6_schema_evolution" ->

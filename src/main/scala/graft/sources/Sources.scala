@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -214,6 +214,53 @@ object Sources {
                         nFiles: Int): DataFrame = {
     df.repartitionByRange(nFiles, col(rangeCol))
       .sortWithinPartitions(rangeCol)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Z-order (Morton-interleaved) TWO-column layout (round 8) — the
+    * multi-dimensional pruning lever [[writeSortedLayout]] cannot give:
+    * a single-key range sort makes predicates on THAT key skip files,
+    * but every file still spans the full domain of every other column.
+    * Interleaving the bits of both columns' normalized values into one
+    * z-value and range-partitioning on IT gives every file a tight
+    * min/max box in BOTH dimensions (a 16-file layout ≈ a 4×4 grid),
+    * so a point/range predicate on EITHER column skips ~√nFiles of the
+    * files via footer stats alone — the Delta/Iceberg OPTIMIZE ZORDER
+    * move, done with one range exchange at write time.
+    *
+    * Both columns quantize to `bits`-bit grid cells by min/max affine
+    * scaling (decimal intermediates, no overflow at any span); the
+    * z-value is a codegen'd fold of shift/mask terms — no UDF. The
+    * domain [min, max] pair comes from one metadata-cheap aggregate;
+    * a production deployment reads it from catalog/footer stats
+    * ([[ParquetStats.columnRange]]) instead. Content is
+    * layout-invariant (the oracle is the plain feed); the two-sided
+    * pruning property is asserted from footer stats in SourcesSpec,
+    * z-ordered vs single-key-sorted control. */
+  def writeZorderLayout(df: DataFrame, path: String, colA: String,
+                        colB: String, nFiles: Int, bits: Int = 16): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val stats = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    require(!stats.anyNull, s"z-order columns $colA/$colB are all-null")
+    val m = (1L << bits) - 1
+    def quant(c: Column, mn: Long, mx: Long): Column = {
+      val span = math.max(mx - mn, 1L)
+      floor(((c.cast("long") - mn).cast("decimal(38,0)") * m) / span).cast("long")
+    }
+    val qa = quant(col(colA), stats.getLong(0), stats.getLong(1))
+    val qb = quant(col(colB), stats.getLong(2), stats.getLong(3))
+    val z = (0 until bits).foldLeft(lit(0L): Column) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }

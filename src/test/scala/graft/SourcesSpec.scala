@@ -325,4 +325,32 @@ class SourcesSpec extends SparkSpec {
     assert(plain.forall { case (_, mn, mx) => mn < 500L && mx > 3500L },
       "unsorted control should interleave the domain in every file")
   }
+
+  test("z-order layout: BOTH dimensions prune from footer stats; single-key control prunes one (g10)") {
+    val dir = s"/tmp/graft_sources_test/zorder_${System.nanoTime()}"
+    // a 64x64 uniform grid, shuffled: x and y are independent uniforms
+    val rows = scala.util.Random.shuffle(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toList)
+      .toDF("x", "y").withColumn("payload", col("x") * 100 + col("y"))
+    val back = Sources.writeZorderLayout(rows, s"$dir/z", "x", "y", 16)
+    assert(back.count() == 4096)
+    // content is layout-invariant
+    assert(back.select("x", "y").as[(Long, Long)].collect().toSet ==
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toSet)
+
+    def hits(path: String, column: String, point: Long): Int =
+      graft.sources.ParquetStats.columnRange(spark, path, column)
+        .count { case (_, mn, mx) => mn <= point && point <= mx }
+    // 16 z-ordered files ~ a 4x4 grid: a point predicate on EITHER
+    // dimension overlaps ~4 of 16 file boxes — at worst half
+    assert(hits(s"$dir/z", "x", 33L) <= 8, "x predicate should skip files")
+    assert(hits(s"$dir/z", "y", 33L) <= 8, "y predicate should skip files")
+
+    // control: range-sorted by x alone — x prunes hard, but every
+    // file spans the whole y domain and a y predicate touches ALL
+    Sources.writeSortedLayout(rows, s"$dir/xsorted", "x", 16)
+    assert(hits(s"$dir/xsorted", "x", 33L) <= 2)
+    assert(hits(s"$dir/xsorted", "y", 33L) == 16,
+      "single-key layout cannot prune the other dimension")
+  }
 }
