@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 import graft.graph.Components
 import graft.ingest.Ingest
+import graft.sample.Sampling
 import graft.sources.{ParquetStats, Sources}
 import graft.streaming.Upsert
 import graft.text.{Dedup, TextOps}
@@ -67,10 +68,10 @@ class DocSnippetSpec extends SparkSpec {
       if (i % 9 == 0) "error" else "ok")
   }.toDF("reading_id", "meter_id", "ts", "kwh", "status")
   lazy val corpus = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog near the river"),
-    (2L, "the quick brown fox jumps over the lazy dog near the river"),
-    (3L, "completely different content about engines and shuffles today"))
-    .toDF("doc_id", "text")
+    (1L, "the quick brown fox jumps over the lazy dog near the river", "web"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river", "web"),
+    (3L, "completely different content about engines and shuffles today", "web"))
+    .toDF("doc_id", "text", "source")
   lazy val vectors = Seq(
     (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
     .toDF("vec_id", "embedding")
@@ -127,13 +128,18 @@ class DocSnippetSpec extends SparkSpec {
     val pairs     = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4)
     val clusters  = Components.connectedComponents(pairs, "doc_a", "doc_b")
     val kept      = Components.keepCanonical(corpus, pairs, "doc_id", "doc_a", "doc_b")
-    val quality   = TextOps.qualityScore(kept, "doc_id", "text")
+    val quality   = TextOps.qualityScore(kept, "doc_id", "text", Seq("source"))
+    val curated   = Sampling.quantileTopFilter(quality, "stopword_ratio", "source", 1L, 2L)
+    val capped    = Sampling.groupCapSample(curated, "doc_id", "source", 100L)
     val neighbors = Similarity.annLshTopK(vectors, probes, "vec_id", "embedding", 16, 4, 5)
     // doc-snippet:E end
     assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     assert(clusters.count() == 2)          // both dup docs resolve to one component
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
     assert(quality.count() == 2)
+    // the stopword-dense doc tops its source's quantile; the cap (>n) keeps it
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(capped.select("doc_id").as[Long].collect().toSet == Set(1L))
     assert(neighbors.filter($"neighbor_id" === 2L).count() == 1) // probe finds its near-dup
     assertInSync("E")
   }
@@ -162,11 +168,12 @@ class DocSnippetSpec extends SparkSpec {
     val todays = readings.withColumn("day", org.apache.spark.sql.functions.to_date($"ts"))
     // doc-snippet:G begin
     val sorted = Sources.writeSortedLayout(readings, s"$dir/by_ts", "ts", 8)
+    val boxed  = Sources.writeZorderLayout(readings, s"$dir/by_id_ts", "reading_id", "ts", 8)
     val packed = Sources.compactParquet(spark, s"$dir/frag", s"$dir/packed", 128L * 1024 * 1024)
     Sources.relandPartitions(todays, s"$dir/by_day", Seq("day"))
     val nRows  = ParquetStats.rowCount(spark, s"$dir/by_ts")
     // doc-snippet:G end
-    assert(sorted.count() == 200 && packed.count() == 200 && nRows == 200L)
+    assert(sorted.count() == 200 && boxed.count() == 200 && packed.count() == 200 && nRows == 200L)
     assert(Sources.dataFiles(spark, s"$dir/packed").size < 20)
     assert(spark.read.parquet(s"$dir/by_day").count() == 200)
     assertInSync("G")
