@@ -352,5 +352,13 @@ class SourcesSpec extends SparkSpec {
     assert(hits(s"$dir/xsorted", "x", 33L) <= 2)
     assert(hits(s"$dir/xsorted", "y", 33L) == 16,
       "single-key layout cannot prune the other dimension")
+
+    // layout is content-invariant even for null-keyed rows (null z
+    // sorts into one range; the row itself must survive the rewrite)
+    val withNulls = Seq((Some(1L), Some(2L), "a"), (None: Option[Long], Some(5L), "b"),
+      (Some(3L), None: Option[Long], "c")).toDF("x", "y", "p")
+    val nb = Sources.writeZorderLayout(withNulls, s"$dir/nulls", "x", "y", 2)
+    assert(nb.count() == 3)
+    assert(nb.select("p").as[String].collect().toSet == Set("a", "b", "c"))
   }
 }
