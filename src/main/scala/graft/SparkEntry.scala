@@ -324,6 +324,12 @@ object SparkEntry {
     }),
     "e8_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "e9_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "e48_shuffle_shard" -> ((s, d) =>
+      // the corpus build's last step: deterministic global shuffle into
+      // 8 training shards with exact per-shard positions — ranked via
+      // the bucket-offset histogram, never a whole-shard sort
+      Sampling.shuffleShard(
+        Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id", 8)),
     "e47_group_cap_sample" -> ((s, d) =>
       // exact per-source cap: keep exactly 15 docs per source in a
       // deterministic pseudo-random order — the anti-over-representation
@@ -2183,6 +2189,21 @@ object SparkEntry {
              * (CASE WHEN round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) > 0.01 THEN 1.0 ELSE 0.7 END)
            END, 4) AS quality_score
          FROM t""",
+    // e48: the oracle ranks each shard directly (PARTITION BY shard
+    // ORDER BY r, id) — proving the engine's bucket-offset
+    // decomposition equals the straight per-shard rank
+    "e48_shuffle_shard" -> {
+      val p = graft.text.Dedup.AffineP
+      val a = graft.text.Dedup.hashConst("e48-a", 0)
+      val b = graft.text.Dedup.hashConst("e48-b", 0)
+      s"""WITH q AS (SELECT doc_id, source,
+           ($a * (doc_id % $p) + $b) % $p AS r
+         FROM documents WHERE doc_id IS NOT NULL)
+         SELECT doc_id, source, r % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY r % 8 ORDER BY r ASC, doc_id ASC) - 1
+             AS BIGINT) AS position
+         FROM q"""
+    },
     // e47: the affine hash constants are driver-derived literals (the
     // hashConst pattern) embedded in both plans; same bucket-histogram
     // arithmetic as the engine, rank window only inside the one

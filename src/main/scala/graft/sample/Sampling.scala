@@ -150,6 +150,52 @@ object Sampling {
     whole.unionByName(boundary).drop("__r", "__bk", "__cum", "__prev")
   }
 
+  /** Deterministic global shuffle into training shards (round 8) — the
+    * LAST step of a corpus build: every example gets a pseudo-random
+    * (shard, position) so trainers stream shards sequentially and still
+    * see a well-mixed order, reproducibly (re-running the build — or
+    * auditing it from another engine — yields the identical layout).
+    *
+    * Order key is the e47 affine-hash family (bijective mod 2³¹−1,
+    * oracle-reproducible); shard = key mod nShards, position = rank by
+    * (key, id) within the shard. The rank is exact but never sorts a
+    * whole shard (a shard is corpus/nShards — a window partitioned by
+    * shard alone is the unbounded-key anti-pattern): keys coarsen into
+    * `nBuckets` ranges, the tiny per-(shard, bucket) histogram's
+    * running sum gives each bucket its starting offset, and a
+    * row_number window partitioned by (shard, BUCKET) — partitions of
+    * ~n/(nShards·nBuckets) rows — ranks only within buckets;
+    * position = bucket offset + intra-bucket rank. One hash exchange
+    * of the corpus on (shard, bucket) — the same exchange that
+    * physically co-locates a shard's rows for the write — plus a
+    * broadcast of the offset table. Null ids are dropped (no
+    * deterministic position is defined for them). */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+                   nBuckets: Int = 4096): DataFrame = {
+    require(nShards > 0, "shard count must be positive")
+    require(nBuckets > 0, "bucket count must be positive")
+    val p = graft.text.Dedup.AffineP
+    val (a, b) = (graft.text.Dedup.hashConst("e48-a", 0),
+      graft.text.Dedup.hashConst("e48-b", 0))
+    val q = (p + nBuckets - 1) / nBuckets
+    val keyed = df
+      .withColumn("__r", (lit(a) * pmod(col(idCol).cast("long"), lit(p)) + lit(b)) % p)
+      .filter(col("__r").isNotNull)
+      .withColumn("shard", pmod(col("__r"), lit(nShards.toLong)))
+      .withColumn("__bk", floor(col("__r") / q).cast("long"))
+    val offsets = keyed.groupBy(col("shard"), col("__bk"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(
+        Window.partitionBy(col("shard")).orderBy(col("__bk").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__c"))
+      .select(col("shard"), col("__bk"), col("__off"))
+    val rankW = Window.partitionBy(col("shard"), col("__bk"))
+      .orderBy(col("__r").asc, col(idCol).asc)
+    keyed.join(broadcast(offsets), Seq("shard", "__bk"))
+      .withColumn("position", (col("__off") + row_number().over(rankW) - 1).cast("long"))
+      .drop("__r", "__bk", "__off")
+  }
+
   def temperatureMixSample(df: DataFrame, idCol: String, srcCol: String,
                            budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget must be a positive fraction")

@@ -181,6 +181,35 @@ class GraphSamplingSpec extends SparkSpec {
       out.sortBy(x => (x._1, x._2))), "bucket width changed the selection")
   }
 
+  test("shuffleShard assigns contiguous per-shard positions matching the hash order (e48)") {
+    val df = (0L until 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val out = Sampling.shuffleShard(df, "id", 4)
+      .select("shard", "position", "id").as[(Long, Long, Long)].collect()
+    assert(out.length == 500)
+    val p = graft.text.Dedup.AffineP
+    val (a, b) = (graft.text.Dedup.hashConst("e48-a", 0),
+      graft.text.Dedup.hashConst("e48-b", 0))
+    def r(id: Long) = (a * (id % p) + b) % p
+    val byShard = out.groupBy(_._1)
+    assert(byShard.keys.toSet.subsetOf((0L until 4L).toSet))
+    byShard.foreach { case (s, rows) =>
+      // positions are contiguous 0..n-1 and follow the (hash, id) order
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length))
+      val gotOrder = rows.sortBy(_._2).map(_._3).toSeq
+      val wantOrder = rows.map(_._3).sortBy(id => (r(id), id)).toSeq
+      assert(gotOrder == wantOrder, s"shard $s order diverged from the hash order")
+      rows.foreach { case (_, _, id) => assert(r(id) % 4 == s) }
+    }
+    // a deliberately coarse bucket grid yields the identical layout
+    val coarse = Sampling.shuffleShard(df, "id", 4, nBuckets = 3)
+      .select("shard", "position", "id").as[(Long, Long, Long)].collect()
+    assert(coarse.sortBy(_._3).sameElements(out.sortBy(_._3)),
+      "bucket width changed shard/position assignment")
+    // null ids are dropped
+    val withNull = Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("id", "payload")
+    assert(Sampling.shuffleShard(withNull, "id", 2).count() == 1)
+  }
+
   test("groupCapSample drops null ids and null groups (e47)") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), Some("a")),

@@ -269,6 +269,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("row_number".r.findAllIn(plan).size <= 4, plan)
   }
 
+  test("e48 ranks inside (shard, bucket) partitions, offsets broadcast") {
+    val plan = finalPlan(SparkEntry.queries("e48_shuffle_shard")(spark, sf))
+    // the offset table broadcasts; the only corpus exchange is the
+    // (shard, bucket) hash partitioning the rank window rides
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the rank window is partitioned by BOTH shard and bucket — a
+    // window keyed on shard alone would sort whole shards
+    assert(plan.contains("windowspecdefinition(shard"), plan)
+    assert("windowspecdefinition\\(shard#\\d+L, __bk".r.findAllIn(plan).nonEmpty, plan)
+  }
+
   test("e46 joins thresholds broadcast and never sorts the corpus") {
     val plan = finalPlan(SparkEntry.queries("e46_quality_quantile_filter")(spark, sf))
     // the G-row threshold table broadcasts back onto the scored corpus
