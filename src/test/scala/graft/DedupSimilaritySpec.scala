@@ -705,6 +705,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(misses > 900, s"filter passes too much: only $misses/1000 pruned")
   }
 
+  test("bloomFilterFor round-trips through writeTo/readFrom and OR-merges per epoch (e45)") {
+    val part1 = (0 until 300).map(i => (i.toLong, s"epoch one doc $i")).toDF("doc_id", "text")
+    val part2 = (300 until 500).map(i => (i.toLong, s"epoch two doc $i")).toDF("doc_id", "text")
+    val whole = part1.unionByName(part2)
+    val keys = whole.select(xxhash64(graft.functions.normalizeText(col("text"))))
+      .as[Long].collect()
+    // the persistable per-epoch artifact: serialize -> reload -> same probes
+    val bf = Dedup.bloomFilterFor(whole, "text", 500L)
+    val f = java.io.File.createTempFile("graft_bf", ".bin")
+    val os = new java.io.FileOutputStream(f)
+    try bf.writeTo(os) finally os.close()
+    val is = new java.io.FileInputStream(f)
+    val reloaded = try org.apache.spark.util.sketch.BloomFilter.readFrom(is) finally is.close()
+    f.delete()
+    assert(keys.forall(reloaded.mightContainLong), "reloaded filter lost a key")
+    // incremental maintenance: building per epoch and OR-merging equals
+    // one whole-corpus build (same expectedItems -> same bit layout)
+    val merged = Dedup.bloomFilterFor(part1, "text", 500L)
+      .mergeInPlace(Dedup.bloomFilterFor(part2, "text", 500L))
+    assert(keys.forall(merged.mightContainLong), "merged filter lost a key")
+    val probes = (1000000 until 1002000).map(i => i.toLong * 2654435761L)
+    assert(probes.forall(k => merged.mightContainLong(k) == bf.mightContainLong(k)),
+      "per-epoch OR-merge diverged from the whole-corpus build")
+  }
+
   test("incrementalMinhashPairs emits batch-vs-seen candidates, nothing internal") {
     val seen = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
