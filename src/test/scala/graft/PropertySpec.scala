@@ -371,4 +371,58 @@ class PropertySpec extends SparkSpec {
         s"round $round regex count")
     }
   }
+
+  test("bucket-histogram rank ops match brute force on random shapes (rule 9: e46/e47/e48)") {
+    import graft.sample.Sampling
+    val p = graft.text.Dedup.AffineP
+    val (a48, b48) = (graft.text.Dedup.hashConst("e48-a", 0),
+      graft.text.Dedup.hashConst("e48-b", 0))
+    val (a47, b47) = (graft.text.Dedup.hashConst("e47-a", 0),
+      graft.text.Dedup.hashConst("e47-b", 0))
+    for (round <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(5)
+      // skewed group sizes, deliberate tie mass (values on a coarse
+      // lattice), negatives included
+      val rows = (0 until 150 + rnd.nextInt(450)).map { i =>
+        val g = s"g${(i * i) % nGroups}" // uneven group occupancy
+        val v = math.round((rnd.nextDouble() * 4 - 2) * 50) / 50.0
+        (i.toLong * (1 + rnd.nextInt(3)), g, v)
+      }.distinct
+      val byId = rows.groupBy(_._1).values.map(_.head).toSeq // unique ids
+      val df = byId.toDF("id", "g", "v")
+
+      val (kn, kd) = (1L + rnd.nextInt(3), 4L)
+      val got46 = Sampling.quantileTopFilter(df, "v", "g", kn, kd)
+        .select("id").as[Long].collect().toSet
+      val want46 = byId.groupBy(_._2).flatMap { case (_, grp) =>
+        val us = grp.map(r => math.floor(r._3 * 1e6).toLong)
+        val target = ((us.size * kn + kd - 1) / kd).toInt
+        val thr = us.sorted(Ordering[Long].reverse).take(target).last
+        grp.filter(r => math.floor(r._3 * 1e6).toLong >= thr).map(_._1)
+      }.toSet
+      assert(got46 == want46, s"round $round e46 (kn=$kn)")
+
+      val cap = 5L + rnd.nextInt(40)
+      val got47 = Sampling.groupCapSample(df, "id", "g", cap,
+        nBuckets = 1 + rnd.nextInt(64))
+        .select("id").as[Long].collect().toSet
+      def r47(id: Long) = (a47 * (((id % p) + p) % p) + b47) % p
+      val want47 = byId.groupBy(_._2).flatMap { case (_, grp) =>
+        grp.map(_._1).sortBy(id => (r47(id), id)).take(cap.toInt)
+      }.toSet
+      assert(got47 == want47, s"round $round e47 (cap=$cap)")
+
+      val nShards = 1 + rnd.nextInt(6)
+      val got48 = Sampling.shuffleShard(df, "id", nShards,
+        nBuckets = 1 + rnd.nextInt(64))
+        .select("shard", "position", "id").as[(Long, Long, Long)].collect()
+      def r48(id: Long) = (a48 * (((id % p) + p) % p) + b48) % p
+      val want48 = byId.map(_._1).groupBy(id => r48(id) % nShards)
+        .flatMap { case (s, ids) =>
+          ids.sortBy(id => (r48(id), id)).zipWithIndex
+            .map { case (id, pos) => (s, pos.toLong, id) }
+        }.toSet
+      assert(got48.toSet == want48, s"round $round e48 (shards=$nShards)")
+    }
+  }
 }
