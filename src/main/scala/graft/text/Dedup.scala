@@ -701,10 +701,18 @@ object Dedup {
     * materialization the query pays anyway) — against an honest
     * budget:
     *
-    *  - local master (single JVM): a broadcast is a same-heap
-    *    reference hand-off, so the budget is heap-derived
-    *    (maxMemory/8, capped at 6 GiB to clear Spark's hard 8 GiB
-    *    exchange limit with relation overhead).
+    *  - local master (single JVM): a broadcast hand-off is same-heap,
+    *    so sf1-scale relations (~1 GB, probe-measured faster than the
+    *    hash join) take the fast path. The budget is maxMemory/8
+    *    capped at 1 GiB rather than the earlier heap-proportional
+    *    4 GiB: an interleaved 16g/64g-driver A/B on e43's sf10 leg
+    *    (the one query whose ~2 GiB prefix relation straddled the old
+    *    heap-derived caps) measured overlapping 67-109 s either way —
+    *    broadcast vs shuffled-hash is a wash at that size locally, so
+    *    the cap buys regime REPRODUCIBILITY (the chosen plan no longer
+    *    flips with SPARK_DRIVER_MEM) and is the honest scale proxy: a
+    *    distributed deployment would never broadcast a multi-GiB
+    *    relation (single-threaded driver build + per-executor copy).
     *  - distributed master: the session's configured
     *    autoBroadcastJoinThreshold — at 100 TB the corpus-sized
     *    streams always exceed it and take the shuffled-hash path,
@@ -717,12 +725,10 @@ object Dedup {
     * MEASURED string bytes — a flat per-row constant is not enough:
     * the first cut priced rows at 48 B and let the sf10 container
     * stream through its 6 GiB cap when the real relation was 8.4 GiB,
-    * still over Spark's hard 8 GiB exchange limit. The 4 GiB
-    * local cap leaves 2× headroom under that limit for relation-build
-    * overhead and residual model error. */
+    * still over Spark's hard 8 GiB exchange limit. */
   private def broadcastCap(spark: org.apache.spark.sql.SparkSession): Long =
     if (spark.sparkContext.isLocal)
-      math.min(Runtime.getRuntime.maxMemory() / 8, 4L << 30)
+      math.min(Runtime.getRuntime.maxMemory() / 8, 1L << 30)
     else
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
