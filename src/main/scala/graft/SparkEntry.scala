@@ -185,6 +185,21 @@ object SparkEntry {
         Quality.ExpectNotNull("r1_value_not_null", "value"),
         Quality.ExpectBetween("r2_value_bounds", "value", Some(0.0), Some(100.0)),
         Quality.ExpectUnique("r3_event_id_unique", "event_id")))),
+    "b17_referential_integrity" -> ((s, d) =>
+      // the star schema's declared FK graph, audited in one query:
+      // fact→dim orphans (should be zero) and childless dimension
+      // rows (expected: TPC-H customers without orders)
+      Quality.referentialIntegrity(Seq(
+        Quality.FkRelation("lineitem->orders",
+          Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        Quality.FkRelation("orders->customer",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"),
+        Quality.FkRelation("customer->nation",
+          Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+        Quality.FkRelation("supplier->nation",
+          Tables.supplier(s, d), "s_nationkey", Tables.nation(s, d), "n_nationkey"),
+        Quality.FkRelation("nation->region",
+          Tables.nation(s, d), "n_regionkey", Tables.region(s, d), "r_regionkey")))),
 
     // ---------------- C. time-series prep + forecasting ----------------
     "c1_resample_hourly" -> ((s, d) =>
@@ -280,6 +295,8 @@ object SparkEntry {
     "d12_activity_pivot" -> ((s, d) =>
       Analytics.activityPivot(Tables.events(s, d), "user_id", "event_type",
         "value", eventTypes)),
+    "d13_cohort_retention" -> ((s, d) =>
+      Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -1261,6 +1278,34 @@ object SparkEntry {
             count(event_id) - count(DISTINCT event_id),
             count(event_id) - count(DISTINCT event_id) = 0
           FROM events GROUP BY 1"""
+    },
+    // one full-outer key join per declared relation, unioned — the
+    // same (key, count) ⋈ distinct-parent-key shape as the Spark plan
+    "b17_referential_integrity" -> {
+      def rel(name: String, child: String, ck: String,
+              parent: String, pk: String): String = {
+        val nChild = s"sum(CASE WHEN c.k IS NOT NULL THEN c.cn ELSE 0 END)"
+        val nOrph = s"sum(CASE WHEN c.k IS NOT NULL AND p.p IS NULL THEN c.cn ELSE 0 END)"
+        s"""SELECT '$name' AS relation,
+            CAST(coalesce($nChild, 0) AS BIGINT) AS n_child,
+            CAST(coalesce(sum(CASE WHEN c.k IS NULL THEN c.cn END), 0) AS BIGINT) AS n_null_fk,
+            CAST(coalesce($nOrph, 0) AS BIGINT) AS n_orphan,
+            count(p.p) AS n_parent,
+            count(CASE WHEN p.p IS NOT NULL AND c.cn IS NULL THEN 1 END) AS n_childless,
+            CASE WHEN coalesce($nChild, 0) = 0 THEN 0.0
+              ELSE floor(($nOrph * 20000 + $nChild) / ($nChild * 2)) / 10000.0
+            END AS orphan_pct
+          FROM (SELECT $ck AS k, count(*) AS cn FROM $child GROUP BY 1) c
+          FULL OUTER JOIN (SELECT DISTINCT $pk AS k, 1 AS p FROM $parent) p
+            ON c.k = p.k"""
+      }
+      Seq(
+        rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        rel("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("\nUNION ALL\n")
     },
     "b14_psi_drift" -> {
       val domainSql = eventTypes.map(t => s"'$t'").mkString(",")
@@ -2520,6 +2565,26 @@ object SparkEntry {
            sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM events GROUP BY 1"""
     },
+    // d13: the per-user (cohort, weeks-set) aggregate mirrors the Spark
+    // plan's single user-key shuffle — unnesting the week list instead
+    // of re-joining activity on user_id keeps null-user rows in play
+    // (a USING(user_id) join would silently drop them)
+    "d13_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w
+            FROM events WHERE ts IS NOT NULL),
+          pu AS (SELECT user_id, min(w) AS cohort_week,
+              list(DISTINCT w) AS weeks FROM e GROUP BY 1),
+          sizes AS (SELECT cohort_week, count(*) AS cohort_size
+            FROM pu GROUP BY 1),
+          act AS (SELECT cohort_week,
+              CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS weeks_since,
+              count(*) AS n_active
+            FROM (SELECT cohort_week, unnest(weeks) AS act_week FROM pu)
+            GROUP BY 1, 2)
+          SELECT a.cohort_week, a.weeks_since, a.n_active, s.cohort_size,
+            floor((a.n_active * 20000 + s.cohort_size) / (s.cohort_size * 2)) / 10000.0
+              AS retention
+          FROM act a JOIN sizes s USING (cohort_week)""",
     // layout-invariant like g8: only file boundaries/order move
     "g9_sorted_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value

@@ -241,4 +241,46 @@ object Analytics {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
         round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4)
           .as("purchase_value"))
+
+  /** Weekly cohort retention matrix (round 8) — the classic activity
+    * report: users cohorted by the Monday week of their FIRST event,
+    * each (cohort_week, weeks_since) cell counting how many of that
+    * cohort were active that many weeks later, plus the cohort size
+    * and the half-up-e4 retention ratio. Null-timestamp rows carry no
+    * activity signal and are dropped; a null user id forms its own
+    * (single-user) group like any other key.
+    *
+    * Scale shape: ONE corpus shuffle, on the fine-grained user key —
+    * per user, `min(week)` and `collect_set(week)` aggregate together
+    * (both partial-aggregate map-side; the set is bounded by the
+    * CALENDAR — weeks since the product launched — never by the event
+    * count, so this is the sanctioned bounded-group collect). The
+    * exploded (cohort_week, act_week) table is |users|·weeks rows of
+    * two columns, aggregated on the coarse cohort key only AFTER the
+    * per-user reduction (the d9 two-stage discipline: the raw event
+    * table never touches a coarse key). Cohort sizes are a G-row
+    * table broadcast back onto the matrix. The retention ratio uses
+    * the exact-integer half-up formula (SURVEY §6) so a boundary cell
+    * cannot round differently across engines. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val perUser = events
+      .filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), date_trunc("week", col(tsCol)).as("__w"))
+      .groupBy(col("__u"))
+      .agg(min(col("__w")).as("cohort_week"), collect_set(col("__w")).as("__weeks"))
+      // user-count-sized, but TWO consumers (cohort sizes + the
+      // activity explode) — materialize so the corpus aggregates once
+      .localCheckpoint(false)
+    val sizes = perUser.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val act = perUser
+      .select(col("cohort_week"), explode(col("__weeks")).as("__aw"))
+      .groupBy(col("cohort_week"),
+        expr("datediff(__aw, cohort_week) div 7").cast("long").as("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+    act.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retention",
+        floor((col("n_active") * 20000 + col("cohort_size")) /
+          (col("cohort_size") * 2)) / 10000.0)
+  }
 }

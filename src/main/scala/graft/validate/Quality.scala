@@ -465,4 +465,54 @@ object Quality {
         lit(r.kind).as("kind"), col("__n").as("n_rows"),
         coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
     }: _*))
+
+  /** One foreign-key relation for [[referentialIntegrity]]: `child`
+    * rows reference `parent` rows through `childKey` → `parentKey`. */
+  final case class FkRelation(name: String, child: DataFrame, childKey: String,
+                              parent: DataFrame, parentKey: String)
+
+  /** Referential-integrity audit (round 8) — the cross-TABLE twin of
+    * the per-table expectation suites (b15/b16): for each declared FK
+    * relation, count child rows whose key names no parent (orphans),
+    * child rows with a NULL key (no reference at all), and parent keys
+    * no child row names (childless — expected for e.g. customers
+    * without orders, load-bearing when a fact table SHOULD cover every
+    * dimension row). One row per relation:
+    * (relation, n_child, n_null_fk, n_orphan, n_parent, n_childless,
+    * orphan_pct). `n_child` counts non-null-key child rows; the orphan
+    * percentage is over those, half-up-e4 in exact integer arithmetic.
+    *
+    * Scale shape, per relation: the child side partial-aggregates to
+    * (key, count) — key granularity, so the shuffle carries one row
+    * per DISTINCT key, not per fact row — the parent side projects to
+    * its distinct key, and ONE full-outer join on the key (AQE
+    * broadcasts the dimension side when it fits) feeds a single-row
+    * aggregate. Nothing wider than a key ever moves; relations are
+    * independent single-row plans unioned at the end, so Spark runs
+    * them as parallel jobs of one query. */
+  def referentialIntegrity(relations: Seq[FkRelation]): DataFrame = {
+    require(relations.nonEmpty, "at least one relation")
+    relations.map { r =>
+      val ck = r.child.groupBy(col(r.childKey).as("__k"))
+        .agg(count(lit(1)).as("__cn"))
+      val pk = r.parent.select(col(r.parentKey).as("__k"))
+        .distinct().withColumn("__p", lit(1))
+      val orphanRows = sum(when(col("__k").isNotNull && col("__p").isNull,
+        col("__cn")).otherwise(lit(0L)))
+      val childRows = sum(when(col("__k").isNotNull, col("__cn")).otherwise(lit(0L)))
+      ck.join(pk, Seq("__k"), "full_outer")
+        .agg(
+          coalesce(childRows, lit(0L)).as("n_child"),
+          coalesce(sum(when(col("__k").isNull, col("__cn")).otherwise(lit(0L))),
+            lit(0L)).as("n_null_fk"),
+          coalesce(orphanRows, lit(0L)).as("n_orphan"),
+          count(when(col("__p").isNotNull, lit(1))).as("n_parent"),
+          count(when(col("__p").isNotNull && col("__cn").isNull, lit(1)))
+            .as("n_childless"),
+          when(coalesce(childRows, lit(0L)) === 0L, lit(0.0))
+            .otherwise(floor((coalesce(orphanRows, lit(0L)) * 20000 + childRows) /
+              (childRows * 2)) / 10000.0).as("orphan_pct"))
+        .select(lit(r.name).as("relation"), col("*"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -90,4 +90,39 @@ class AnalyticsSpec extends SparkSpec {
       assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("cohortRetention: hand-computed matrix, week-0 completeness, null-ts rows ignored") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // weeks (Mondays): 2024-01-01, 01-08, 01-15. u1 cohort w0 active
+    // w0+w2; u2 cohort w0 active w0 only (its null-ts row must not
+    // add a week); u3 cohort w1 active w1+w2; null user = own cohort.
+    val df = Seq(
+      (1L, Option(ts("2024-01-02")), 1.0), (1L, Option(ts("2024-01-16")), 1.0),
+      (2L, Option(ts("2024-01-03")), 1.0), (2L, None, 1.0),
+      (3L, Option(ts("2024-01-10")), 1.0), (3L, Option(ts("2024-01-17")), 1.0))
+      .toDF("user_id", "ts", "value")
+      .unionByName(Seq((Option.empty[Long], Option(ts("2024-01-08")), 1.0))
+        .toDF("user_id", "ts", "value"))
+    val out = Analytics.cohortRetention(df, "user_id", "ts").collect()
+    val got = out.map(r => (r.getAs[Timestamp]("cohort_week").toString.take(10),
+      r.getAs[Long]("weeks_since")) ->
+      ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+        r.getAs[Double]("retention")))).toMap
+    assert(got(("2024-01-01", 0L)) == ((2L, 2L, 1.0)), s"got $got")
+    assert(got(("2024-01-01", 2L)) == ((1L, 2L, 0.5)), s"got $got")
+    assert(got(("2024-01-08", 0L)) == ((2L, 2L, 1.0)), s"got $got") // u3 + null user
+    assert(got(("2024-01-08", 1L)) == ((1L, 2L, 0.5)), s"got $got")
+    assert(got.size == 4, s"got $got")
+    // structural invariant on real data: every cohort has a week-0 row
+    // with retention exactly 1.0 (the first event IS week-0 activity)
+    val real = Analytics.cohortRetention(
+      Tables.events(spark, sf), "user_id", "ts").collect()
+    val w0 = real.filter(_.getAs[Long]("weeks_since") == 0L)
+    val cohorts = real.map(_.getAs[Timestamp]("cohort_week")).distinct
+    assert(w0.length == cohorts.length)
+    assert(w0.forall(r => r.getAs[Double]("retention") == 1.0 &&
+      r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size")))
+  }
 }

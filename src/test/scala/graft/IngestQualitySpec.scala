@@ -444,4 +444,31 @@ class IngestQualitySpec extends SparkSpec {
     val leaves = rep.queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.size == 1, s"suite must compile to ONE scan, got ${leaves.size}")
   }
+
+  test("referentialIntegrity counts orphans, null FKs, and childless parents exactly") {
+    val child = Seq(
+      (Option(1L), "a"), (Option(1L), "b"), (Option(2L), "c"), // resolved
+      (Option(9L), "d"), (Option(9L), "e"),                    // orphans (no parent 9)
+      (None, "f"))                                             // null FK
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk") // 3, 4 childless
+    val out = Quality.referentialIntegrity(Seq(
+      Quality.FkRelation("child->parent", child, "fk", parent, "pk"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("relation") == "child->parent")
+    assert(r.getAs[Long]("n_child") == 5L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+    assert(r.getAs[Long]("n_orphan") == 2L)
+    assert(r.getAs[Long]("n_parent") == 4L)
+    assert(r.getAs[Long]("n_childless") == 2L)
+    assert(r.getAs[Double]("orphan_pct") == 0.4)
+    // a fully-resolved relation reports zeros (the healthy-star case)
+    val clean = Quality.referentialIntegrity(Seq(
+      Quality.FkRelation("ok", child.filter($"fk" <= 2), "fk", parent, "pk")))
+      .collect().head
+    assert(clean.getAs[Long]("n_orphan") == 0L &&
+      clean.getAs[Double]("orphan_pct") == 0.0 &&
+      clean.getAs[Long]("n_null_fk") == 0L)
+  }
 }
