@@ -253,6 +253,11 @@ object SparkEntry {
       Decompose.residualAnomalies(Tables.events(s, d), "user_id", "ts", "event_id", "value", 12, 3)),
     "c24_forecast_intervals" -> ((s, d) =>
       Forecast.forecastIntervals(Tables.events(s, d), "user_id", "ts", "event_id", "value", 24)),
+    "c25_winsorize" -> ((s, d) =>
+      // clip each series into its exact [5%, 95%] micro-unit quantile
+      // interval — the robust pre-scaling companion to b2/b7's reports
+      TimeSeries.winsorize(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value", 5, 100, 95, 100)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
     "c19_scaler_apply" -> ((s, d) => {
@@ -375,6 +380,8 @@ object SparkEntry {
       TextOps.tokenFrequency(Tables.documents(s, d), "doc_id", "text", 5L)),
     "e31_ngram_freq" -> ((s, d) =>
       TextOps.ngramFrequency(Tables.documents(s, d), "doc_id", "text", 2, 5L)),
+    "e49_bpe_pair_counts" -> ((s, d) =>
+      TextOps.bpePairCounts(Tables.documents(s, d), "doc_id", "text", 2L)),
     "e15_frame_sample" -> ((s, d) =>
       Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
     "e17_dup_clusters" -> ((s, d) =>
@@ -1432,6 +1439,28 @@ object SparkEntry {
            (r.pc + q.qlo) / 100.0 AS lo,
            (r.pc + q.qhi) / 100.0 AS hi
          FROM r JOIN q ON r.user_id = q.user_id""",
+    // c25: the e46 histogram arithmetic replicated verbatim — integer
+    // micro-unit cumulative counts, ceil targets in integer division,
+    // thresholds re-emitted as exact long/1e6 doubles
+    "c25_winsorize" ->
+      """WITH t AS (SELECT event_id, user_id, date_trunc('second', ts) AS period,
+            value, CAST(floor(value * 1e6) AS BIGINT) AS vu FROM events),
+          h AS (SELECT user_id, vu, count(*) AS c FROM t
+            WHERE value IS NOT NULL GROUP BY 1, 2),
+          cw AS (SELECT user_id, vu,
+              sum(c) OVER (PARTITION BY user_id ORDER BY vu
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              sum(c) OVER (PARTITION BY user_id) AS n
+            FROM h),
+          thr AS (SELECT user_id,
+              min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN vu END) AS lo,
+              min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN vu END) AS hi
+            FROM cw GROUP BY 1)
+          SELECT t.event_id, t.user_id, t.period, t.value,
+            CASE WHEN t.vu < thr.lo THEN thr.lo / 1e6
+                 WHEN t.vu > thr.hi THEN thr.hi / 1e6
+                 ELSE t.value END AS value_winsorized
+          FROM t LEFT JOIN thr ON t.user_id = thr.user_id""",
     "c7_forecast_metrics" ->
       """WITH f AS (
            SELECT user_id, value,
@@ -2439,6 +2468,22 @@ object SparkEntry {
                   FROM w WHERE len(words) >= 2))
           SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
           FROM sh GROUP BY 1 HAVING count(*) >= 5""",
+    // e49: word frequencies once (e16's count semantics), then pairs
+    // over the vocab with the end-of-word sentinel appended; rank ties
+    // break on the pair string
+    "e49_bpe_pair_counts" ->
+      s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS word
+            FROM documents),
+          wf AS (SELECT word, count(*) AS c FROM t
+            WHERE length(word) > 0 GROUP BY 1),
+          sym AS (SELECT word || '_' AS s, c FROM wf),
+          pr AS (SELECT substr(s, CAST(i AS INT), 2) AS pair, c
+            FROM (SELECT s, c, unnest(range(1, length(s))) AS i FROM sym)),
+          pc AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+            FROM pr GROUP BY 1 HAVING sum(c) >= 2)
+          SELECT pair, pair_count,
+            row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+          FROM pc""",
     // seen side reduces to its DISTINCT md5 set; batch self-dedup keeps
     // the min-id row with arg_min-carried attrs (id unique → exact).
     // NOT EXISTS, not NOT IN: a null hash (null text) must behave like

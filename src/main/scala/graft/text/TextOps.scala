@@ -216,6 +216,44 @@ object TextOps {
       .agg(sum(col("__tf")).as("n"), count(col("doc_id")).as("doc_freq"))
       .filter(col("n") >= minCount)
 
+  /** BPE merge-candidate table (round 8) — the first iteration of BPE
+    * tokenizer training (Sennrich et al. 2016): frequency of every
+    * adjacent SYMBOL pair over the corpus, symbols being the
+    * characters of each normalized word plus the end-of-word sentinel
+    * `_` (safe: normalized text is [a-z0-9 ]). `rank` 1 is the merge a
+    * BPE trainer would perform; re-running after applying a merge to
+    * the vocab table (a vocab-sized rewrite, not a corpus pass) yields
+    * iteration 2 — the corpus is never re-read.
+    *
+    * Scale shape: the ONLY corpus-sized work is the word-frequency
+    * reduction, the same skew-safe two-level aggregate as
+    * [[tokenFrequency]]; pair extraction then explodes the VOCAB table
+    * (corpus-size-independent — 100 TB of text and 100 GB of text have
+    * comparable vocabularies), so the interpreted higher-order slice
+    * lambda never touches a corpus row, and the pair aggregate/rank
+    * live on an alphabet²-bounded table (the one sanctioned global
+    * window: its partition is bounded by construction). */
+  def bpePairCounts(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Long): DataFrame = {
+    val wordFreq = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("word"))
+      .agg(sum(col("__tf")).as("__c"))
+    val sym = concat(col("word"), lit("_"))
+    wordFreq
+      .select(col("__c"),
+        explode(transform(sequence(lit(1), length(sym) - 1),
+          i => sym.substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("__c")).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("pair").asc)).cast("long"))
+  }
+
   /** Per-doc top-k terms by TF-IDF — the keyword/vocabulary projection
     * of the corpus (classic two-pass scheme: per-doc term counts, then
     * corpus-wide document frequencies, idf = ln(N/df)). The scalar doc

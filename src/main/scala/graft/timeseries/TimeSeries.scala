@@ -308,4 +308,52 @@ object TimeSeries {
       round(when(cnt === 1.0, lit(null).cast("double"))
         .otherwise(sqrt(variance) / 100.0), 4).as("roll_std"))
   }
+
+  /** Per-key winsorization at EXACT quantiles (round 8) — the robust
+    * outlier-taming transform (clip, don't drop — b2/b7 only REPORT
+    * outliers): each value is clamped into its key's
+    * [loNum/loDen, hiNum/hiDen] quantile interval. Quantile semantics
+    * are lower-bound on the integer micro-unit grid: a row clips iff
+    * its ⌊value·10⁶⌋ falls strictly outside the thresholds, and the
+    * clipped value is the threshold micro-unit itself (so the output
+    * grid is engine-exact; sub-micro detail inside a boundary bucket
+    * is deliberately kept).
+    *
+    * Same histogram discipline as e46 (Sampling.quantileTopFilter) —
+    * the quantile never ranks the corpus: per-(key, micro-value)
+    * counts partial-aggregate into a tiny histogram, ONE ascending
+    * cumulative window over THAT yields both thresholds per key
+    * (smallest value whose cumulative count reaches ⌈n·num/den⌉, pure
+    * integer arithmetic), and the K-row threshold table broadcasts
+    * back as a narrow clamp — two corpus scans, zero corpus shuffles.
+    * Null values pass through unclipped (they carry no magnitude);
+    * rows whose key has no threshold row (all-null series) likewise
+    * pass through. */
+  def winsorize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                valueCol: String, loNum: Long, loDen: Long,
+                hiNum: Long, hiDen: Long): DataFrame = {
+    require(loNum >= 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
+      loNum * hiDen <= hiNum * loDen, "quantile bounds must be ordered fractions")
+    val vu = floor(col(valueCol) * 1e6).cast("long")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), vu.as("__vu"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col(keyCol)).orderBy(col("__vu").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(keyCol))))
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col("__cum") >= expr(s"(__n * $loNum + $loDen - 1) div $loDen"),
+          col("__vu"))).as("__lo"),
+        min(when(col("__cum") >= expr(s"(__n * $hiNum + $hiDen - 1) div $hiDen"),
+          col("__vu"))).as("__hi"))
+    df.join(broadcast(thr), Seq(keyCol), "left")
+      .select(col(idCol), col(keyCol),
+        date_trunc("second", col(tsCol)).as("period"), col(valueCol),
+        when(vu < col("__lo"), col("__lo") / 1e6)
+          .when(vu > col("__hi"), col("__hi") / 1e6)
+          .otherwise(col(valueCol)).as("value_winsorized"))
+  }
 }

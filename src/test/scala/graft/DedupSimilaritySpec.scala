@@ -264,6 +264,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("a b"))
   }
 
+  test("bpePairCounts weights char pairs by word frequency, sentinel included") {
+    // corpus: "low low lower" → low×2, lower×1. Symbols get '_'
+    // appended: low_ pairs lo,ow,w_ (×2); lower_ pairs lo,ow,we,er,r_.
+    val d = Seq((1L, "low low"), (2L, "lower")).toDF("doc_id", "text")
+    val out = TextOps.bpePairCounts(d, "doc_id", "text", 1L)
+      .collect().map(r => r.getAs[String]("pair") ->
+        ((r.getAs[Long]("pair_count"), r.getAs[Long]("rank")))).toMap
+    assert(out("lo")._1 == 3L && out("ow")._1 == 3L)
+    assert(out("w_")._1 == 2L)
+    assert(out("we")._1 == 1L && out("er")._1 == 1L && out("r_")._1 == 1L)
+    // rank 1 is the first BPE merge: ties on count=3 break lexically
+    assert(out("lo")._2 == 1L && out("ow")._2 == 2L && out("w_")._2 == 3L)
+    // overlapping pairs in one word each count ("aaa" → aa twice + a_)
+    val rep = TextOps.bpePairCounts(
+        Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text", 1L)
+      .collect().map(r => r.getAs[String]("pair") -> r.getAs[Long]("pair_count")).toMap
+    assert(rep == Map("aa" -> 2L, "a_" -> 1L), s"got $rep")
+    // minCount prunes singletons before the rank
+    val pruned = TextOps.bpePairCounts(d, "doc_id", "text", 2L)
+      .collect().map(_.getAs[String]("pair")).toSet
+    assert(pruned == Set("lo", "ow", "w_"))
+  }
+
   test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
     val d = Seq(
       (1L, "common zebra zebra zebra", "en", "s"),

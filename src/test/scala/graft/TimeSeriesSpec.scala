@@ -397,4 +397,47 @@ class TimeSeriesSpec extends SparkSpec {
     val frac = covered.toDouble / out.length
     assert(frac > 0.7 && frac < 0.95, s"in-sample coverage $frac should be ~0.8")
   }
+
+  test("winsorize clips exactly at the micro-unit quantile thresholds") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    // key A: values 1..10 at 5%/95% → targets ceil(0.5)=1, ceil(9.5)=10
+    // → lo = 1.0 (cum1), hi = 10.0 (cum10): nothing clips. At 10%/80%
+    // → targets 1 and 8 → hi = 8.0: 9,10 clip down.
+    val df = (1 to 10).map(i => (1L, ts(i), i.toLong * 10, i.toDouble))
+      .toDF("user_id", "ts", "event_id", "value")
+      .unionByName(Seq((2L, ts(1), 900L, Option(5.0)),
+        (2L, ts(2), 901L, Option.empty[Double]))
+        .toDF("user_id", "ts", "event_id", "value"))
+    val wide = TimeSeries.winsorize(df, "user_id", "ts", "event_id", "value",
+        5, 100, 95, 100)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("value_winsorized"))).toMap
+    (1 to 10).foreach(i => assert(wide(i.toLong * 10) == Some(i.toDouble)))
+    assert(wide(901L).isEmpty) // null value passes through null
+    val tight = TimeSeries.winsorize(df.filter($"user_id" === 1L),
+        "user_id", "ts", "event_id", "value", 10, 100, 80, 100)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Double]("value_winsorized")).toMap
+    assert(tight(90L) == 8.0 && tight(100L) == 8.0, s"got $tight")
+    assert((1 to 8).forall(i => tight(i.toLong * 10) == i.toDouble))
+    // invariant on real data: winsorized values always inside the
+    // original range, and at most ~5%+bucket-width clip on each side
+    val real = TimeSeries.winsorize(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", "value", 5, 100, 95, 100).collect()
+    val nonNull = real.filter(r => !r.isNullAt(r.fieldIndex("value")))
+    val byUser = nonNull.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val vs = rows.map(_.getAs[Double]("value"))
+      val ws = rows.map(_.getAs[Double]("value_winsorized"))
+      // clipping only ever moves values toward the interior
+      assert(ws.min >= vs.min - 1e-6 && ws.max <= vs.max + 1e-6)
+      // spread never increases
+      assert(ws.max - ws.min <= vs.max - vs.min + 1e-9)
+    }
+    val clipped = nonNull.count(r =>
+      r.getAs[Double]("value_winsorized") != r.getAs[Double]("value"))
+    assert(clipped > 0, "5/95 winsorization on real data should clip something")
+    assert(clipped <= math.ceil(nonNull.length * 0.11),
+      s"clipped $clipped of ${nonNull.length} — more than ~10% moved")
+  }
 }
