@@ -512,6 +512,8 @@ object SparkEntry {
     }),
     "e34_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text", 5L)),
+    "e50_bigram_logprob" -> ((s, d) =>
+      TextOps.bigramLogProb(Tables.documents(s, d), "doc_id", "text", 5L)),
     "e36_neardup_admit" -> ((s, d) => {
       // the e32/e35 orientation: ids < 250 are the new crawl batch,
       // admitted iff no LSH candidate against the accumulated corpus
@@ -614,6 +616,12 @@ object SparkEntry {
       // vs a single-key-sorted control in SourcesSpec)
       graft.sources.Sources.writeZorderLayout(ev, tmp, "user_id", "period", 16)
     }),
+    "g11_stats_catalog" -> ((s, d) =>
+      // ANALYZE from footers only: exact per-column stats with zero
+      // data pages read — the catalog build the autoPlanes/pruning
+      // family consumes; oracled against a full DuckDB scan
+      graft.sources.ParquetStats.analyzeTable(s, s"$d/events.parquet",
+        Seq("event_id", "user_id"))),
     "g4_jsonl_roundtrip" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -2536,6 +2544,34 @@ object SparkEntry {
             CAST(sum(oov) AS BIGINT) AS oov_tokens,
             floor(CAST(sum(lpq * tf) AS DOUBLE) / (100.0 * sum(tf))) / 10000.0 AS logprob
           FROM sc GROUP BY 1""",
+    // e50: the e34 micro-log pattern one LM order up — pair counts,
+    // context counts, and the context-vocab V all from the pair table;
+    // the smoothing ratio is int/double in both engines (identical
+    // IEEE division), quantized to exact integer micro-logs
+    "e50_bigram_logprob" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS pair
+            FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+                  FROM w WHERE len(words) >= 2)),
+          tf2 AS (SELECT doc_id, pair, count(*) AS tf FROM sh GROUP BY 1, 2),
+          pc AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS c2,
+              string_split(pair, ' ')[1] AS prev FROM tf2 GROUP BY 1),
+          ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS nctx FROM pc GROUP BY 1),
+          vv AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM ctx WHERE nctx >= 5),
+          kept AS (SELECT pair, c2 FROM pc WHERE c2 >= 5),
+          sc AS (SELECT tf2.doc_id, tf2.tf,
+              CASE WHEN k.c2 IS NULL THEN tf2.tf ELSE 0 END AS rare,
+              CAST(floor(ln((coalesce(k.c2, 0) + 1) /
+                CAST(ctx.nctx + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS lpq
+            FROM tf2
+            LEFT JOIN kept k USING (pair)
+            LEFT JOIN ctx ON string_split(tf2.pair, ' ')[1] = ctx.prev
+            CROSS JOIN vv)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+            CAST(sum(rare) AS BIGINT) AS rare_bigrams,
+            floor(CAST(sum(lpq * tf) AS DOUBLE) / (100.0 * sum(tf))) / 10000.0 AS logprob
+          FROM sc GROUP BY 1""",
     "e15_frame_sample" ->
       """WITH n AS (SELECT doc_id, text, CAST(floor(length(text) / 16) AS INT) AS nf
            FROM documents WHERE floor(length(text) / 16) > 0),
@@ -2634,6 +2670,15 @@ object SparkEntry {
     "g9_sorted_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value
          FROM events""",
+    // g11: the footer-only ANALYZE must equal a full scan's stats —
+    // that equality IS the operator's correctness claim
+    "g11_stats_catalog" ->
+      """SELECT 'event_id' AS column_name, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_nulls,
+           min(event_id) AS min_v, max(event_id) AS max_v FROM events
+         UNION ALL
+         SELECT 'user_id', count(*), count(*) - count(user_id),
+           min(user_id), max(user_id) FROM events""",
     // g10: content is layout-invariant like g9 — the z-order property
     // itself is footer-stats-asserted in SourcesSpec
     "g10_zorder_layout" ->

@@ -97,4 +97,99 @@ object ParquetStats {
       } finally rd.close()
     }.toSeq
   }
+
+  /** Distributed ANALYZE from footers only (round 8) — the
+    * table-stats catalog build: per integer-physical column, exact
+    * (n_rows, n_nulls, min_v, max_v) assembled purely from parquet
+    * footer statistics. ZERO data pages are read: each task opens its
+    * files' footers (a few KB apiece), emits per-column partials, and
+    * a tiny groupBy folds them — the op that keeps every other
+    * operator honest about "read the catalog, not the corpus"
+    * (autoPlanes sizing, g9/g10 pruning proofs, a12 planning). Footer
+    * stats are exact by format contract (row counts required;
+    * min/max/null_count written by every mainstream writer — we
+    * REQUIRE them and fail loudly on a writer that omitted them,
+    * because a silent fallback to scanning would defeat the point).
+    *
+    * Scale shape: the driver touches only the file LISTING; footer
+    * opens are distributed (one partition per ~file — at 100 TB the
+    * work is thousands of independent KB-sized reads, the
+    * embarrassingly-parallel case mapPartitions exists for). The
+    * partial-stats table is files×columns rows; its groupBy is
+    * column-cardinality-bounded. */
+  def analyzeTable(spark: SparkSession, path: String,
+                   columns: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(columns.nonEmpty, "at least one column")
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith("."))
+          buf += st.getPath.toString
+      }
+      buf.toSeq
+    }
+    require(files.nonEmpty, s"no parquet data files under $path")
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val cols = columns
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val c = bc.value.value
+        it.flatMap { f =>
+          val rd = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f), c))
+          try {
+            val blocks = rd.getFooter.getBlocks.asScala.toSeq
+            cols.map { colName =>
+              var rows = 0L
+              var nulls = 0L
+              var mn: Option[Long] = None
+              var mx: Option[Long] = None
+              var found = false
+              blocks.foreach { block =>
+                rows += block.getRowCount
+                block.getColumns.asScala
+                  .filter(_.getPath.toDotString == colName).foreach { cc =>
+                    found = true
+                    val st = cc.getStatistics
+                    require(st != null && !st.isEmpty,
+                      s"writer omitted stats for $colName in $f")
+                    nulls += st.getNumNulls
+                    if (st.hasNonNullValue) {
+                      val (a, b) = (st.genericGetMin, st.genericGetMax) match {
+                        case (x: java.lang.Long, y: java.lang.Long) =>
+                          (x.toLong, y.toLong)
+                        case (x: java.lang.Integer, y: java.lang.Integer) =>
+                          (x.toLong, y.toLong)
+                        case other =>
+                          sys.error(s"non-integer stats for $colName: $other")
+                      }
+                      mn = Some(mn.fold(a)(math.min(_, a)))
+                      mx = Some(mx.fold(b)(math.max(_, b)))
+                    }
+                  }
+              }
+              require(found, s"column $colName absent from $f")
+              (colName, rows, nulls, mn, mx)
+            } // strict Seq.map: fully materialized before the close below
+          } finally rd.close()
+        }
+      }
+      .toDF("column_name", "__rows", "__nulls", "__mn", "__mx")
+      .groupBy(F.col("column_name"))
+      .agg(F.sum(F.col("__rows")).as("n_rows"),
+        F.sum(F.col("__nulls")).as("n_nulls"),
+        F.min(F.col("__mn")).as("min_v"), F.max(F.col("__mx")).as("max_v"))
+  }
+  private val F = org.apache.spark.sql.functions
 }

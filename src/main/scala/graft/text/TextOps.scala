@@ -363,6 +363,62 @@ object TextOps {
           (lit(100.0) * sum(col("tf")))) / 10000.0).as("logprob"))
   }
 
+  /** Corpus-self-trained BIGRAM LM quality score (round 8) — the next
+    * LM order up from [[unigramLogProb]], closing on the CCNet/KenLM
+    * filter shape: per doc, the mean log-probability of its word
+    * bigrams under additively-smoothed corpus bigram statistics,
+    *   P(cur | prev) = (c2' + 1) / (n_ctx(prev) + V),
+    * where c2' is the corpus count of the bigram when it clears
+    * `minCount` (else 0 — rare pairs fall to the smoothing floor,
+    * which is also how out-of-vocabulary text scores low WITHOUT an
+    * unk-mapping join over the corpus), n_ctx(prev) is the number of
+    * bigram occurrences opening with `prev`, and V is the
+    * context-vocabulary size (contexts clearing minCount, +1) — both
+    * derived from the tiny pair-count table, never a second corpus
+    * pass. Log-probs quantize to integer micro-logs so doc sums are
+    * exact integers (the e34/b5 pattern); docs need ≥ 2 words to have
+    * a score. Output: (doc_id, n_bigrams, rare_bigrams, logprob).
+    *
+    * Scale shape: bigram strings come from the same one-native-pass
+    * ShingleStrings kernel as e31; the (doc, pair) table two-level
+    * partial-aggregates (§8 rule 1) and materializes once for its two
+    * consumers (pair-count aggregate + score join-back). The
+    * pair-count and context tables are corpus-distinct-bigram-sized
+    * and shrink to the minCount head before joining back on the
+    * Zipfian pair key (AQE skew territory, same as e34's vocab
+    * join). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Long): DataFrame = {
+    val tf2 = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.StringExpressions.shingleStrings(
+          normalizeText(col(textCol)), 2)).as("pair"))
+      .groupBy(col("doc_id"), col("pair")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val pairCounts = tf2.groupBy(col("pair")).agg(sum(col("tf")).as("__c2"))
+      .withColumn("__prev", substring_index(col("pair"), " ", 1))
+      .localCheckpoint(false) // three consumers: ctx, V, join-back
+    val ctx = pairCounts.groupBy(col("__prev"))
+      .agg(sum(col("__c2")).as("__nctx"))
+    val vocabV = ctx.filter(col("__nctx") >= minCount)
+      .agg((count(lit(1)) + 1L).as("__v"))
+    val kept = pairCounts.filter(col("__c2") >= minCount)
+      .select(col("pair"), col("__c2"))
+    tf2
+      .withColumn("__prev", substring_index(col("pair"), " ", 1))
+      .join(kept, Seq("pair"), "left")
+      .join(ctx, Seq("__prev"), "left")
+      .crossJoin(broadcast(vocabV))
+      .withColumn("__lpq", floor(log(
+        (coalesce(col("__c2"), lit(0L)) + 1L).cast("double") /
+          (col("__nctx") + col("__v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(when(col("__c2").isNull, col("tf")).otherwise(lit(0L)))
+          .as("rare_bigrams"),
+        (floor(sum(col("__lpq") * col("tf")).cast("double") /
+          (lit(100.0) * sum(col("tf")))) / 10000.0).as("logprob"))
+  }
+
   /** PII-style redaction for corpus cleaning: emails → <EMAIL>, URLs →
     * <URL>, digit runs of 4+ → <NUM>. One narrow regexp_replace chain;
     * patterns stay in the Java/RE2 common subset so any engine

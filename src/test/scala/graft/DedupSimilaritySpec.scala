@@ -866,6 +866,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L)._3 > out(2L)._3) // fluent-corpus doc outscores the OOV one
   }
 
+  test("bigramLogProb scores docs by smoothed bigram stats with rare-pair flooring") {
+    // corpus bigrams: "a b"×3 (docs 1,1,2), "b a"×1, "a c"×1
+    val docs = Seq(
+      (1L, "a b a b"),  // pairs: a b, b a, a b
+      (2L, "a b"),      // pair: a b
+      (3L, "a c")       // pair: a c — rare at minCount 2
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs, "doc_id", "text", 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // ctx: a→4 ("a b"×3 + "a c"), b→1; V = |{a}| + 1 = 2 (only a ≥ 2)
+    // P(b|a) = (3+1)/(4+2); rare "b a": (0+1)/(1+2); rare "a c": (0+1)/(4+2)
+    def lpq(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    def score(ls: Seq[Long]) =
+      math.floor(ls.sum.toDouble / (100.0 * ls.size)) / 10000.0
+    val (lab, lba, lac) = (lpq(4.0 / 6), lpq(1.0 / 3), lpq(1.0 / 6))
+    assert(out(1L) == ((3L, 1L, score(Seq(lab, lab, lba)))), s"got $out")
+    assert(out(2L) == ((1L, 0L, score(Seq(lab)))), s"got $out")
+    assert(out(3L) == ((1L, 1L, score(Seq(lac)))), s"got $out")
+    // repeated-seen-bigram doc outscores the rare-pair doc
+    assert(out(2L)._3 > out(3L)._3)
+    // single-word and null docs have no bigrams and no row
+    val edge = TextOps.bigramLogProb(
+      Seq((1L, "solo"), (2L, null.asInstanceOf[String]), (3L, "x y"))
+        .toDF("doc_id", "text"), "doc_id", "text", 1L)
+    assert(edge.select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("incrementalNeardupFilter admits only batch docs with no verified corpus near-dup") {
     val batch = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s1"),

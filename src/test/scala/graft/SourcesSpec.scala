@@ -361,4 +361,30 @@ class SourcesSpec extends SparkSpec {
     assert(nb.count() == 3)
     assert(nb.select("p").as[String].collect().toSet == Set("a", "b", "c"))
   }
+
+  test("analyzeTable: footer-only stats equal a full scan over a multi-file dir (g11)") {
+    val dir = s"/tmp/graft_sources_test/analyze_${System.nanoTime()}"
+    val rows = (1L to 5000L).map(i =>
+        (i, if (i % 7 == 0) None else Some(i * 3 - 1000)))
+      .toDF("id", "v")
+    rows.repartition(6).write.parquet(dir)
+    val out = graft.sources.ParquetStats.analyzeTable(spark, dir, Seq("id", "v"))
+    // the footer path must never open data pages: no parquet scan
+    // node anywhere in the physical plan (the input is the file list)
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty, "analyzeTable must not plan a data scan")
+    val got = out.collect().map(r => r.getAs[String]("column_name") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+        r.getAs[Long]("min_v"), r.getAs[Long]("max_v")))).toMap
+    assert(got("id") == ((5000L, 0L, 1L, 5000L)), s"got $got")
+    val nNullV = (1L to 5000L).count(_ % 7 == 0).toLong
+    assert(got("v") == ((5000L, nNullV, -997L, 14000L)), s"got $got")
+    // a column the writer never saw fails loudly, not silently
+    val err = intercept[Exception] {
+      graft.sources.ParquetStats.analyzeTable(spark, dir, Seq("ghost")).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
