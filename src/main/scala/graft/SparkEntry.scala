@@ -308,6 +308,10 @@ object SparkEntry {
       Dedup.exactDedupGroups(Tables.documents(s, d), "doc_id", "text")),
     "e2_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
+    "e51_minhash_estimate" -> ((s, d) =>
+      // e2's candidates scored from signature agreement alone — the
+      // cheap middle tier before e4/e36's exact gram verify
+      Dedup.minhashEstimatePairs(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
@@ -673,6 +677,11 @@ object SparkEntry {
     "f7_stream_static_join" -> ((s, d) =>
       Streams.staticEnrich(Tables.events(s, d), Tables.customer(s, d),
         "user_id", "c_custkey", "ts", "c_mktsegment", "value", "hour")),
+    "f9_rate_cap" -> ((s, d) =>
+      // first 5 events per (user, hour) in (ts, id) order — the edge
+      // throttle; streaming twin holds one counter per open window
+      Streams.rateCap(Tables.events(s, d), "user_id", "ts", "event_id",
+        "hour", 5)),
     "f8_stream_upsert" -> ((s, d) => {
       // the REAL streaming machinery end-to-end (not the batch twin):
       // events land as a file-source stream, foreachBatch upserts the
@@ -1884,6 +1893,36 @@ object SparkEntry {
           FROM pruned a JOIN pruned b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
     },
+    // e51: the e2 candidate CTE verbatim, then signature agreement
+    // counted against the same mh table the bands folded from
+    "e51_minhash_estimate" -> {
+      val mhAggs = (0 until 16).map(i =>
+        s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+                  FROM w WHERE len(words) >= 3)),
+          h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
+          mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
+          bnd AS ($bandSelects),
+          pruned AS (SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pruned a JOIN pruned b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+          SELECT p.doc_a, p.doc_b, CAST($agree AS BIGINT) AS n_agree,
+            floor((($agree) * 20000 + 16) / 32) / 10000.0 AS est_jaccard
+          FROM pairs p JOIN mh a ON a.doc_id = p.doc_a
+            JOIN mh b ON b.doc_id = p.doc_b"""
+    },
     // the e2 band construction restricted to an asymmetric join: hot
     // buckets prune on the SEEN side only (the engine's broadcast
     // anti-join), candidates are batch×seen
@@ -2614,6 +2653,16 @@ object SparkEntry {
            AND date_trunc('second', p.ts) >= date_trunc('second', e.ts) - INTERVAL 1800 SECOND
            AND date_trunc('second', p.ts) <= date_trunc('second', e.ts)
          GROUP BY 1, 2, 3""",
+    // f9: explicit NULLS FIRST on the order keys — Spark windows sort
+    // nulls first where DuckDB defaults to NULLS LAST
+    "f9_rate_cap" ->
+      """WITH t AS (SELECT user_id, date_trunc('hour', ts) AS window_start,
+            date_trunc('second', ts) AS period, event_id
+          FROM events WHERE ts IS NOT NULL)
+         SELECT user_id, window_start, period, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id, window_start
+             ORDER BY period NULLS FIRST, event_id NULLS FIRST) AS BIGINT) AS seq
+         FROM t QUALIFY seq <= 5""",
     // inner join (events without a dimension row excluded); exact-cents
     // value mass like f5
     "f7_stream_static_join" ->

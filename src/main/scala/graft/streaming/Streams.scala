@@ -150,6 +150,32 @@ object Streams {
           .as("matched_value"))
   }
 
+  /** Per-key windowed rate cap (batch form, round 8): within each
+    * (key, tumbling window) keep only the first `maxPerWindow` events
+    * in (ts, id) order, each stamped with its admit sequence — the
+    * throttle/abuse-control shape every event pipeline runs at the
+    * edge (and a deterministic per-key-per-hour downsampler). Null
+    * timestamps carry no window and are dropped.
+    *
+    * Scale shape: one shuffle on (key, window); the rank window's
+    * partition is one key's events in ONE window — bounded by the
+    * key's feed rate like f1's sessions, the sanctioned bounded-group
+    * window (the cap itself guarantees the OUTPUT per partition is
+    * ≤ maxPerWindow). The streaming twin ([[rateCapStream]]) holds one
+    * counter per open (key, window) in the state store and emits
+    * admits inline — state is O(open windows), not O(events). */
+  def rateCap(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+              unit: String, maxPerWindow: Int): DataFrame = {
+    require(maxPerWindow > 0, "cap must be positive")
+    val w = Window.partitionBy(col(keyCol), col("window_start"))
+      .orderBy(col("period"), col(idCol))
+    events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), date_trunc(unit, col(tsCol)).as("window_start"),
+        date_trunc("second", col(tsCol)).as("period"), col(idCol))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .filter(col("seq") <= maxPerWindow)
+  }
+
   // ---------------------------------------------------------------------
   // Structured Streaming twins
   // ---------------------------------------------------------------------
@@ -233,6 +259,50 @@ object Streams {
         sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("null_values"),
         sum(when(col(valueCol) < 0, 1L).otherwise(0L)).as("negative_values"),
         (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
+
+  case class CapEvent(key: Long, ts: java.sql.Timestamp, id: Long)
+  case class CapOut(key: Long, windowStart: java.sql.Timestamp,
+                    period: java.sql.Timestamp, id: Long, seq: Long)
+
+  /** Streaming twin of [[rateCap]]: one admit counter per open
+    * (key, window) via flatMapGroupsWithState, event-time timeout
+    * clearing the counter once the watermark passes the window end
+    * (state is O(open windows)). Within a micro-batch the group's
+    * events sort by (ts, id) before admitting, so a stream fed in
+    * event-time order emits exactly the batch form's rows; admits past
+    * the cap drop inline — the stream never buffers a window's events.
+    * windowSeconds must match the batch form's `unit` for parity. */
+  def rateCapStream(events: Dataset[CapEvent], windowSeconds: Long,
+                    maxPerWindow: Int,
+                    watermarkDelay: String = "0 seconds"): Dataset[CapOut] = {
+    import events.sparkSession.implicits._
+    require(maxPerWindow > 0, "cap must be positive")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.key, e.ts.getTime / 1000 / windowSeconds))
+      .flatMapGroupsWithState[Long, CapOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((key, win), it, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var n = state.getOption.getOrElse(0L)
+            val winStartMs = win * windowSeconds * 1000
+            val out = it.toSeq.sortBy(e => (e.ts.getTime, e.id)).flatMap { e =>
+              if (n < maxPerWindow) {
+                n += 1
+                Some(CapOut(key, new java.sql.Timestamp(winStartMs),
+                  new java.sql.Timestamp(e.ts.getTime / 1000 * 1000), e.id, n))
+              } else None
+            }
+            state.update(n)
+            // clear the counter when the watermark passes the window end
+            state.setTimeoutTimestamp(math.max(
+              winStartMs + windowSeconds * 1000,
+              state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
 
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

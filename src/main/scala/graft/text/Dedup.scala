@@ -274,6 +274,69 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** MinHash Jaccard ESTIMATE for LSH candidate pairs (round 8) — the
+    * cheap middle tier of the near-dup funnel: e2 proposes candidates,
+    * THIS scores them from signature agreement alone (est = matching
+    * minhash components / k, the unbiased MinHash estimator), and only
+    * survivors need e4/e36's exact gram verify. The estimate costs two
+    * narrow joins against the k-column minhash table — no shingle sets
+    * ever move for scoring, which at 100 TB is the difference between
+    * shipping 16 longs and shipping a document's gram array per
+    * candidate. Same banding/prune parameters as [[minhashLshPairs]] ⇒
+    * the candidate set is e2's exactly; est_jaccard is the half-up-e4
+    * integer ratio. The shared minhash-vector table materializes once
+    * (banding + both estimate joins).
+    *
+    * On the estimator: each minhash component agrees with probability
+    * J(a, b), so n_agree/k is a mean of k Bernoulli(J) draws — stderr
+    * √(J(1−J)/k) ≈ 0.12 at k = 16, which ranks candidates and gates
+    * the exact verify; it is NOT the final dedup decision (that is
+    * e36's exact pass). */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int, numHashes: Int, bands: Int,
+                           maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val shingled = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.StringExpressions.shingleHashes(
+          normalizeText(col(textCol)), shingleSize)).as("h0"))
+    val mhAggs = (0 until numHashes).map(i =>
+      min(affineHash(col("h0"), "mh", i)).as(s"mh_$i"))
+    val vecs = shingled.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      .localCheckpoint(false) // three consumers: banding + two score joins
+    val banded = vecs.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            foldSig((b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => col(s"mh_$i"))).as("sig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint(false) // two consumers: hot-list agg + self-join
+    val hot = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("band"), col("sig"))
+    val pruned = banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      .repartition(col("band"), col("sig"))
+    val pairs = pruned.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val aSide = vecs.select(col("doc_id").as("doc_a") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"__a_$i")): _*)
+    val bSide = vecs.select(col("doc_id").as("doc_b") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"__b_$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(aSide, Seq("doc_a")).join(bSide, Seq("doc_b"))
+      .withColumn("n_agree", agree)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (floor((col("n_agree") * 20000 + numHashes) / (numHashes * 2)) / 10000.0)
+          .as("est_jaccard"))
+  }
+
   /** Incremental near-dup candidate generation: (batch doc, seen doc)
     * pairs sharing ≥1 LSH band signature — the MinHash analogue of
     * [[incrementalExactDedup]], run per crawl ingest so the new batch

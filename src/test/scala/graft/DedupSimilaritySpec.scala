@@ -866,6 +866,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L)._3 > out(2L)._3) // fluent-corpus doc outscores the OOV one
   }
 
+  test("minhashEstimatePairs scores exactly e2's candidates; identical docs estimate 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // identical
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup
+      (4L, "completely unrelated text about distributed query engine design")
+    ).toDF("doc_id", "text")
+    val est = Dedup.minhashEstimatePairs(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_agree"), r.getAs[Double]("est_jaccard")))).toMap
+    // candidate set must be exactly e2's (same bands, same prune)
+    val e2 = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(est.keySet == e2, s"est=${est.keySet} e2=$e2")
+    // identical docs share every minhash → estimate exactly 1.0
+    assert(est((1L, 2L)) == ((16L, 1.0)))
+    // near-dup estimates strictly below the identical pair, above zero
+    est.get((1L, 3L)).foreach { case (n, e) =>
+      assert(n < 16L && n > 0L && e < 1.0 && e > 0.0)
+    }
+    // the estimate is n/16 half-up-e4 for every pair
+    est.values.foreach { case (n, e) =>
+      assert(e == math.floor((n * 20000.0 + 16) / 32) / 10000.0)
+    }
+  }
+
   test("bigramLogProb scores docs by smoothed bigram stats with rare-pair flooring") {
     // corpus bigrams: "a b"×3 (docs 1,1,2), "b a"×1, "a c"×1
     val docs = Seq(

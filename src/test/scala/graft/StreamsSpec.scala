@@ -319,6 +319,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("f9 rateCap keeps the first N per (key, window), batch and stream agree") {
+    // user 7, hour 10: four events → cap 2 keeps the two earliest by
+    // (ts, id); hour 11 opens a fresh budget; user 8 independent
+    val caps = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:10"), 7L),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:10"), 7L), // tie → id breaks
+      (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L), // over cap
+      (4L, Timestamp.valueOf("2024-01-01 10:45:00"), 7L), // over cap
+      (5L, Timestamp.valueOf("2024-01-01 11:05:00"), 7L), // new window
+      (6L, Timestamp.valueOf("2024-01-01 10:59:00"), 8L)
+    ).toDF("event_id", "ts", "user_id")
+    val batch = Streams.rateCap(caps, "user_id", "ts", "event_id", "hour", 2)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("seq")))
+      .sortBy(_._1)
+    assert(batch.toSeq == Seq((1L, 1L), (2L, 2L), (5L, 1L), (6L, 1L)), s"got ${batch.toSeq}")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.CapEvent]
+    val out = Streams.rateCapStream(input.toDS(), 3600L, 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("captest").start()
+    try {
+      // fed in event-time order across two micro-batches: the counter
+      // must persist between batches (event 3 arrives later but is
+      // still over hour-10's budget)
+      input.addData(
+        Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 10:00:10"), 1L),
+        Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 10:00:10"), 2L),
+        Streams.CapEvent(8L, Timestamp.valueOf("2024-01-01 10:59:00"), 6L))
+      q.processAllAvailable()
+      input.addData(
+        Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 10:30:00"), 3L),
+        Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 10:45:00"), 4L),
+        Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 11:05:00"), 5L))
+      q.processAllAvailable()
+      val res = spark.table("captest").as[Streams.CapOut].collect()
+      assert(res.map(o => (o.id, o.seq)).sortBy(_._1).toSeq ==
+        Seq((1L, 1L), (2L, 2L), (5L, 1L), (6L, 1L)),
+        s"got ${res.toSeq}")
+      // window starts align with the batch form's date_trunc
+      assert(res.forall(o =>
+        o.windowStart.getTime % (3600L * 1000) == 0 &&
+          o.period.getTime >= o.windowStart.getTime))
+    } finally q.stop()
+  }
+
   test("f7 staticEnrich joins the dimension and aggregates, batch and stream agree") {
     val dim = Seq((7L, "BUILDING"), (8L, "MACHINERY"), (9L, "FURNITURE"))
       .toDF("c_custkey", "c_mktsegment")
