@@ -2699,8 +2699,10 @@ object SparkEntry {
     // plan's single user-key shuffle — unnesting the week list instead
     // of re-joining activity on user_id keeps null-user rows in play
     // (a USING(user_id) join would silently drop them)
+    // CAST to TIMESTAMP: DuckDB's date_trunc('week') returns DATE,
+    // the §6 dtype trap — the engine emits midnight timestamps
     "d13_cohort_retention" ->
-      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
             FROM events WHERE ts IS NOT NULL),
           pu AS (SELECT user_id, min(w) AS cohort_week,
               list(DISTINCT w) AS weeks FROM e GROUP BY 1),

@@ -102,7 +102,10 @@ object StringExpressions {
     * count anyway; note split()'s [""] for empty text makes the n = 1
     * empty-input case diverge, so keep n >= 2 (enforced). */
   case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
-    require(n >= 2 && n <= 64, s"shingle size must be in [2, 64], got $n")
+    // n = 1 is the per-token hash (identical to polyFingerprint of each
+    // token) — the boundary walk handles it by construction; e50's
+    // hash-keyed context join is the consumer
+    require(n >= 1 && n <= 64, s"shingle size must be in [1, 64], got $n")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess

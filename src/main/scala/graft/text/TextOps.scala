@@ -389,14 +389,26 @@ object TextOps {
     * join). */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     minCount: Long): DataFrame = {
-    val tf2 = docs.select(col(idCol).as("doc_id"),
+    // NO materialization of the corpus-sized (doc, pair) table: its
+    // two consumers each re-scan + re-shingle the corpus instead
+    // (columnar scan + the native kernel), which BigramVariantBench
+    // measured strictly cheaper than a localCheckpoint write of the
+    // 10×-wider exploded table (sf30: 21 s vs 66 s; sf10: 9.5 s vs
+    // checkpointed 19-34 s). Two rejected variants, both measured:
+    // (a) a single join against an UNPRUNED per-pair score table —
+    // loses the small-table broadcasts (the score table is the full
+    // distinct-bigram population, the pruned kept/ctx tables are the
+    // Zipf head); (b) packed-poly-hash join keys — DIVERGES from
+    // string semantics at sf10+ (pair population vs PolyP ≈ 2^30 —
+    // birthday collisions merge counts), which is why the join-backs
+    // key on the pair STRING.
+    def tf2 = docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.StringExpressions.shingleStrings(
           normalizeText(col(textCol)), 2)).as("pair"))
       .groupBy(col("doc_id"), col("pair")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
     val pairCounts = tf2.groupBy(col("pair")).agg(sum(col("tf")).as("__c2"))
       .withColumn("__prev", substring_index(col("pair"), " ", 1))
-      .localCheckpoint(false) // three consumers: ctx, V, join-back
+      .localCheckpoint(false) // vocab-sized, three consumers: ctx, V, kept
     val ctx = pairCounts.groupBy(col("__prev"))
       .agg(sum(col("__c2")).as("__nctx"))
     val vocabV = ctx.filter(col("__nctx") >= minCount)

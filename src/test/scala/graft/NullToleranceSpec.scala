@@ -211,4 +211,46 @@ class NullToleranceSpec extends SparkSpec {
     assert(rows == Set((1L, Some(7L)), (3L, None)),
       s"null-ts loses, null key keeps its own group: $rows")
   }
+
+  test("this session's operators tolerate null/degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // text-side: null/empty/short docs must not crash and must not
+    // fabricate pairs/rows
+    assert(Dedup.minhashEstimatePairs(docs, "doc_id", "text", 3, 16, 4).count() == 0)
+    assert(TextOps.bigramLogProb(docs, "doc_id", "text", 1L)
+      .select("doc_id").as[Long].collect().toSet == Set(1L),
+      "only the multi-word doc has bigrams")
+    val bpe = TextOps.bpePairCounts(docs, "doc_id", "text", 1L).collect()
+    assert(bpe.nonEmpty && bpe.forall(_.getAs[String]("pair").length == 2))
+
+    // events-side ops: null ts and null value rows
+    val ev = Seq(
+      (1L, Some(Timestamp.valueOf("2024-01-01 10:00:00")), Some(7L), Some(1.0)),
+      (2L, None: Option[Timestamp], Some(7L), Some(2.0)),
+      (3L, Some(Timestamp.valueOf("2024-01-01 10:10:00")), Some(7L), None: Option[Double]),
+      (4L, Some(Timestamp.valueOf("2024-01-08 10:00:00")), None: Option[Long], Some(4.0))
+    ).toDF("event_id", "ts", "user_id", "value")
+    // d13: null-ts rows drop; the null user forms its own cohort
+    val coh = graft.analytics.Analytics.cohortRetention(ev, "user_id", "ts")
+    assert(coh.agg(sum("n_active")).head().getLong(0) == 2L)
+    // f9: null-ts rows drop, everything else admitted under a big cap
+    assert(graft.streaming.Streams.rateCap(ev, "user_id", "ts", "event_id",
+      "hour", 10).count() == 3)
+    // c25: null value passes through null; null-key row passes unclipped
+    val win = graft.timeseries.TimeSeries.winsorize(ev, "user_id", "ts",
+      "event_id", "value", 5, 100, 95, 100).collect()
+    assert(win.length == 4)
+    assert(win.find(_.getAs[Long]("event_id") == 3L)
+      .get.isNullAt(4), "null value stays null")
+    assert(win.find(_.getAs[Long]("event_id") == 4L)
+      .get.getAs[Double]("value_winsorized") == 4.0, "null-key row unclipped")
+    // b17: an empty child side reports zeros, not a crash
+    val emptyChild = Seq.empty[(Option[Long], String)].toDF("fk", "p")
+    val r = graft.validate.Quality.referentialIntegrity(Seq(
+      graft.validate.Quality.FkRelation("e", emptyChild, "fk",
+        Seq(1L).toDF("pk"), "pk"))).collect().head
+    assert(r.getAs[Long]("n_child") == 0L && r.getAs[Long]("n_childless") == 1L &&
+      r.getAs[Double]("orphan_pct") == 0.0)
+  }
 }

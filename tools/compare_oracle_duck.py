@@ -68,6 +68,8 @@ def main():
     con = duckdb.connect()
     con.sql("SET temp_directory='/tmp/duck_spill'")
     con.sql("SET memory_limit='48GB'")
+    # bound the spill: a runaway plan must error, not fill the disk
+    con.sql("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
@@ -88,10 +90,14 @@ def main():
             print(f"FAIL {name}  {results[name]}", flush=True)
             continue
         try:
-            con.sql("DROP VIEW IF EXISTS __got")
-            con.sql("DROP VIEW IF EXISTS __want")
-            con.sql(f"CREATE VIEW __got AS FROM '{outdir}/{name}/*.parquet'")
-            con.sql(f"CREATE VIEW __want AS ({oracle[name]})")
+            con.sql("DROP TABLE IF EXISTS __got")
+            con.sql("DROP TABLE IF EXISTS __want")
+            # TEMP TABLES, not views: a view re-evaluates the oracle in
+            # BOTH branches of the two-sided EXCEPT (plus the row
+            # count) — a heavy oracle then triples its cost and can
+            # spill past the disk (seen live on e50 at sf30)
+            con.sql(f"CREATE TEMP TABLE __got AS FROM '{outdir}/{name}/*.parquet'")
+            con.sql(f"CREATE TEMP TABLE __want AS ({oracle[name]})")
             gt = dict(
                 (r[0], r[1]) for r in con.sql("DESCRIBE __got").fetchall())
             wt = dict(
