@@ -2,11 +2,12 @@ package graft
 
 import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
+import graft.analytics.Analytics
 import graft.graph.Components
 import graft.ingest.Ingest
 import graft.sample.Sampling
 import graft.sources.{ParquetStats, Sources}
-import graft.streaming.Upsert
+import graft.streaming.{Streams, Upsert}
 import graft.text.{Dedup, TextOps}
 import graft.timeseries.{Forecast, TimeSeries}
 import graft.validate.Quality
@@ -67,6 +68,10 @@ class DocSnippetSpec extends SparkSpec {
     (i.toLong, 10L, hm(i), if (i == 50) 999.0 else 10.0 + (i % 7).toDouble,
       if (i % 9 == 0) "error" else "ok")
   }.toDF("reading_id", "meter_id", "ts", "kwh", "status")
+  lazy val meters = Seq((10L, "east"), (11L, "west")).toDF("meter_id", "zone")
+  lazy val clicks = (0 until 40).map { i =>
+    (i.toLong, (i % 3).toLong + 1L, hm(i * 5)) // 3 users across ~8 days
+  }.toDF("event_id", "user_id", "ts")
   lazy val corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river", "web"),
     (2L, "the quick brown fox jumps over the lazy dog near the river", "web"),
@@ -98,12 +103,15 @@ class DocSnippetSpec extends SparkSpec {
     val report  = Quality.qualityReport(telemetry, "meter_id", "ts", "reading_id", "kwh", 3600L, 1.5)
     val verdict = Quality.validationVerdict(telemetry, "meter_id", "ts", "reading_id", "kwh", 5.0, 2.0)
     val drift   = Quality.psiDrift(telemetry, "meter_id", "ts", "status", Seq("ok", "error"), 14, 7, 0.1)
+    val fks     = Quality.referentialIntegrity(Seq(Quality.FkRelation("readings->meters", telemetry, "meter_id", meters, "meter_id")))
     // doc-snippet:B end
     assert(gaps.count() == 0)              // perfectly hourly: no gaps
     assert(outlier.head().getAs[Long]("outlier_count") == 1) // the planted 999.0
     assert(report.count() >= 4)            // one (metric, value) row per headline check
     assert(verdict.count() == 1)           // single pass/fail verdict row
     drift.collect()                        // 60h of data: windows run empty, not crash
+    val fk = fks.head()
+    assert(fk.getAs[Long]("n_orphan") == 0L && fk.getAs[Long]("n_childless") == 1L)
     assertInSync("B")
   }
 
@@ -115,12 +123,27 @@ class DocSnippetSpec extends SparkSpec {
     val coefs  = Forecast.ridgeLagForecast(telemetry, "meter_id", "ts", "reading_id", "kwh", 24, 1.0)
     val preds  = Forecast.applyCoefficients(telemetry, coefs, "meter_id", "ts", "reading_id", "kwh", 24)
     val skill  = Forecast.metrics(preds, "meter_id", "kwh", "prediction")
+    val tamed  = TimeSeries.winsorize(telemetry, "meter_id", "ts", "reading_id", "kwh", 5, 100, 95, 100)
     // doc-snippet:C end
     assert(hourly.count() == 60 && scaled.count() == 60 && splits.count() == 60)
     assert(coefs.count() == 1)             // one fitted row per key
     assert(preds.count() == 36)            // rows with both lags present
     assert(skill.count() == 1 && skill.columns.contains("rmse"))
+    // the planted 999.0 clamps to the 95% threshold, everything else intact
+    assert(tamed.filter($"value_winsorized" > 100.0).count() == 0 && tamed.count() == 60)
     assertInSync("C")
+  }
+
+  test("README group-D snippet compiles, runs, and matches the README verbatim") {
+    // doc-snippet:D begin
+    val cohorts = Analytics.cohortRetention(clicks, "user_id", "ts")
+    val capped  = Streams.rateCap(clicks, "user_id", "ts", "event_id", "hour", 100)
+    // doc-snippet:D end
+    // every cohort's week-0 row retains 100% by construction
+    assert(cohorts.filter($"weeks_since" === 0L)
+      .collect().forall(_.getAs[Double]("retention") == 1.0))
+    assert(capped.count() == 40)           // cap 100/h admits everything here
+    assertInSync("D")
   }
 
   test("README group-E snippet compiles, runs, and matches the README verbatim") {
@@ -130,8 +153,11 @@ class DocSnippetSpec extends SparkSpec {
     val kept      = Components.keepCanonical(corpus, pairs, "doc_id", "doc_a", "doc_b")
     val quality   = TextOps.qualityScore(kept, "doc_id", "text", Seq("source"))
     val curated   = Sampling.quantileTopFilter(quality, "stopword_ratio", "source", 1L, 2L)
-    val capped    = Sampling.groupCapSample(curated, "doc_id", "source", 100L)
+    val sampled   = Sampling.groupCapSample(curated, "doc_id", "source", 100L)
     val neighbors = Similarity.annLshTopK(vectors, probes, "vec_id", "embedding", 16, 4, 5)
+    val estimates = Dedup.minhashEstimatePairs(corpus, "doc_id", "text", 3, 16, 4)
+    val lmScores  = TextOps.bigramLogProb(corpus, "doc_id", "text", 2L)
+    val merges    = TextOps.bpePairCounts(corpus, "doc_id", "text", 2L)
     // doc-snippet:E end
     assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     assert(clusters.count() == 2)          // both dup docs resolve to one component
@@ -139,8 +165,13 @@ class DocSnippetSpec extends SparkSpec {
     assert(quality.count() == 2)
     // the stopword-dense doc tops its source's quantile; the cap (>n) keeps it
     assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L))
-    assert(capped.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(sampled.select("doc_id").as[Long].collect().toSet == Set(1L))
     assert(neighbors.filter($"neighbor_id" === 2L).count() == 1) // probe finds its near-dup
+    // identical docs 1/2 estimate Jaccard 1.0 from signature agreement
+    assert(estimates.filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .head().getAs[Double]("est_jaccard") == 1.0)
+    assert(lmScores.count() == 3)          // every multi-word doc scores
+    assert(merges.filter($"rank" === 1L).count() == 1) // the first BPE merge
     assertInSync("E")
   }
 
@@ -172,10 +203,13 @@ class DocSnippetSpec extends SparkSpec {
     val packed = Sources.compactParquet(spark, s"$dir/frag", s"$dir/packed", 128L * 1024 * 1024)
     Sources.relandPartitions(todays, s"$dir/by_day", Seq("day"))
     val nRows  = ParquetStats.rowCount(spark, s"$dir/by_ts")
+    val stats  = ParquetStats.analyzeTable(spark, s"$dir/by_ts", Seq("reading_id"))
     // doc-snippet:G end
     assert(sorted.count() == 200 && boxed.count() == 200 && packed.count() == 200 && nRows == 200L)
     assert(Sources.dataFiles(spark, s"$dir/packed").size < 20)
     assert(spark.read.parquet(s"$dir/by_day").count() == 200)
+    val st = stats.head()
+    assert(st.getAs[Long]("n_rows") == 200L && st.getAs[Long]("max_v") == 200L)
     assertInSync("G")
   }
 }

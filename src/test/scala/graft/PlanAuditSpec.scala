@@ -291,4 +291,53 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window \\[sum".r.findAllIn(plan).size <= 4, plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("c25 winsorize thresholds broadcast back; clip joins nothing sorted") {
+    val plan = finalPlan(SparkEntry.queries("c25_winsorize")(spark, sf))
+    // the K-row two-sided threshold table broadcasts onto the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // both thresholds derive from ONE cumulative pass over the tiny
+    // histogram (same <= 4 final+initial accounting as e46)
+    assert("Window \\[sum".r.findAllIn(plan).size <= 4, plan)
+  }
+
+  test("b17 audits at key granularity: child side partial-aggregates before the join") {
+    val plan = finalPlan(SparkEntry.queries("b17_referential_integrity")(spark, sf))
+    // every relation's child side reduces to (key, count) map-side
+    // BEFORE the full-outer key join — fact rows never reach a join
+    assert("partial_count".r.findAllIn(plan).nonEmpty, plan)
+    assert(plan.contains("FullOuter"), plan)
+    // no window anywhere: the audit is pure aggregation
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("d13 cohort matrix: one corpus shuffle on the user key, sizes broadcast") {
+    val plan = finalPlan(SparkEntry.queries("d13_cohort_retention")(spark, sf))
+    // cohort sizes broadcast back onto the (cohort, weeks_since) matrix
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // no window anywhere — the matrix is pure aggregation over the
+    // checkpointed per-user reduction (whose own min+collect_set fold
+    // is ONE partial aggregate, executed at checkpoint time and
+    // therefore behind this plan's LogicalRDD leaf)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("e51 estimate joins ride the minhash table; no corpus-side windows") {
+    val plan = finalPlan(SparkEntry.queries("e51_minhash_estimate")(spark, sf))
+    // the hot-bucket prune stays window-free (partial-aggregated hot
+    // list, broadcast anti-join) — same contract as e2
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("g11 ANALYZE plans no parquet scan: input is the file list") {
+    val df = SparkEntry.queries("g11_stats_catalog")(spark, sf)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty, "footer ANALYZE must not read data pages")
+  }
 }
