@@ -302,6 +302,8 @@ object SparkEntry {
         "value", eventTypes)),
     "d13_cohort_retention" -> ((s, d) =>
       Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")),
+    "d14_activity_heatmap" -> ((s, d) =>
+      Analytics.activityHeatmap(Tables.events(s, d), "ts", "value")),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -2717,6 +2719,13 @@ object SparkEntry {
             floor((a.n_active * 20000 + s.cohort_size) / (s.cohort_size * 2)) / 10000.0
               AS retention
           FROM act a JOIN sizes s USING (cohort_week)""",
+    // d14: DuckDB dayofweek is 0=Sunday where Spark's is 1=Sunday —
+    // the +1 aligns the conventions
+    "d14_activity_heatmap" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
     // layout-invariant like g8: only file boundaries/order move
     "g9_sorted_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value

@@ -262,6 +262,26 @@ object Analytics {
     * table broadcast back onto the matrix. The retention ratio uses
     * the exact-integer half-up formula (SURVEY §6) so a boundary cell
     * cannot round differently across engines. */
+  /** Day-of-week × hour activity heatmap (round 8) — the seasonality
+    * matrix every load/traffic dashboard opens with (and the visual
+    * sanity check on c6/c21's daily-seasonality assumption): per
+    * (dow, hour) cell, event count and exact-cents value mass. dow is
+    * Spark's 1=Sunday..7=Saturday convention. Null timestamps carry no
+    * cell and drop.
+    *
+    * Scale shape: ONE partial-aggregated groupBy on a 168-key domain —
+    * coarse keys are fine HERE because map-side combine collapses each
+    * partition to ≤168 rows before the exchange (the §8 skew concern
+    * is windows/joins on coarse keys, not combinable aggregates).
+    * Value mass in exact integer cents: every cell aggregates a
+    * corpus-scale slice (the d1/f5 discipline). */
+  def activityHeatmap(events: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    events.filter(col(tsCol).isNotNull)
+      .groupBy(dayofweek(col(tsCol)).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val perUser = events
       .filter(col(tsCol).isNotNull)

@@ -91,6 +91,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("activityHeatmap buckets by (dow, hour) with exact-cents mass; null ts drops") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday → Spark dow 2; 2024-01-07 a Sunday → dow 1
+    val ev = Seq(
+      (1L, Option(Timestamp.valueOf("2024-01-01 10:15:00")), 1.25),
+      (2L, Option(Timestamp.valueOf("2024-01-08 10:45:00")), 2.00), // same cell (Mon, 10)
+      (3L, Option(Timestamp.valueOf("2024-01-07 23:00:00")), 4.00), // (Sun, 23)
+      (4L, Option.empty[Timestamp], 8.00))                          // dropped
+      .toDF("event_id", "ts", "value")
+    val got = Analytics.activityHeatmap(ev, "ts", "value")
+      .collect().map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour_of_day")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+    assert(got == Map((2L, 10L) -> ((2L, 3.25)), (1L, 23L) -> ((1L, 4.0))), s"got $got")
+    // real data: cells bounded by the 7x24 grid, counts reconcile
+    val real = Analytics.activityHeatmap(Tables.events(spark, sf), "ts", "value").collect()
+    assert(real.length <= 168)
+    assert(real.forall(r => r.getAs[Long]("dow") >= 1 && r.getAs[Long]("dow") <= 7 &&
+      r.getAs[Long]("hour_of_day") >= 0 && r.getAs[Long]("hour_of_day") <= 23))
+    val total = Tables.events(spark, sf).filter($"ts".isNotNull).count()
+    assert(real.map(_.getAs[Long]("n")).sum == total)
+  }
+
   test("cohortRetention: hand-computed matrix, week-0 completeness, null-ts rows ignored") {
     import spark.implicits._
     import java.sql.Timestamp
