@@ -188,7 +188,13 @@ class PlanAuditSpec extends SparkSpec {
   // jobs submitted so far (statusTracker lags the async listener bus;
   // poll until the count is stable so the assertion isn't racy)
   private def stableJobCount(): Int = {
-    def now = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // the MAX retained job id, not the list length: job ids are
+    // monotone, so deltas count new jobs even after the status
+    // tracker's bounded retention starts evicting old entries (the
+    // full suite crosses spark.ui.retainedJobs mid-run, which made
+    // the length DECREASE and this gate fail suite-order-dependently)
+    def now = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .foldLeft(-1)(math.max)
     var prev = now
     var stableMs = 0
     while (stableMs < 500) {
