@@ -185,6 +185,11 @@ object SparkEntry {
         Quality.ExpectNotNull("r1_value_not_null", "value"),
         Quality.ExpectBetween("r2_value_bounds", "value", Some(0.0), Some(100.0)),
         Quality.ExpectUnique("r3_event_id_unique", "event_id")))),
+    "b18_freshness_check" -> ((s, d) =>
+      // keys whose feed lags the corpus's newest event by >1 day —
+      // the staleness monitor, anchored on max(ts) so it's
+      // deterministic and oracle-able
+      Quality.freshnessCheck(Tables.events(s, d), "user_id", "ts", 86400L)),
     "b17_referential_integrity" -> ((s, d) =>
       // the star schema's declared FK graph, audited in one query:
       // fact→dim orphans (should be zero) and childless dimension
@@ -1305,6 +1310,19 @@ object SparkEntry {
             count(event_id) - count(DISTINCT event_id) = 0
           FROM events GROUP BY 1"""
     },
+    // b18: the corpus max anchors "now" in both engines
+    "b18_freshness_check" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS p
+            FROM events WHERE ts IS NOT NULL),
+          mx AS (SELECT max(p) AS gmax FROM t),
+          k AS (SELECT user_id, count(*) AS n, max(p) AS last_ts
+            FROM t GROUP BY 1)
+          SELECT k.user_id, k.n, k.last_ts,
+            CAST(epoch(mx.gmax) AS BIGINT) - CAST(epoch(k.last_ts) AS BIGINT)
+              AS lag_seconds,
+            CAST(epoch(mx.gmax) AS BIGINT) - CAST(epoch(k.last_ts) AS BIGINT)
+              > 86400 AS is_stale
+          FROM k CROSS JOIN mx""",
     // one full-outer key join per declared relation, unioned — the
     // same (key, count) ⋈ distinct-parent-key shape as the Spark plan
     "b17_referential_integrity" -> {

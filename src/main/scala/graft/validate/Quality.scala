@@ -466,6 +466,33 @@ object Quality {
         coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
     }: _*))
 
+  /** Per-key freshness audit (round 8) — the staleness monitor every
+    * scheduled-ingest pipeline needs: for each key, the last event
+    * time, its lag behind the CORPUS's newest event (the deterministic
+    * stand-in for wall-clock "now", so the check is reproducible and
+    * oracle-able), and a stale flag at `staleSeconds`. A key whose
+    * feed died shows up here before any value-level check can notice.
+    * Null timestamps carry no freshness signal and drop; a null key
+    * forms its own audited group.
+    *
+    * Scale shape: one partial-aggregated groupBy on the key plus a
+    * 1-row global-max scalar broadcast (the b2/c9 crossJoin pattern) —
+    * the corpus never shuffles wider than (key, ts). */
+  def freshnessCheck(df: DataFrame, keyCol: String, tsCol: String,
+                     staleSeconds: Long): DataFrame = {
+    require(staleSeconds > 0, "staleness threshold must be positive")
+    val t = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("__p"))
+    val gmax = t.agg(max(col("__p")).as("__gmax"))
+    t.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), max(col("__p")).as("last_ts"))
+      .crossJoin(broadcast(gmax))
+      .select(col(keyCol), col("n"), col("last_ts"),
+        (col("__gmax").cast("long") - col("last_ts").cast("long")).as("lag_seconds"),
+        (col("__gmax").cast("long") - col("last_ts").cast("long") > staleSeconds)
+          .as("is_stale"))
+  }
+
   /** One foreign-key relation for [[referentialIntegrity]]: `child`
     * rows reference `parent` rows through `childKey` → `parentKey`. */
   final case class FkRelation(name: String, child: DataFrame, childKey: String,

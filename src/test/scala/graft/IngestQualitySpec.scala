@@ -445,6 +445,25 @@ class IngestQualitySpec extends SparkSpec {
     assert(leaves.size == 1, s"suite must compile to ONE scan, got ${leaves.size}")
   }
 
+  test("freshnessCheck lags against the corpus max and flags stale keys") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(d)
+    val ev = Seq(
+      (1L, Option(ts("2024-01-10 12:00:00"))), // key 1: the corpus max → lag 0
+      (1L, Option(ts("2024-01-01 00:00:00"))),
+      (2L, Option(ts("2024-01-10 11:00:00"))), // 1h behind → fresh at 1d
+      (3L, Option(ts("2024-01-08 12:00:00"))), // 2d behind → stale
+      (3L, Option.empty[java.sql.Timestamp]))  // null ts ignored
+      .toDF("user_id", "ts")
+    val got = Quality.freshnessCheck(ev, "user_id", "ts", 86400L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lag_seconds"),
+          r.getAs[Boolean]("is_stale")))).toMap
+    assert(got(1L) == ((2L, 0L, false)), s"got $got")
+    assert(got(2L) == ((1L, 3600L, false)), s"got $got")
+    assert(got(3L) == ((1L, 2L * 86400L, true)), s"got $got")
+    assert(got.size == 3)
+  }
+
   test("referentialIntegrity counts orphans, null FKs, and childless parents exactly") {
     val child = Seq(
       (Option(1L), "a"), (Option(1L), "b"), (Option(2L), "c"), // resolved
