@@ -190,6 +190,11 @@ object SparkEntry {
       // the staleness monitor, anchored on max(ts) so it's
       // deterministic and oracle-able
       Quality.freshnessCheck(Tables.events(s, d), "user_id", "ts", 86400L)),
+    "b19_volume_anomaly" -> ((s, d) =>
+      // per-key daily ingest volume vs its trailing-7-observed-day
+      // baseline — the silent-partial-feed detector b18's staleness
+      // check cannot see (the feed still ticks, just thinner)
+      Quality.volumeAnomaly(Tables.events(s, d), "user_id", "ts", 7, 3.0)),
     "b17_referential_integrity" -> ((s, d) =>
       // the star schema's declared FK graph, audited in one query:
       // fact→dim orphans (should be zero) and childless dimension
@@ -1323,6 +1328,40 @@ object SparkEntry {
             CAST(epoch(mx.gmax) AS BIGINT) - CAST(epoch(k.last_ts) AS BIGINT)
               > 86400 AS is_stale
           FROM k CROSS JOIN mx""",
+    // b19: variance from the exact-integer identity n·Σx² − (Σx)² so
+    // both engines divide/sqrt identical integers; CAST day to
+    // TIMESTAMP (DuckDB date_trunc('day') yields DATE — the §6 dtype
+    // rule)
+    "b19_volume_anomaly" ->
+      """WITH daily AS (SELECT user_id,
+            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+            count(*) AS n
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1, 2),
+        w AS (SELECT user_id, day, n,
+            count(n) OVER tw AS base_n,
+            sum(n) OVER tw AS base_sum,
+            sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) OVER tw AS base_sumsq
+          FROM daily
+          WINDOW tw AS (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        v AS (SELECT user_id, day, n, base_n, base_sum,
+            CAST(base_sum AS DOUBLE) / base_n AS mean,
+            sqrt(CAST(CAST(base_n AS DECIMAL(38,0)) * base_sumsq
+                   - CAST(base_sum AS DECIMAL(38,0)) * CAST(base_sum AS DECIMAL(38,0))
+                 AS DOUBLE)
+               / CAST(base_n * (base_n - 1) AS DOUBLE)) AS std
+          FROM w)
+        SELECT user_id, day, n,
+          CASE WHEN base_n = 7 THEN base_n END AS base_n,
+          CASE WHEN base_n = 7 THEN round(mean, 4) END AS base_mean,
+          CASE WHEN base_n = 7 THEN round(std, 4) END AS base_std,
+          CASE WHEN base_n = 7 AND std > 0.0
+               THEN round((CAST(n AS DOUBLE) - mean) / std, 4) END AS z,
+          CASE WHEN base_n <> 7 THEN FALSE
+               WHEN std > 0.0 THEN abs((CAST(n AS DOUBLE) - mean) / std) > 3.0
+               ELSE n * 7 <> base_sum END AS is_anomaly
+        FROM v""",
     // one full-outer key join per declared relation, unioned — the
     // same (key, count) ⋈ distinct-parent-key shape as the Spark plan
     "b17_referential_integrity" -> {

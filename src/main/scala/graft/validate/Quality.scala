@@ -493,6 +493,71 @@ object Quality {
           .as("is_stale"))
   }
 
+  /** Ingest-volume anomaly detection (round 8) — the feed-health twin
+    * of [[freshnessCheck]]: b18 catches a feed that STOPPED, this
+    * catches one that quietly halved (or a replay that doubled it).
+    * The reference's scheduled extraction (data_extraction.py:38-122
+    * under airflow_dag.py's daily cadence) has exactly this failure
+    * mode: the API returns 200 with a truncated page set and the DAG
+    * "succeeds" on a fraction of the usual volume.
+    *
+    * Per (key, day): row count `n`, then a trailing baseline over the
+    * `trailing` PRECEDING observed days (current day excluded — the
+    * day under test must not contaminate its own baseline): mean, std
+    * and the z-score of today's count. `is_anomaly` when the baseline
+    * is complete and |z| > `zThreshold` — or, for a CONSTANT baseline
+    * (std = 0, common for metered feeds), when the count moved at all.
+    * Days with fewer than `trailing` prior observed days report null
+    * baseline columns and never flag (warm-up contract, same as c10's
+    * incomplete windows).
+    *
+    * Cross-engine exactness: the baseline moments accumulate as exact
+    * integers — per-day counts are longs, their squares decimal(38,0)
+    * (a single key-day can hold billions of rows at 100 TB; squaring
+    * overflows a long) — and variance is formed from the exact
+    * integer identity n·Σx² − (Σx)² before ONE terminal conversion to
+    * double, so Spark and the oracle divide/sqrt identical integers
+    * (§6 precision rule; same shape as b17's orphan_pct).
+    *
+    * Scale shape: one partial-aggregated groupBy to (key, day) — the
+    * shuffle carries one row per distinct key-day, never per event —
+    * then a bounded ROWS window (`trailing` rows) per key ordered by
+    * day. No global sort, no unbounded frame, nothing wider than
+    * (key, day, count) moves. */
+  def volumeAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+                    trailing: Int, zThreshold: Double): DataFrame = {
+    require(trailing >= 2, "trailing baseline needs >= 2 days")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-trailing, -1)
+    val base = daily
+      .withColumn("base_n", count(col("n")).over(w))
+      .withColumn("base_sum", sum(col("n")).over(w))
+      .withColumn("base_sumsq",
+        sum(col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")).over(w))
+    // exact-integer variance pieces: num = n·Σx² − (Σx)², den = n(n−1)
+    val varNum = (col("base_n").cast("decimal(38,0)") * col("base_sumsq") -
+      col("base_sum").cast("decimal(38,0)") * col("base_sum").cast("decimal(38,0)"))
+    val varDen = col("base_n") * (col("base_n") - 1L)
+    val full = col("base_n") === trailing.toLong
+    val mean = col("base_sum").cast("double") / col("base_n").cast("double")
+    val std = sqrt(varNum.cast("double") / varDen.cast("double"))
+    base
+      .withColumn("base_mean", when(full, round(mean, 4)))
+      .withColumn("base_std", when(full, round(std, 4)))
+      .withColumn("z", when(full && std > 0.0,
+        round((col("n").cast("double") - mean) / std, 4)))
+      .withColumn("is_anomaly", when(!full, lit(false))
+        .otherwise(when(std > 0.0, abs((col("n").cast("double") - mean) / std) > zThreshold)
+          .otherwise(col("n") * trailing.toLong =!= col("base_sum"))))
+      .select(col(keyCol), col("day"), col("n"),
+        when(full, col("base_n")).as("base_n"),
+        col("base_mean"), col("base_std"), col("z"), col("is_anomaly"))
+  }
+
   /** One foreign-key relation for [[referentialIntegrity]]: `child`
     * rows reference `parent` rows through `childKey` → `parentKey`. */
   final case class FkRelation(name: String, child: DataFrame, childKey: String,

@@ -490,4 +490,33 @@ class IngestQualitySpec extends SparkSpec {
       clean.getAs[Double]("orphan_pct") == 0.0 &&
       clean.getAs[Long]("n_null_fk") == 0L)
   }
+
+  test("volumeAnomaly baselines on trailing observed days and flags z-score spikes") {
+    def day(d: Int, k: Long, rows: Int) = (1 to rows).map(i =>
+      (k, ts(f"2024-01-$d%02d ${i % 24}%02d:00:00")))
+    // key 1: 3 stable days (2,2,2) then a 10-row spike; key 2: steady
+    // climb so std > 0 but no flag; null ts / null key rows ignored
+    val ev = (day(1, 1L, 2) ++ day(2, 1L, 2) ++ day(3, 1L, 2) ++ day(4, 1L, 10) ++
+      day(1, 2L, 1) ++ day(2, 2L, 2) ++ day(3, 2L, 3) ++ day(4, 2L, 4))
+      .map { case (k, t) => (Option(k), Option(t)) }
+      .++(Seq((Option(1L), Option.empty[Timestamp]), (Option.empty[Long], Option(ts("2024-01-02 00:00:00")))))
+      .toDF("user_id", "ts")
+    val got = Quality.volumeAnomaly(ev, "user_id", "ts", 3, 3.0).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("day").toString.take(10)) ->
+        ((r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("z")),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    // warm-up days (< 3 prior observed days): null z, never flagged
+    assert(got((1L, "2024-01-01")) == ((2L, None, false)), s"got $got")
+    assert(got((1L, "2024-01-03")) == ((2L, None, false)), s"got $got")
+    // key 1 day 4: constant (2,2,2) baseline, std = 0 → moved-at-all flag
+    assert(got((1L, "2024-01-04")) == ((10L, None, true)), s"got $got")
+    // key 2 day 4: baseline (1,2,3) mean 2 std 1 → z = 2, below 3 → clean
+    assert(got((2L, "2024-01-04")) == ((4L, Some(Double.box(2.0)), false)), s"got $got")
+    // a constant baseline with an unchanged count stays clean
+    val steady = (day(1, 9L, 2) ++ day(2, 9L, 2) ++ day(3, 9L, 2) ++ day(4, 9L, 2))
+      .toDF("user_id", "ts")
+    val s4 = Quality.volumeAnomaly(steady, "user_id", "ts", 3, 3.0)
+      .filter($"day" === ts("2024-01-04 00:00:00")).collect().head
+    assert(!s4.getAs[Boolean]("is_anomaly") && s4.getAs[Double]("base_std") == 0.0)
+  }
 }
