@@ -314,6 +314,11 @@ object SparkEntry {
       Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts")),
     "d14_activity_heatmap" -> ((s, d) =>
       Analytics.activityHeatmap(Tables.events(s, d), "ts", "value")),
+    "d15_part_pair_counts" -> ((s, d) =>
+      // market basket: the 100 part pairs co-ordered most often; the
+      // per-order pair fanout is basket-bounded (≤21 per order), so
+      // the pair space is linear in lineitem, never corpus-quadratic
+      Analytics.partPairCounts(Tables.lineitem(s, d), 100)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -2783,6 +2788,15 @@ object SparkEntry {
            CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n,
            sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    // d15: the LIMIT cutoff is deterministic — (n_orders desc,
+    // part_a, part_b) totally orders the unique pairs
+    "d15_part_pair_counts" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+         SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_orders
+         FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 100""",
     // layout-invariant like g8: only file boundaries/order move
     "g9_sorted_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value

@@ -303,4 +303,36 @@ object Analytics {
         floor((col("n_active") * 20000 + col("cohort_size")) /
           (col("cohort_size") * 2)) / 10000.0)
   }
+
+  /** Market-basket co-occurrence (round 8): the top-N part pairs that
+    * appear together in the most orders — the "frequently bought
+    * together" report every order-fact table eventually gets asked
+    * for. Parts are deduplicated per order first (a part on two lines
+    * of one order counts once), then pairs are generated WITHIN each
+    * order with `part_a < part_b` so each unordered pair appears
+    * exactly once per order.
+    *
+    * Scale shape: the pair generation is an equi-join on the order key
+    * — both branches are the SAME deduplicated projection, so Spark
+    * plans one exchange and reuses it (ReusedExchange) — and the pair
+    * fanout per order is bounded by the basket size (TPC-H orders hold
+    * ≤7 parts → ≤21 pairs), so the pair table is a small constant
+    * multiple of lineitem, never quadratic in the corpus. The pair
+    * aggregate partial-combines map-side, and the final top-N is
+    * TakeOrdered (per-partition heaps + driver merge of N), not a
+    * global sort. Ranking ties are impossible at the cutoff: the order
+    * is (count desc, part_a, part_b) and pairs are unique. */
+  def partPairCounts(lineitem: DataFrame, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val items = lineitem
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
+      .distinct()
+    items.as("a").join(items.as("b"),
+        col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
+      .groupBy(col("a.__p").as("part_a"), col("b.__p").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
 }

@@ -148,4 +148,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(w0.forall(r => r.getAs[Double]("retention") == 1.0 &&
       r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size")))
   }
+
+  test("partPairCounts dedups parts per order, orders pairs, and reuses one exchange") {
+    import spark.implicits._
+    // order 1: parts {10, 20, 30} (20 twice → once); order 2: {10, 20};
+    // order 3: {10} (no pair); null key rows ignored
+    val li = Seq(
+      (Option(1L), Option(10L)), (Option(1L), Option(20L)), (Option(1L), Option(20L)),
+      (Option(1L), Option(30L)), (Option(2L), Option(10L)), (Option(2L), Option(20L)),
+      (Option(3L), Option(10L)), (None, Option(10L)), (Option(2L), None))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.partPairCounts(li, 10).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        r.getAs[Long]("n_orders")).toMap
+    assert(out == Map((10L, 20L) -> 2L, (10L, 30L) -> 1L, (20L, 30L) -> 1L), s"got $out")
+    // topN cuts on (count desc, part_a, part_b)
+    val top1 = Analytics.partPairCounts(li, 1).collect().head
+    assert(top1.getAs[Long]("part_a") == 10L && top1.getAs[Long]("part_b") == 20L)
+    // at-scale plan shape: with broadcast off (the 100 TB case — no
+    // side fits), the self-join's two branches must share ONE exchange
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Analytics.partPairCounts(Tables.lineitem(spark, sf), 5)
+      df.collect() // AQE applies exchange reuse at stage materialization
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }
