@@ -268,6 +268,12 @@ object SparkEntry {
       // interval — the robust pre-scaling companion to b2/b7's reports
       TimeSeries.winsorize(Tables.events(s, d), "user_id", "ts", "event_id",
         "value", 5, 100, 95, 100)),
+    "c26_changepoint" -> ((s, d) =>
+      // per key, the split maximizing the before/after mean shift
+      // (both segments >= 24 rows) — WHERE the level moved, vs c9's
+      // fixed-window did-it-move
+      TimeSeries.changePoint(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value", 24)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
     "c19_scaler_apply" -> ((s, d) => {
@@ -1542,6 +1548,32 @@ object SparkEntry {
                  WHEN t.vu > thr.hi THEN thr.hi / 1e6
                  ELSE t.value END AS value_winsorized
           FROM t LEFT JOIN thr ON t.user_id = thr.user_id""",
+    // c26: every candidate mean derives from the same exact
+    // micro-unit prefix sums in both engines, so the argmax ordering
+    // (diff desc, idx asc) cannot drift cross-engine
+    "c26_changepoint" ->
+      """WITH b AS (SELECT user_id, date_trunc('second', ts) AS ts2, event_id,
+            CAST(CAST(floor(value * 1e6) AS BIGINT) AS DECIMAL(38,0)) AS v
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        w AS (SELECT user_id, ts2, v,
+            row_number() OVER ok AS idx,
+            sum(v) OVER (ok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+            sum(v) OVER (PARTITION BY user_id) AS t,
+            count(*) OVER (PARTITION BY user_id) AS n
+          FROM b
+          WINDOW ok AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+        c AS (SELECT user_id, ts2, idx, n,
+            CAST(s AS DOUBLE) / CAST(idx AS DOUBLE) AS lft,
+            CAST(t - s AS DOUBLE) / CAST(n - idx AS DOUBLE) AS rgt
+          FROM w WHERE idx >= 24 AND idx <= n - 24),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY abs(lft - rgt) DESC, idx) AS rn FROM c)
+        SELECT user_id, n, CAST(idx AS BIGINT) AS split_idx, ts2 AS split_ts,
+          round(lft / 1e6, 4) AS mean_before,
+          round(rgt / 1e6, 4) AS mean_after,
+          round((rgt - lft) / 1e6, 4) AS shift
+        FROM r WHERE rn = 1""",
     "c7_forecast_metrics" ->
       """WITH f AS (
            SELECT user_id, value,

@@ -356,4 +356,58 @@ object TimeSeries {
           .when(vu > col("__hi"), col("__hi") / 1e6)
           .otherwise(col(valueCol)).as("value_winsorized"))
   }
+
+  /** Single change-point detection per key (round 8): the split point
+    * that maximizes the mean shift between the segment before and
+    * after it — the binary-segmentation primitive behind level-shift
+    * alarms (c9 compares two FIXED windows; this finds WHERE the level
+    * moved). The reference's drift config (config.yaml:44-46)
+    * re-trains on drift; locating the shift tells it how much history
+    * to drop.
+    *
+    * Exhaustive exact scan: for every admissible split index i
+    * (`minSeg` ≤ i ≤ n−`minSeg`, both segments at least `minSeg`
+    * rows), the candidate score is |mean(v₁..vᵢ) − mean(vᵢ₊₁..vₙ)|;
+    * the emitted row per key is the argmax, earliest index on ties.
+    * Values enter as exact micro-units (floor(v·1e6), the e34/b14
+    * pattern) accumulated in decimal(38,0), so every candidate's means
+    * derive from identical integers in both engines and the argmax
+    * ordering cannot drift cross-engine. Keys shorter than 2·minSeg
+    * emit nothing (no admissible split); null key/ts/value rows are
+    * excluded.
+    *
+    * Scale shape: ONE shuffle on the key, one sort per partition —
+    * the running prefix sum, the per-key totals, and the argmax rank
+    * all ride the same (key, ts, id) sort order, so Spark plans one
+    * Exchange + one Sort feeding three Window passes. The candidate
+    * scan is O(n) per key on top of the sort, never a per-split
+    * re-aggregation. */
+  def changePoint(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                  valueCol: String, minSeg: Int): DataFrame = {
+    require(minSeg >= 1, "minSeg must be at least 1")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("__ts"), col(idCol),
+        floor(col(valueCol) * 1e6).cast("long").cast("decimal(38,0)").as("__v"))
+    val order = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col(idCol))
+    val whole = Window.partitionBy(col(keyCol))
+    val c = base
+      .withColumn("__idx", row_number().over(order))
+      .withColumn("__s", sum(col("__v")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__t", sum(col("__v")).over(whole))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__idx") >= minSeg && col("__idx") <= col("__n") - minSeg)
+      .withColumn("__left", col("__s").cast("double") / col("__idx").cast("double"))
+      .withColumn("__right", (col("__t") - col("__s")).cast("double") /
+        (col("__n") - col("__idx")).cast("double"))
+      .withColumn("__diff", abs(col("__left") - col("__right")))
+    c.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__diff").desc, col("__idx"))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__n").as("n"),
+        col("__idx").cast("long").as("split_idx"), col("__ts").as("split_ts"),
+        round(col("__left") / 1e6, 4).as("mean_before"),
+        round(col("__right") / 1e6, 4).as("mean_after"),
+        round((col("__right") - col("__left")) / 1e6, 4).as("shift"))
+  }
 }

