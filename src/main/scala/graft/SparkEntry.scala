@@ -335,6 +335,11 @@ object SparkEntry {
       // e2's candidates scored from signature agreement alone — the
       // cheap middle tier before e4/e36's exact gram verify
       Dedup.minhashEstimatePairs(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
+    "e52_lsh_recall" -> ((s, d) =>
+      // does the e2 banding actually catch the true near-dups? exact
+      // word-shingle Jaccard ≥ 0.5 on the fixed doc_id<200 eval set
+      // vs the production candidates — the text twin of e41
+      Dedup.lshRecall(Tables.documents(s, d), "doc_id", "text", 3, 16, 4, 200L, 0.5)),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
@@ -2018,6 +2023,47 @@ object SparkEntry {
             floor((($agree) * 20000 + 16) / 32) / 10000.0 AS est_jaccard
           FROM pairs p JOIN mh a ON a.doc_id = p.doc_a
             JOIN mh b ON b.doc_id = p.doc_b"""
+    },
+    // e52: the e2 candidate CTEs verbatim (restricted to the eval
+    // set), ground truth by exact Jaccard over the SAME shingle poly
+    // hashes (mirrored-hash contract, like e30/e44)
+    "e52_lsh_recall" -> {
+      val mhAggs = (0 until 16).map(i =>
+        s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+                  FROM w WHERE len(words) >= 3)),
+          h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
+          mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
+          bnd AS ($bandSelects),
+          pruned AS (SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pruned a JOIN pruned b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            WHERE a.doc_id < 200 AND b.doc_id < 200),
+          sg AS (SELECT DISTINCT doc_id, h0 FROM h WHERE doc_id < 200),
+          cnt AS (SELECT doc_id, count(*) AS n FROM sg GROUP BY 1),
+          itr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sg a JOIN sg b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          ex AS (SELECT doc_a, doc_b FROM itr
+            JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5)
+          SELECT ne.n_exact, nc.n_candidates, nh.n_hit,
+            CASE WHEN ne.n_exact > 0
+              THEN floor((nh.n_hit * 20000 + ne.n_exact) / (ne.n_exact * 2)) / 10000.0
+            END AS recall
+          FROM (SELECT count(*) AS n_exact FROM ex) ne,
+               (SELECT count(*) AS n_candidates FROM cand) nc,
+               (SELECT count(*) AS n_hit
+                FROM ex JOIN cand USING (doc_a, doc_b)) nh"""
     },
     // the e2 band construction restricted to an asymmetric join: hot
     // buckets prune on the SEEN side only (the engine's broadcast

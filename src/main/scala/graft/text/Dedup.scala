@@ -337,6 +337,64 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** LSH recall gate (round 8) — the text-dedup analogue of the e41
+    * ANN recall gate: measures what fraction of TRUE near-dup pairs
+    * the [[minhashLshPairs]] banding actually proposes, so a pipeline
+    * can validate its (numHashes, bands) tuning against a ground-truth
+    * sample BEFORE trusting the candidate set over the full corpus.
+    * Ground truth = exact word-shingle Jaccard ≥ `threshold` among the
+    * fixed eval set (`idCol` < `sampleMax` — an absolute sample, like
+    * e6/e41's query set, so the evaluated pair space stays constant as
+    * the corpus grows); candidates = the production banding over the
+    * WHOLE corpus, restricted to eval-set pairs — pruned hot buckets
+    * and banding misses count against recall, exactly as they would in
+    * production. One row: (n_exact, n_candidates, n_hit, recall),
+    * recall half-up-e4 and null when the sample holds no true pair.
+    *
+    * Sets compare by shingle POLY HASH, not shingle string — both
+    * engines apply the same hash, so collisions are part of the
+    * mirrored semantics (the e30/e44 window-hash contract; per-pair
+    * shingle populations are far below the √PolyP birthday bound).
+    *
+    * Scale shape: the exact-Jaccard self-join is deliberately bounded
+    * by the FIXED eval set (sample² worst case, constant in corpus
+    * size); the corpus-side banding is e2's own plan. The tiny gram
+    * and candidate tables materialize once each (two consumers). */
+  def lshRecall(docs: DataFrame, idCol: String, textCol: String,
+                shingleSize: Int, numHashes: Int, bands: Int,
+                sampleMax: Long, threshold: Double): DataFrame = {
+    val sample = docs.filter(col(idCol).isNotNull && col(idCol) < sampleMax)
+    val grams = sample
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.StringExpressions.shingleHashes(
+          normalizeText(col(textCol)), shingleSize)).as("h"))
+      .distinct()
+      .localCheckpoint(false) // counts + both sides of the pair join
+    val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("doc_id").as("doc_a"), col("h"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val exact = inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
+      .withColumn("__j", round(col("inter") * 1.0 /
+        (col("__na") + col("__nb") - col("inter")), 4))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false) // count + hit semi-join
+    val cand = minhashLshPairs(docs, idCol, textCol, shingleSize, numHashes, bands)
+      .filter(col("doc_a") < sampleMax && col("doc_b") < sampleMax)
+      .localCheckpoint(false) // count + hit semi-join
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nHit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nExact.crossJoin(nCand).crossJoin(nHit)
+      .withColumn("recall", when(col("n_exact") > 0,
+        floor((col("n_hit") * 20000 + col("n_exact")) / (col("n_exact") * 2)) / 10000.0))
+  }
+
   /** Incremental near-dup candidate generation: (batch doc, seen doc)
     * pairs sharing ≥1 LSH band signature — the MinHash analogue of
     * [[incrementalExactDedup]], run per crawl ingest so the new batch

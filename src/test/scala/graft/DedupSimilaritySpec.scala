@@ -955,4 +955,33 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L)) // cluster canonical + untouched singleton
   }
+
+  test("lshRecall: identical eval-set dups are always caught; out-of-sample pairs excluded") {
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val other = Seq(
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet pink brown black white gray")
+    val docs = Seq(
+      (1L, same), (2L, same),          // J = 1 inside the eval set → banding must propose
+      (3L, other(0)), (4L, other(1)),  // unrelated
+      (250L, same))                    // dup of 1 but OUTSIDE sampleMax=200
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecall(docs, "doc_id", "text", 3, 16, 4, 200L, 0.5).collect().head
+    assert(r.getAs[Long]("n_exact") == 1L, s"got $r")
+    assert(r.getAs[Long]("n_hit") == 1L, s"got $r")
+    assert(r.getAs[Double]("recall") == 1.0, s"got $r")
+    assert(r.getAs[Long]("n_candidates") >= 1L)
+    // no true pairs in the sample → recall is null, not 0/0
+    val none = Dedup.lshRecall(docs.filter($"doc_id" >= 2L && $"doc_id" < 200L),
+      "doc_id", "text", 3, 16, 4, 200L, 0.5).collect().head
+    assert(none.getAs[Long]("n_exact") == 0L && none.isNullAt(none.fieldIndex("recall")))
+    // real corpus: the planted near-dups give a non-degenerate measurement
+    val real = Dedup.lshRecall(Tables.documents(spark, sf), "doc_id", "text",
+      3, 16, 4, 200L, 0.5).collect().head
+    assert(real.getAs[Long]("n_exact") > 0L)
+    assert(real.getAs[Long]("n_hit") <= real.getAs[Long]("n_exact"))
+    assert(real.getAs[Long]("n_hit") <= real.getAs[Long]("n_candidates"))
+    val rec = real.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+  }
 }
