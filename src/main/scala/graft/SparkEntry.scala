@@ -340,6 +340,11 @@ object SparkEntry {
       // word-shingle Jaccard ≥ 0.5 on the fixed doc_id<200 eval set
       // vs the production candidates — the text twin of e41
       Dedup.lshRecall(Tables.documents(s, d), "doc_id", "text", 3, 16, 4, 200L, 0.5)),
+    "e53_curation_funnel" -> ((s, d) =>
+      // the corpus-build accounting table: survivors per cumulative
+      // stage (raw → lang → quality → length → exact dedup), one
+      // narrow pass + one aggregate — the corpus never moves
+      TextOps.curationFunnel(Tables.documents(s, d), "doc_id", "text", 0.5, 10L, 5000L)),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
@@ -2065,6 +2070,47 @@ object SparkEntry {
                (SELECT count(*) AS n_hit
                 FROM ex JOIN cand USING (doc_a, doc_b)) nh"""
     },
+    // e53: the e8 lang CASE + e9 quality expression + e1 md5 key,
+    // composed into cumulative funnel counts
+    "e53_curation_funnel" ->
+      s"""WITH f AS (SELECT doc_id, text,
+            length(text) AS nc,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+            length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS np,
+            len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|for|on|with)\\b')) AS ns,
+            CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS DOUBLE) AS s_de,
+            CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|that|it)\\b')) AS DOUBLE) AS s_en,
+            CAST(len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|las|una|es)\\b')) AS DOUBLE) AS s_es,
+            CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|une|dans)\\b')) AS DOUBLE) AS s_fr,
+            CAST(len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) * 2 AS s_zh,
+            md5($normSql) AS h
+          FROM documents WHERE doc_id IS NOT NULL),
+        g0 AS (SELECT *,
+            CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                 WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+                 WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                 WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                 WHEN s_en > s_de THEN 'en'
+                 ELSE 'de' END AS lang2,
+            round(CASE WHEN w < 5 THEN 0.0 ELSE 1.0
+              * (CASE WHEN round(CAST(nc AS DOUBLE) / greatest(w, 1), 4) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+              * (CASE WHEN round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) < 0.2 THEN 1.0 ELSE 0.5 END)
+              * (CASE WHEN round(CAST(ns AS DOUBLE) / greatest(w, 1), 6) > 0.01 THEN 1.0 ELSE 0.7 END)
+            END, 4) AS q
+          FROM f),
+        g AS (SELECT count(*) AS n0,
+            count(CASE WHEN lang2 = 'en' THEN 1 END) AS n1,
+            count(CASE WHEN lang2 = 'en' AND q >= 0.5 THEN 1 END) AS n2,
+            count(CASE WHEN lang2 = 'en' AND q >= 0.5 AND w BETWEEN 10 AND 5000 THEN 1 END) AS n3,
+            count(DISTINCT CASE WHEN lang2 = 'en' AND q >= 0.5 AND w BETWEEN 10 AND 5000 THEN h END) AS n4
+          FROM g0)
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+          n0 AS n_docs, CAST(0 AS BIGINT) AS n_dropped FROM g
+        UNION ALL SELECT CAST(1 AS BIGINT), 'lang_en', n1, n0 - n1 FROM g
+        UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n2, n1 - n2 FROM g
+        UNION ALL SELECT CAST(3 AS BIGINT), 'length', n3, n2 - n3 FROM g
+        UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dedup', n4, n3 - n4 FROM g""",
     // the e2 band construction restricted to an asymmetric join: hot
     // buckets prune on the SEEN side only (the engine's broadcast
     // anti-join), candidates are batch×seen

@@ -19,12 +19,35 @@ object TextOps {
     * quality filters (C4/Gopher-style heuristics). `keepCols` carries
     * extra columns (e.g. the source for e46's per-source quantile
     * filter) through the same single narrow pass. */
+  /** Whitespace word count — the e9 `n_words` expression, shared with
+    * [[curationFunnel]] so the two can never drift. */
+  private def nWordsCol(t: Column): Column =
+    when(length(trim(t)) === 0, 0).otherwise(size(split(trim(t), "\\s+")))
+
+  /** The e9 composite `quality_score` as one column expression over
+    * raw text (identical rounding to [[qualityScore]]'s staged form —
+    * the intermediate ratios round before the composite multiplies,
+    * exactly as the output columns do). Shared with
+    * [[curationFunnel]]. */
+  private def qualityScoreCol(t: Column): Column = {
+    val nChars = length(t)
+    val nWords = nWordsCol(t)
+    val nPunct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val nStop = size(regexp_extract_all(lower(t), lit(stopwordsRe), lit(0)))
+    val avgWordLen = round(nChars.cast("double") / greatest(nWords, lit(1)), 4)
+    val punctRatio = round(nPunct.cast("double") / greatest(nChars, lit(1)), 6)
+    val stopRatio = round(nStop.cast("double") / greatest(nWords, lit(1)), 6)
+    round(when(nWords < 5, 0.0).otherwise(lit(1.0)
+      * when(avgWordLen.between(3, 10), 1.0).otherwise(0.5)
+      * when(punctRatio < 0.2, 1.0).otherwise(0.5)
+      * when(stopRatio > 0.01, 1.0).otherwise(0.7)), 4)
+  }
+
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
                    keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
-    val words = split(trim(t), "\\s+")
-    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(words))
+    val nWords = nWordsCol(t)
     val nPunct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
     val nDigit = length(t) - length(regexp_replace(t, "[0-9]", ""))
     val nStop = size(regexp_extract_all(lower(t), lit(stopwordsRe), lit(0)))
@@ -125,8 +148,12 @@ object TextOps {
   /** N-gram/stopword-heuristic language ID. Scores each candidate
     * language by marker-word/script hits; deterministic argmax with
     * alphabetical tie-break. */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = lower(col(textCol))
+  /** The e8 marker-hit argmax as (detected_lang, marker_hits) column
+    * expressions over raw text — shared by [[langId]] and
+    * [[curationFunnel]]. Alphabetical tie-break via a strict-greater
+    * scan in language order. */
+  private def langIdCols(textCol: Column): (Column, Column) = {
+    val t = lower(textCol)
     def hits(re: String): Column = size(regexp_extract_all(t, lit(re), lit(0))).cast("double")
     val scores: Seq[(String, Column)] = Seq(
       "de" -> hits("\\b(der|die|das|und|ist|nicht|ein|zu)\\b"),
@@ -134,14 +161,63 @@ object TextOps {
       "es" -> hits("\\b(el|la|de|que|los|las|una|es)\\b"),
       "fr" -> hits("\\b(le|la|les|et|des|est|une|dans)\\b"),
       "zh" -> hits("[\\u4e00-\\u9fff]") * 2)
-    // argmax with alphabetical tie-break: scan in language order, keep
-    // the strictly-greatest score.
     val (bestLang, bestScore) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
     }
+    (when(bestScore > 0, bestLang).otherwise(lit("und")), bestScore)
+  }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (bestLang, bestScore) = langIdCols(col(textCol))
     docs.select(col(idCol),
-      when(bestScore > 0, bestLang).otherwise(lit("und")).as("detected_lang"),
+      bestLang.as("detected_lang"),
       bestScore.cast("long").as("marker_hits"))
+  }
+
+  /** Curation-funnel report (round 8) — the corpus-build accounting
+    * every pretraining pipeline publishes (C4/CCNet/FineWeb report
+    * exactly this table): how many documents survive each stage of
+    * raw → language filter (e8's detector = 'en') → quality filter
+    * (e9's composite ≥ `minQuality`) → length filter (e9's word count
+    * in [`minWords`, `maxWords`]) → exact dedup (distinct normalized
+    * md5, e1's key). Stages apply CUMULATIVELY — each row reports the
+    * docs surviving that stage and how many the stage dropped —
+    * because that is how the filters run in production (dedup cost
+    * depends on what the cheap filters already removed).
+    *
+    * Shares the e8/e9 column expressions ([[langIdCols]],
+    * [[qualityScoreCol]]) so the funnel can never drift from the
+    * standalone operators' verdicts.
+    *
+    * Scale shape: ONE narrow pass computes every per-doc flag plus the
+    * dedup hash, then a single aggregate — the four cumulative counts
+    * partial-aggregate map-side to one row per partition, and only the
+    * distinct-hash count shuffles (16-byte md5 per surviving doc,
+    * partial-distinct before the exchange). The corpus never moves. */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     minQuality: Double, minWords: Long, maxWords: Long): DataFrame = {
+    require(minWords <= maxWords, "minWords must be <= maxWords")
+    val t = col(textCol)
+    val (bestLang, _) = langIdCols(t)
+    val flags = docs.filter(col(idCol).isNotNull)
+      .select(bestLang.as("__lang"), qualityScoreCol(t).as("__q"),
+        nWordsCol(t).cast("long").as("__w"), md5(normalizeText(t)).as("__h"))
+    val langOk = col("__lang") === "en"
+    val qOk = langOk && col("__q") >= minQuality
+    val lenOk = qOk && col("__w").between(minWords, maxWords)
+    flags.agg(
+        count(lit(1)).as("n0"),
+        count(when(langOk, 1)).as("n1"),
+        count(when(qOk, 1)).as("n2"),
+        count(when(lenOk, 1)).as("n3"),
+        countDistinct(when(lenOk, col("__h"))).as("n4"))
+      .selectExpr("""stack(5,
+        CAST(0 AS BIGINT), 'raw',         n0, CAST(0 AS BIGINT),
+        CAST(1 AS BIGINT), 'lang_en',     n1, n0 - n1,
+        CAST(2 AS BIGINT), 'quality',     n2, n1 - n2,
+        CAST(3 AS BIGINT), 'length',      n3, n2 - n3,
+        CAST(4 AS BIGINT), 'exact_dedup', n4, n3 - n4
+      ) AS (stage_idx, stage, n_docs, n_dropped)""")
   }
 
   private val posRe = "\\b(good|great|excellent|love|happy|best|nice|amazing|wonderful|fantastic)\\b"

@@ -984,4 +984,37 @@ class DedupSimilaritySpec extends SparkSpec {
     val rec = real.getAs[Double]("recall")
     assert(rec >= 0.0 && rec <= 1.0)
   }
+
+  test("curationFunnel stages are cumulative and agree with the standalone operators") {
+    val en = "the cat and the dog sat on the mat in the sun and it was good " * 3
+    val funnel = Seq(
+      (1L, en),                                // survives everything
+      (2L, en),                                // exact dup of 1 → dropped at dedup
+      (3L, "der hund und die katze und der vogel sind nicht da zu hause"), // non-en
+      (4L, "the of is to in that it and"),     // en but punct/stopword-poor text below quality?
+      (5L, "the and of is it go"))             // en, quality ok-ish but < 10 words
+      .toDF("doc_id", "text")
+    val out = TextOps.curationFunnel(funnel, "doc_id", "text", 0.5, 10L, 5000L)
+      .collect().map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped")))).toMap
+    assert(out("raw") == ((5L, 0L)), s"got $out")
+    // counts must be monotone non-increasing and drops must reconcile
+    val order = Seq("raw", "lang_en", "quality", "length", "exact_dedup")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(out(b)._1 <= out(a)._1, s"$b grew vs $a: $out")
+      assert(out(b)._2 == out(a)._1 - out(b)._1, s"$b drop mismatch: $out")
+    }
+    assert(out("lang_en")._1 == 4L, s"got $out")      // doc 3 dropped
+    assert(out("exact_dedup")._1 == out("length")._1 - 1L, s"got $out") // dup pair collapses
+    // funnel verdicts must agree with the standalone e8/e9 operators
+    val lang = TextOps.langId(funnel, "doc_id", "text")
+      .filter($"detected_lang" === "en").count()
+    assert(out("lang_en")._1 == lang)
+    // real corpus: every stage drops something yet none empties
+    val real = TextOps.curationFunnel(Tables.documents(spark, sf),
+      "doc_id", "text", 0.5, 10L, 5000L).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(real("raw") > 0 && real("exact_dedup") > 0)
+    assert(order.map(real).zip(order.tail.map(real)).forall { case (a, b) => b <= a })
+  }
 }
