@@ -710,6 +710,11 @@ object SparkEntry {
     "f7_stream_static_join" -> ((s, d) =>
       Streams.staticEnrich(Tables.events(s, d), Tables.customer(s, d),
         "user_id", "c_custkey", "ts", "c_mktsegment", "value", "hour")),
+    "f10_session_window" -> ((s, d) =>
+      // f1's sessions on Spark's NATIVE session_window operator —
+      // session_end is last-event + gap (the window's upper bound);
+      // streaming twin runs the state-store session aggregate
+      Streams.sessionWindowAgg(Tables.events(s, d), "user_id", "ts", "value", 1800L)),
     "f9_rate_cap" -> ((s, d) =>
       // first 5 events per (user, hour) in (ts, id) order — the edge
       // throttle; streaming twin holds one counter per open window
@@ -2816,6 +2821,22 @@ object SparkEntry {
          SELECT user_id, session_id, min(period) AS session_start, max(period) AS session_end,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM s GROUP BY 1, 2""",
+    // f10: the f1 gaps-and-islands CTE with the native operator's
+    // contract — session_end = last event + gap, exact-cents mass,
+    // null keys excluded (groupBy key semantics)
+    "f10_session_window" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, value
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         g AS (SELECT *, CASE WHEN lag(period) OVER w IS NULL
+             OR CAST(epoch(period) - epoch(lag(period) OVER w) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS brk
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY period)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+         SELECT user_id, min(period) AS session_start,
+           max(period) + INTERVAL 1800 SECONDS AS session_end,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM s GROUP BY user_id, sid""",
     "f4_windowed_quality" ->
       """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n,
          count(*) FILTER (WHERE value IS NULL) AS null_values,

@@ -403,4 +403,51 @@ class StreamsSpec extends SparkSpec {
           r.getAs[Double]("sum_value"))).toSeq)
     } finally q.stop()
   }
+
+  test("f10 sessionWindowAgg merges at exactly-gap and matches the streaming session operator") {
+    // batch: event at exactly last+gap MERGES (break is strictly > gap)
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 2.0),  // = gap → same session
+      (1L, Timestamp.valueOf("2024-01-01 11:00:01"), 4.0),  // gap+1 → new session
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+    val batch = Streams.sessionWindowAgg(df, "user_id", "ts", "value", 1800L)
+      .orderBy("user_id", "session_start").collect()
+    val got = batch.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSeq
+    assert(got == Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 11:00:00"), 2L, 3.0),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:01"), Timestamp.valueOf("2024-01-01 11:30:01"), 1L, 4.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 8.0)), s"got $got")
+
+    // streaming twin on the same rows: append-mode sessions equal the
+    // batch result once the watermark closes them
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = Streams.sessionWindowAggStream(
+      input.toDF().toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      1800L, "0 seconds")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("swtest").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 2.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 8.0))
+      q.processAllAvailable()
+      input.addData((1L, Timestamp.valueOf("2024-01-01 11:00:01"), 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      input.addData((9L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val res = spark.table("swtest")
+        .filter($"user_id" =!= 9L).orderBy("user_id", "session_start").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSeq
+      assert(res == got, s"stream $res != batch $got")
+    } finally q.stop()
+  }
 }
