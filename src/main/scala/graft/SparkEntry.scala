@@ -140,6 +140,11 @@ object SparkEntry {
     }),
 
     // ---------------- B. validation / quality ----------------
+    "a13_dead_letter" -> ((s, d) =>
+      // the quarantine ledger: one (record, reason) row per b1-rule
+      // violation, so rejects land audited instead of vanishing
+      Ingest.deadLetterLedger(Tables.events(s, d), "event_id", "ts",
+        "user_id", "event_type", "value", eventTypes)),
     "b1_schema_violations" -> ((s, d) =>
       Quality.schemaViolations(Tables.events(s, d), "ts", "user_id", "event_type", "value", eventTypes)),
     "b2_extreme_outliers" -> ((s, d) =>
@@ -1165,12 +1170,25 @@ object SparkEntry {
          UNION ALL
          SELECT event_id, period, user_id, event_type, value FROM ch
            WHERE op <> 'D'""",
-    "b1_schema_violations" ->
-      """SELECT 'null_period' AS check_name, count(*) FILTER (WHERE ts IS NULL) AS violations FROM events
+    "b1_schema_violations" -> {
+      val domainSql = eventTypes.map(t => s"'$t'").mkString(",")
+      s"""SELECT 'null_period' AS check_name, count(*) FILTER (WHERE ts IS NULL) AS violations FROM events
          UNION ALL SELECT 'null_respondent', count(*) FILTER (WHERE user_id IS NULL) FROM events
-         UNION ALL SELECT 'bad_type', count(*) FILTER (WHERE event_type NOT IN ('click','error','purchase','signup','view')) FROM events
+         UNION ALL SELECT 'bad_type', count(*) FILTER (WHERE event_type NOT IN ($domainSql)) FROM events
          UNION ALL SELECT 'null_value', count(*) FILTER (WHERE value IS NULL) FROM events
-         UNION ALL SELECT 'negative_value', count(*) FILTER (WHERE value < 0) FROM events""",
+         UNION ALL SELECT 'negative_value', count(*) FILTER (WHERE value < 0) FROM events"""
+    },
+    // a13: per-record rejection ledger — the b1 rules row-wise; NOT IN
+    // on a NULL type is three-valued null → excluded, matching the
+    // Spark isin contract
+    "a13_dead_letter" -> {
+      val domainSql = eventTypes.map(t => s"'$t'").mkString(",")
+      s"""SELECT event_id, 'null_period' AS reason FROM events WHERE ts IS NULL
+         UNION ALL SELECT event_id, 'null_respondent' FROM events WHERE user_id IS NULL
+         UNION ALL SELECT event_id, 'bad_type' FROM events WHERE event_type NOT IN ($domainSql)
+         UNION ALL SELECT event_id, 'null_value' FROM events WHERE value IS NULL
+         UNION ALL SELECT event_id, 'negative_value' FROM events WHERE value < 0"""
+    },
     "b2_extreme_outliers" ->
       """WITH p AS (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
          SELECT event_id, value, round(p99, 4) AS p99 FROM events, p

@@ -308,4 +308,32 @@ object Ingest {
         col("snapshot_digest").cast("string").as("snapshot_digest"),
         col("status"))
   }
+
+  /** Dead-letter ledger (round 8) — the quarantine half of validated
+    * ingest: one row per (record, violated rule) for every record the
+    * b1 rule set would reject, so the pipeline can land clean rows and
+    * route rejects WITH their reasons to a quarantine sink instead of
+    * silently dropping them (the reference validates then discards —
+    * data_validation.py:28-70; a production feed needs the discard
+    * audited). Rules mirror b1 exactly: null timestamp/key/value,
+    * value < 0, type outside the domain (a NULL type is null_value
+    * territory, not bad_type — the b1 three-valued-logic contract). A
+    * record violating k rules emits k rows; clean records emit none —
+    * `df.join(ledger, id, "left_anti")` IS the clean side.
+    *
+    * Scale shape: pure narrow projection + explode — zero shuffles,
+    * zero aggregation; the ledger is violation-sized, never
+    * corpus-sized. */
+  def deadLetterLedger(df: DataFrame, idCol: String, tsCol: String,
+                       keyCol: String, typeCol: String, valueCol: String,
+                       typeDomain: Seq[String]): DataFrame = {
+    val reasons = array(
+      when(col(tsCol).isNull, lit("null_period")),
+      when(col(keyCol).isNull, lit("null_respondent")),
+      when(!col(typeCol).isin(typeDomain.map(lit): _*), lit("bad_type")),
+      when(col(valueCol).isNull, lit("null_value")),
+      when(col(valueCol) < 0, lit("negative_value")))
+    df.select(col(idCol),
+      explode(filter(reasons, r => r.isNotNull)).as("reason"))
+  }
 }

@@ -519,4 +519,31 @@ class IngestQualitySpec extends SparkSpec {
       .filter($"day" === ts("2024-01-04 00:00:00")).collect().head
     assert(!s4.getAs[Boolean]("is_anomaly") && s4.getAs[Double]("base_std") == 0.0)
   }
+
+  test("deadLetterLedger emits one row per violated rule; the anti-join is the clean side") {
+    val rows = Seq(
+      (1L, Option(ts("2024-01-01 00:00:00")), Option("A"), Option("D"), Option(10.0)), // clean
+      (2L, Option.empty[Timestamp], Option("A"), Option("D"), Option(-1.0)),           // 2 rules
+      (3L, Option(ts("2024-01-01 00:00:00")), Option.empty[String], Option("X"), Option(1.0)), // 2 rules
+      (4L, Option(ts("2024-01-01 00:00:00")), Option("B"), Option.empty[String], Option.empty[Double])) // null value; NULL type NOT bad_type
+      .toDF("event_id", "ts", "key", "type", "value")
+    val ledger = Ingest.deadLetterLedger(rows, "event_id", "ts", "key", "type", "value", Seq("D", "E"))
+    val got = ledger.collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("reason"))).toSet
+    assert(got == Set(
+      (2L, "null_period"), (2L, "negative_value"),
+      (3L, "null_respondent"), (3L, "bad_type"),
+      (4L, "null_value")), s"got $got")
+    // the left-anti join against the ledger is exactly the clean rows
+    val clean = rows.join(ledger, Seq("event_id"), "left_anti")
+      .select("event_id").as[Long].collect().toSet
+    assert(clean == Set(1L))
+    // the ledger's per-rule totals must agree with b1's aggregate counts
+    val b1 = Quality.schemaViolations(rows, "ts", "key", "type", "value", Seq("D", "E"))
+      .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Long]("violations")).toMap
+    val byRule = ledger.groupBy("reason").count().collect()
+      .map(r => r.getAs[String]("reason") -> r.getAs[Long]("count")).toMap
+    b1.foreach { case (rule, n) =>
+      assert(byRule.getOrElse(rule, 0L) == n, s"$rule: ledger $byRule vs b1 $b1")
+    }
+  }
 }
