@@ -70,8 +70,10 @@ class DocSnippetSpec extends SparkSpec {
   }.toDF("reading_id", "meter_id", "ts", "kwh", "status")
   lazy val meters = Seq((10L, "east"), (11L, "west")).toDF("meter_id", "zone")
   lazy val clicks = (0 until 40).map { i =>
-    (i.toLong, (i % 3).toLong + 1L, hm(i * 5)) // 3 users across ~8 days
-  }.toDF("event_id", "user_id", "ts")
+    (i.toLong, (i % 3).toLong + 1L, hm(i * 5), 1.0) // 3 users across ~8 days
+  }.toDF("event_id", "user_id", "ts", "value")
+  lazy val baskets = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+    .toDF("l_orderkey", "l_partkey")
   lazy val corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river", "web"),
     (2L, "the quick brown fox jumps over the lazy dog near the river", "web"),
@@ -104,6 +106,9 @@ class DocSnippetSpec extends SparkSpec {
     val verdict = Quality.validationVerdict(telemetry, "meter_id", "ts", "reading_id", "kwh", 5.0, 2.0)
     val drift   = Quality.psiDrift(telemetry, "meter_id", "ts", "status", Seq("ok", "error"), 14, 7, 0.1)
     val fks     = Quality.referentialIntegrity(Seq(Quality.FkRelation("readings->meters", telemetry, "meter_id", meters, "meter_id")))
+    val volume  = Quality.volumeAnomaly(telemetry, "meter_id", "ts", 7, 3.0)
+    val rejects = Ingest.deadLetterLedger(telemetry, "reading_id", "ts", "meter_id", "status", "kwh", Seq("ok", "error"))
+    val clean   = telemetry.join(rejects, Seq("reading_id"), "left_anti")
     // doc-snippet:B end
     assert(gaps.count() == 0)              // perfectly hourly: no gaps
     assert(outlier.head().getAs[Long]("outlier_count") == 1) // the planted 999.0
@@ -112,6 +117,8 @@ class DocSnippetSpec extends SparkSpec {
     drift.collect()                        // 60h of data: windows run empty, not crash
     val fk = fks.head()
     assert(fk.getAs[Long]("n_orphan") == 0L && fk.getAs[Long]("n_childless") == 1L)
+    assert(volume.count() == 3)            // 60 hourly rows span 3 calendar days
+    assert(rejects.count() == 0 && clean.count() == 60) // healthy feed: empty ledger
     assertInSync("B")
   }
 
@@ -124,6 +131,7 @@ class DocSnippetSpec extends SparkSpec {
     val preds  = Forecast.applyCoefficients(telemetry, coefs, "meter_id", "ts", "reading_id", "kwh", 24)
     val skill  = Forecast.metrics(preds, "meter_id", "kwh", "prediction")
     val tamed  = TimeSeries.winsorize(telemetry, "meter_id", "ts", "reading_id", "kwh", 5, 100, 95, 100)
+    val break_ = TimeSeries.changePoint(telemetry, "meter_id", "ts", "reading_id", "kwh", 24)
     // doc-snippet:C end
     assert(hourly.count() == 60 && scaled.count() == 60 && splits.count() == 60)
     assert(coefs.count() == 1)             // one fitted row per key
@@ -131,18 +139,25 @@ class DocSnippetSpec extends SparkSpec {
     assert(skill.count() == 1 && skill.columns.contains("rmse"))
     // the planted 999.0 clamps to the 95% threshold, everything else intact
     assert(tamed.filter($"value_winsorized" > 100.0).count() == 0 && tamed.count() == 60)
+    val bp = break_.collect()
+    assert(bp.length == 1 && bp.head.getAs[Long]("split_idx") >= 24)
     assertInSync("C")
   }
 
   test("README group-D snippet compiles, runs, and matches the README verbatim") {
     // doc-snippet:D begin
-    val cohorts = Analytics.cohortRetention(clicks, "user_id", "ts")
-    val capped  = Streams.rateCap(clicks, "user_id", "ts", "event_id", "hour", 100)
+    val cohorts  = Analytics.cohortRetention(clicks, "user_id", "ts")
+    val capped   = Streams.rateCap(clicks, "user_id", "ts", "event_id", "hour", 100)
+    val sessions = Streams.sessionWindowAgg(clicks, "user_id", "ts", "value", 1800L)
+    val combos   = Analytics.partPairCounts(baskets, 10)
     // doc-snippet:D end
     // every cohort's week-0 row retains 100% by construction
     assert(cohorts.filter($"weeks_since" === 0L)
       .collect().forall(_.getAs[Double]("retention") == 1.0))
     assert(capped.count() == 40)           // cap 100/h admits everything here
+    assert(sessions.count() == 40)         // clicks 5h apart: every click its own session
+    val top = combos.head()
+    assert(combos.count() == 3 && top.getAs[Long]("n_orders") == 2L) // {10,20} co-ordered twice
     assertInSync("D")
   }
 
@@ -158,6 +173,8 @@ class DocSnippetSpec extends SparkSpec {
     val estimates = Dedup.minhashEstimatePairs(corpus, "doc_id", "text", 3, 16, 4)
     val lmScores  = TextOps.bigramLogProb(corpus, "doc_id", "text", 2L)
     val merges    = TextOps.bpePairCounts(corpus, "doc_id", "text", 2L)
+    val recall    = Dedup.lshRecall(corpus, "doc_id", "text", 3, 16, 4, 1000L, 0.5)
+    val funnel    = TextOps.curationFunnel(corpus, "doc_id", "text", 0.5, 5L, 5000L)
     // doc-snippet:E end
     assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     assert(clusters.count() == 2)          // both dup docs resolve to one component
@@ -172,6 +189,11 @@ class DocSnippetSpec extends SparkSpec {
       .head().getAs[Double]("est_jaccard") == 1.0)
     assert(lmScores.count() == 3)          // every multi-word doc scores
     assert(merges.filter($"rank" === 1L).count() == 1) // the first BPE merge
+    val rc = recall.head()
+    assert(rc.getAs[Long]("n_exact") == 1L && rc.getAs[Double]("recall") == 1.0)
+    val fn = funnel.collect().map(r =>
+      r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(fn("raw") == 3L && fn("exact_dedup") == 2L) // the dup pair collapses
     assertInSync("E")
   }
 

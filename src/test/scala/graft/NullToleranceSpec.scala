@@ -253,4 +253,41 @@ class NullToleranceSpec extends SparkSpec {
     assert(r.getAs[Long]("n_child") == 0L && r.getAs[Long]("n_childless") == 1L &&
       r.getAs[Double]("orphan_pct") == 0.0)
   }
+
+  test("session-3 operators tolerate null/degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Some(Timestamp.valueOf("2024-01-01 10:00:00")), Some(7L), Some(1.0), Some("click")),
+      (2L, None: Option[Timestamp], Some(7L), Some(2.0), Some("view")),
+      (3L, Some(Timestamp.valueOf("2024-01-01 10:10:00")), Some(7L), None: Option[Double], None: Option[String]),
+      (4L, Some(Timestamp.valueOf("2024-01-08 10:00:00")), None: Option[Long], Some(4.0), Some("zzz")))
+      .map { case (id, ts, u, v, t) => (id, ts, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // b19: null ts / null key rows drop before the daily counts
+    val va = graft.validate.Quality.volumeAnomaly(ev, "user_id", "ts", 2, 3.0)
+    assert(va.count() == 1 && va.filter($"is_anomaly").count() == 0)
+    // c26: null value rows excluded from the series; short keys emit nothing
+    assert(graft.timeseries.TimeSeries.changePoint(ev, "user_id", "ts",
+      "event_id", "value", 2).count() == 0)
+    // a13: ledger names exactly the violations, null type is not bad_type
+    val led = graft.ingest.Ingest.deadLetterLedger(ev, "event_id", "ts",
+      "user_id", "event_type", "value", Seq("click", "view"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(led == Set((2L, "null_period"), (3L, "null_value"),
+      (4L, "null_respondent"), (4L, "bad_type")), s"got $led")
+    // f10: null ts / null key rows drop; sessions still form
+    assert(graft.streaming.Streams.sessionWindowAgg(ev, "user_id", "ts",
+      "value", 1800L).count() == 1)
+    // d15: null order/part keys drop, no pairs fabricated
+    val li = Seq((Some(1L), Some(10L)), (None: Option[Long], Some(20L)),
+      (Some(1L), None: Option[Long])).toDF("l_orderkey", "l_partkey")
+    assert(graft.analytics.Analytics.partPairCounts(li, 5).count() == 0)
+    // e52/e53 on null/empty/short docs: no pairs, no crash, funnel accounts all
+    val rec = Dedup.lshRecall(docs, "doc_id", "text", 3, 16, 4, 100L, 0.5).collect().head
+    assert(rec.getAs[Long]("n_exact") == 0L && rec.isNullAt(rec.fieldIndex("recall")))
+    val fun = TextOps.curationFunnel(docs, "doc_id", "text", 0.5, 10L, 5000L)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(fun("raw") == 4L && fun("exact_dedup") <= fun("raw"))
+  }
 }
