@@ -346,4 +346,55 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(scans.isEmpty, "footer ANALYZE must not read data pages")
   }
+
+  test("b19 partial-aggregates daily counts; baseline windows are bounded ROWS frames") {
+    val plan = finalPlan(SparkEntry.queries("b19_volume_anomaly")(spark, sf))
+    // the corpus collapses to (key, day) rows map-side before anything shuffles
+    assert(plan.contains("partial_count"), plan)
+    // every baseline window is the bounded trailing frame, never unbounded
+    assert(plan.contains("specifiedwindowframe(RowFrame, -7, -1)"), plan)
+    assert(!plan.contains("unboundedfollowing"), plan)
+  }
+
+  /** The finalized tree only — the explain string appends the pre-AQE
+    * initial plan, which double-counts every operator (the a9 lesson). */
+  private def finalSection(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("c26 rides one key exchange and rank-1 prunes via WindowGroupLimit") {
+    val plan = finalSection(SparkEntry.queries("c26_changepoint")(spark, sf))
+    // prefix sum, totals, and argmax all share ONE hash exchange on the key
+    assert("ShuffleQueryStage".r.findAllIn(plan).size == 1, plan)
+    // Spark's rank-limit pushdown keeps only each key's best candidate
+    // ahead of the final rank sort — the argmax never materializes the
+    // full candidate list through a second shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), IsNotNull(user_id), IsNotNull(value)]"), plan)
+  }
+
+  test("e53 funnel is one corpus scan, Expand-free; only the dedup hash shuffles") {
+    val plan = finalSection(SparkEntry.queries("e53_curation_funnel")(spark, sf))
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"funnel must read the corpus once:\n$plan")
+    assert(!plan.contains("Expand"), plan) // single distinct group → no row replication
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("f10 partial-aggregates sessions before its single exchange; MergingSessions finalizes") {
+    val plan = finalSection(SparkEntry.queries("f10_session_window")(spark, sf))
+    assert(plan.contains("MergingSessions"), plan)
+    assert("ShuffleQueryStage".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("e52 joins its three one-row counts as scalar broadcasts, window-free") {
+    val plan = finalSection(SparkEntry.queries("e52_lsh_recall")(spark, sf))
+    // the 1-row aggregates cross as BroadcastNestedLoopJoin (the b2/c9
+    // scalar pattern), never a shuffled join; the gram/candidate work
+    // behind the checkpoints is window-free like e2
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
 }
