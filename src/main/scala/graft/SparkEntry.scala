@@ -1398,7 +1398,9 @@ object SparkEntry {
           FROM w)
         SELECT user_id, day, n,
           CASE WHEN base_n = 7 THEN base_n END AS base_n,
-          CASE WHEN base_n = 7 THEN round(mean, 4) END AS base_mean,
+          CASE WHEN base_n = 7 THEN
+            floor((base_sum * 20000 + base_n) / (base_n * 2)) / 10000.0
+          END AS base_mean,
           CASE WHEN base_n = 7 THEN round(std, 4) END AS base_std,
           CASE WHEN base_n = 7 AND std > 0.0
                THEN round((CAST(n AS DOUBLE) - mean) / std, 4) END AS z,
@@ -1596,17 +1598,23 @@ object SparkEntry {
             count(*) OVER (PARTITION BY user_id) AS n
           FROM b
           WINDOW ok AS (PARTITION BY user_id ORDER BY ts2, event_id)),
-        c AS (SELECT user_id, ts2, idx, n,
+        c AS (SELECT user_id, ts2, idx, n, s, t,
             CAST(s AS DOUBLE) / CAST(idx AS DOUBLE) AS lft,
             CAST(t - s AS DOUBLE) / CAST(n - idx AS DOUBLE) AS rgt
           FROM w WHERE idx >= 24 AND idx <= n - 24),
         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-            ORDER BY abs(lft - rgt) DESC, idx) AS rn FROM c)
+            ORDER BY abs(lft - rgt) DESC, idx) AS rn FROM c),
+        -- half-up-e4 from exact integers (the b6/b17 formula): round()
+        -- on the double ratio diverges from Spark at x.00005 boundaries
+        f AS (SELECT user_id, n, idx, ts2,
+            floor(CAST(s * 2 + idx * 100 AS DOUBLE)
+              / CAST(idx * 200 AS DOUBLE)) / 10000.0 AS mean_before,
+            floor(CAST((t - s) * 2 + (n - idx) * 100 AS DOUBLE)
+              / CAST((n - idx) * 200 AS DOUBLE)) / 10000.0 AS mean_after
+          FROM r WHERE rn = 1)
         SELECT user_id, n, CAST(idx AS BIGINT) AS split_idx, ts2 AS split_ts,
-          round(lft / 1e6, 4) AS mean_before,
-          round(rgt / 1e6, 4) AS mean_after,
-          round((rgt - lft) / 1e6, 4) AS shift
-        FROM r WHERE rn = 1""",
+          mean_before, mean_after, mean_after - mean_before AS shift
+        FROM f""",
     "c7_forecast_metrics" ->
       """WITH f AS (
            SELECT user_id, value,

@@ -401,13 +401,25 @@ object TimeSeries {
       .withColumn("__right", (col("__t") - col("__s")).cast("double") /
         (col("__n") - col("__idx")).cast("double"))
       .withColumn("__diff", abs(col("__left") - col("__right")))
+    // Output means half-up-e4 via the exact-integer formula (b6/b17
+    // pattern), NOT round(double, 4): integer micro-sum ratios land
+    // exactly on x.00005 boundaries where Spark's BigDecimal HALF_UP
+    // and DuckDB's double round() disagree (caught live at sf1).
+    // Both engines floor the same double quotient of identical
+    // integers. `shift` is the difference of the two rounded means —
+    // exact multiples of 1e-4 subtract identically in both engines.
+    def e4(num: Column, den: Column): Column =
+      floor(num.cast("double") / den.cast("double")) / 10000.0
+    val meanBefore = e4(col("__s") * 2 + col("__idx") * 100, col("__idx") * 200)
+    val meanAfter = e4((col("__t") - col("__s")) * 2 + (col("__n") - col("__idx")) * 100,
+      (col("__n") - col("__idx")) * 200)
     c.withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("__diff").desc, col("__idx"))))
       .filter(col("__rn") === 1)
       .select(col(keyCol), col("__n").as("n"),
         col("__idx").cast("long").as("split_idx"), col("__ts").as("split_ts"),
-        round(col("__left") / 1e6, 4).as("mean_before"),
-        round(col("__right") / 1e6, 4).as("mean_after"),
-        round((col("__right") - col("__left")) / 1e6, 4).as("shift"))
+        meanBefore.as("mean_before"),
+        meanAfter.as("mean_after"),
+        (meanAfter - meanBefore).as("shift"))
   }
 }

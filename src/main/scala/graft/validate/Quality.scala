@@ -545,8 +545,14 @@ object Quality {
     val full = col("base_n") === trailing.toLong
     val mean = col("base_sum").cast("double") / col("base_n").cast("double")
     val std = sqrt(varNum.cast("double") / varDen.cast("double"))
+    // half-up-e4 via the exact-integer b6/b17 formula, not
+    // round(double, 4): integer-count ratios land on x.00005
+    // boundaries where Spark and DuckDB round() disagree (the c26
+    // sf1 lesson; flags/z keep the unrounded mean)
+    val meanE4 = floor((col("base_sum") * 20000 + col("base_n")) /
+      (col("base_n") * 2)) / 10000.0
     base
-      .withColumn("base_mean", when(full, round(mean, 4)))
+      .withColumn("base_mean", when(full, meanE4))
       .withColumn("base_std", when(full, round(std, 4)))
       .withColumn("z", when(full && std > 0.0,
         round((col("n").cast("double") - mean) / std, 4)))
