@@ -279,6 +279,11 @@ object SparkEntry {
       // fixed-window did-it-move
       TimeSeries.changePoint(Tables.events(s, d), "user_id", "ts", "event_id",
         "value", 24)),
+    "c27_autocorrelation" -> ((s, d) =>
+      // lag-24 Pearson r per key: measured daily cyclicity, the score
+      // that routes keys to seasonal vs trend forecasters
+      TimeSeries.autocorrelation(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value", 24)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
     "c19_scaler_apply" -> ((s, d) => {
@@ -350,6 +355,11 @@ object SparkEntry {
       // stage (raw → lang → quality → length → exact dedup), one
       // narrow pass + one aggregate — the corpus never moves
       TextOps.curationFunnel(Tables.documents(s, d), "doc_id", "text", 0.5, 10L, 5000L)),
+    "e54_dup_rate_by_source" -> ((s, d) =>
+      // WHICH feed floods the corpus with copies: per-source doc /
+      // distinct / dup counts + half-up-e4 dup rate — e1 dedups, this
+      // attributes the duplication
+      Dedup.dupRateBySource(Tables.documents(s, d), "doc_id", "text", "source")),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
@@ -1615,6 +1625,29 @@ object SparkEntry {
         SELECT user_id, n, CAST(idx AS BIGINT) AS split_idx, ts2 AS split_ts,
           mean_before, mean_after, mean_after - mean_before AS shift
         FROM f""",
+    // c27: all five moments exact in HUGEINT (mirrors Spark's
+    // decimal(38,0)); only sqrt + the final divide are floating point
+    "c27_autocorrelation" ->
+      """WITH b AS (SELECT user_id, date_trunc('second', ts) AS ts2, event_id,
+            CAST(floor(value * 1e6) AS BIGINT) AS x
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        l AS (SELECT user_id, x,
+            lag(x, 24) OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS y
+          FROM b),
+        m AS (SELECT user_id, count(*) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+            sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+            sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+          FROM l WHERE y IS NOT NULL GROUP BY 1)
+        SELECT user_id, n AS n_pairs,
+          CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+            round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+          END AS acf
+        FROM m""",
     "c7_forecast_metrics" ->
       """WITH f AS (
            SELECT user_id, value,
@@ -2142,6 +2175,18 @@ object SparkEntry {
         UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n2, n1 - n2 FROM g
         UNION ALL SELECT CAST(3 AS BIGINT), 'length', n3, n2 - n3 FROM g
         UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dedup', n4, n3 - n4 FROM g""",
+    // e54: the e1 md5 key, attributed per source; null texts group
+    // per source, a null source is its own row (GROUP BY null
+    // semantics agree across engines)
+    "e54_dup_rate_by_source" ->
+      s"""WITH h AS (SELECT source, md5($normSql) AS h FROM documents
+            WHERE doc_id IS NOT NULL),
+          g AS (SELECT source, h, count(*) AS c FROM h GROUP BY 1, 2)
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+            count(*) AS n_distinct,
+            CAST(sum(c - 1) AS BIGINT) AS n_dup_docs,
+            floor((sum(c - 1) * 20000 + sum(c)) / (sum(c) * 2)) / 10000.0 AS dup_rate
+          FROM g GROUP BY 1""",
     // the e2 band construction restricted to an asymmetric join: hot
     // buckets prune on the SEEN side only (the engine's broadcast
     // anti-join), candidates are batch×seen

@@ -395,6 +395,32 @@ object Dedup {
         floor((col("n_hit") * 20000 + col("n_exact")) / (col("n_exact") * 2)) / 10000.0))
   }
 
+  /** Per-source exact-duplication profile (round 8) — the curation
+    * dashboard row answering "WHICH feed is flooding the corpus with
+    * copies": per source, total docs, distinct normalized texts, docs
+    * beyond the first of each duplicate group, and the duplicate rate
+    * (half-up-e4). e1 dedups; THIS attributes the duplication, which
+    * is what decides crawl/licensing budget. Null texts hash to one
+    * group per source (the e1 contract); a null source profiles as its
+    * own row.
+    *
+    * Scale shape: two nested partial-aggregated groupBys — (source,
+    * md5) collapses map-side to one row per distinct text per source
+    * (16-byte hashes move, never text), then the per-source rollup
+    * aggregates the already-tiny hash table. No joins, no windows. */
+  def dupRateBySource(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String): DataFrame = {
+    val g = docs.filter(col(idCol).isNotNull)
+      .groupBy(col(srcCol), md5(normalizeText(col(textCol))).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    g.groupBy(col(srcCol)).agg(
+        sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") - 1L).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        floor((col("n_dup_docs") * 20000 + col("n_docs")) / (col("n_docs") * 2)) / 10000.0)
+  }
+
   /** Incremental near-dup candidate generation: (batch doc, seen doc)
     * pairs sharing ≥1 LSH band signature — the MinHash analogue of
     * [[incrementalExactDedup]], run per crawl ingest so the new batch

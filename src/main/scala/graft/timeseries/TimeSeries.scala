@@ -422,4 +422,56 @@ object TimeSeries {
         meanAfter.as("mean_after"),
         (meanAfter - meanBefore).as("shift"))
   }
+
+  /** Per-key lag-L autocorrelation (round 8) — the seasonality-strength
+    * score: Pearson r between the series and itself `lagN` steps back
+    * (lag 24 on hourly data = "how daily-cyclic is this key").
+    * Quantifies the assumption the seasonal forecasters (c6/c21) and
+    * the lag features (c5/c11) take as given, so a pipeline can route
+    * keys to seasonal vs trend models by measured cyclicity.
+    *
+    * Cross-engine exactness: all five moments (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate micro-unit integers in decimal(38,0) (DuckDB mirrors
+    * in HUGEINT), and Pearson's numerator/denominator pieces
+    * n·Σxy−ΣxΣy etc. stay exact integers until ONE terminal double
+    * conversion; only sqrt and the final divide run in floating point
+    * (identical inputs ⇒ identical doubles; round(·,4) is safe on
+    * sqrt-derived values — the §6 rule). Magnitude budget: micro
+    * values ≤1e9 ⇒ the integer pieces stay under 1e38 up to ~1e9 rows
+    * PER KEY; beyond that a deployment centers values first or
+    * samples — documented boundedness, same style as d13's calendar
+    * bound. Degenerate series (either side constant → zero variance)
+    * emit a null acf, not a division blow-up; keys with ≤ lagN rows
+    * emit nothing.
+    *
+    * Scale shape: one shuffle on the key, one per-partition sort
+    * shared by the lag window, then ONE partial-aggregated groupBy —
+    * the five moments combine map-side, so nothing wider than the
+    * moment vector moves after the lag pass. */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                      valueCol: String, lagN: Int): DataFrame = {
+    require(lagN >= 1, "lag must be at least 1")
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(date_trunc("second", col(tsCol)), col(idCol))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(idCol),
+        floor(col(valueCol) * 1e6).cast("long").as("__x"))
+      .withColumn("__y", lag(col("__x"), lagN).over(order))
+      .filter(col("__y").isNotNull)
+    val m = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+      sum(dec(col("__y")) * dec(col("__y"))).as("__syy"))
+    val vx = dec(col("__n")) * col("__sxx") - col("__sx") * col("__sx")
+    val vy = dec(col("__n")) * col("__syy") - col("__sy") * col("__sy")
+    val cov = dec(col("__n")) * col("__sxy") - col("__sx") * col("__sy")
+    m.select(col(keyCol), col("__n").as("n_pairs"),
+      when(vx > 0 && vy > 0,
+        round(cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 4))
+        .as("acf"))
+  }
 }

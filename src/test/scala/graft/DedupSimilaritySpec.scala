@@ -1017,4 +1017,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(real("raw") > 0 && real("exact_dedup") > 0)
     assert(order.map(real).zip(order.tail.map(real)).forall { case (a, b) => b <= a })
   }
+
+  test("dupRateBySource attributes duplication per source; null texts group per source") {
+    val d = Seq(
+      (1L, Option("same text here"), "s1"), (2L, Option("same text here"), "s1"),
+      (3L, Option("unique one"), "s1"),
+      (4L, Option("same text here"), "s2"),       // same text, OTHER source: distinct there
+      (5L, Option.empty[String], "s1"), (6L, Option.empty[String], "s1")) // null group of 2
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dupRateBySource(d, "doc_id", "text", "source").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_dup_docs"), r.getAs[Double]("dup_rate")))).toMap
+    // s1: 5 docs, 3 groups (same-text pair, unique, null pair) → 2 dup docs, 0.4
+    assert(got("s1") == ((5L, 3L, 2L, 0.4)), s"got $got")
+    assert(got("s2") == ((1L, 1L, 0L, 0.0)), s"got $got")
+    // real corpus: totals reconcile with e1's global dedup groups
+    val real = Dedup.dupRateBySource(Tables.documents(spark, sf), "doc_id", "text", "source")
+      .collect()
+    val totalDocs = real.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == Tables.documents(spark, sf).count())
+    assert(real.forall { r =>
+      val rate = r.getAs[Double]("dup_rate")
+      rate >= 0.0 && rate < 1.0 &&
+        r.getAs[Long]("n_dup_docs") == r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct")
+    })
+  }
 }

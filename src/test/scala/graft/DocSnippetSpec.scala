@@ -132,6 +132,7 @@ class DocSnippetSpec extends SparkSpec {
     val skill  = Forecast.metrics(preds, "meter_id", "kwh", "prediction")
     val tamed  = TimeSeries.winsorize(telemetry, "meter_id", "ts", "reading_id", "kwh", 5, 100, 95, 100)
     val break_ = TimeSeries.changePoint(telemetry, "meter_id", "ts", "reading_id", "kwh", 24)
+    val cyclic = TimeSeries.autocorrelation(telemetry, "meter_id", "ts", "reading_id", "kwh", 24)
     // doc-snippet:C end
     assert(hourly.count() == 60 && scaled.count() == 60 && splits.count() == 60)
     assert(coefs.count() == 1)             // one fitted row per key
@@ -141,6 +142,8 @@ class DocSnippetSpec extends SparkSpec {
     assert(tamed.filter($"value_winsorized" > 100.0).count() == 0 && tamed.count() == 60)
     val bp = break_.collect()
     assert(bp.length == 1 && bp.head.getAs[Long]("split_idx") >= 24)
+    val cy = cyclic.collect()
+    assert(cy.length == 1 && cy.head.getAs[Long]("n_pairs") == 36L)
     assertInSync("C")
   }
 
@@ -175,6 +178,7 @@ class DocSnippetSpec extends SparkSpec {
     val merges    = TextOps.bpePairCounts(corpus, "doc_id", "text", 2L)
     val recall    = Dedup.lshRecall(corpus, "doc_id", "text", 3, 16, 4, 1000L, 0.5)
     val funnel    = TextOps.curationFunnel(corpus, "doc_id", "text", 0.5, 5L, 5000L)
+    val dupBySrc  = Dedup.dupRateBySource(corpus, "doc_id", "text", "source")
     // doc-snippet:E end
     assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     assert(clusters.count() == 2)          // both dup docs resolve to one component
@@ -194,6 +198,8 @@ class DocSnippetSpec extends SparkSpec {
     val fn = funnel.collect().map(r =>
       r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
     assert(fn("raw") == 3L && fn("exact_dedup") == 2L) // the dup pair collapses
+    val db = dupBySrc.head()
+    assert(db.getAs[Long]("n_docs") == 3L && db.getAs[Long]("n_dup_docs") == 1L)
     assertInSync("E")
   }
 

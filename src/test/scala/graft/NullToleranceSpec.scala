@@ -289,5 +289,12 @@ class NullToleranceSpec extends SparkSpec {
     val fun = TextOps.curationFunnel(docs, "doc_id", "text", 0.5, 10L, 5000L)
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
     assert(fun("raw") == 4L && fun("exact_dedup") <= fun("raw"))
+    // c27: null value/ts/key rows excluded; remaining series too short → no rows
+    assert(graft.timeseries.TimeSeries.autocorrelation(ev, "user_id", "ts",
+      "event_id", "value", 24).count() == 0)
+    // e54: null texts form one group per source, null source its own row
+    val dup = Dedup.dupRateBySource(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(dup.values.sum == 4L)
   }
 }

@@ -468,4 +468,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(real.forall(r => r.getAs[Long]("split_idx") >= 24 &&
       r.getAs[Long]("split_idx") <= r.getAs[Long]("n") - 24))
   }
+
+  test("autocorrelation: periodic +1, anti-phase -1, constant null, short keys absent") {
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")
+    val df = (Seq.tabulate(6)(i => (1L, t(i), i.toLong, (i % 2).toDouble)) ++   // period 2 → r = 1
+      Seq.tabulate(8)(i => (2L, t(i), i.toLong, ((i / 2) % 2).toDouble)) ++      // anti-phase at lag 2 → r = -1
+      Seq.tabulate(5)(i => (3L, t(i), i.toLong, 7.0)) ++                         // constant → null acf
+      Seq.tabulate(2)(i => (4L, t(i), i.toLong, 1.0)))                           // too short → no row
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.autocorrelation(df, "user_id", "ts", "event_id", "value", 2)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_pairs"), Option(r.getAs[java.lang.Double]("acf"))))).toMap
+    assert(got(1L) == ((4L, Some(Double.box(1.0)))), s"got $got")
+    assert(got(2L) == ((6L, Some(Double.box(-1.0)))), s"got $got")
+    assert(got(3L) == ((3L, None)), s"got $got")
+    assert(!got.contains(4L), s"got $got")
+    // real data: r bounded, pair counts = series length - lag
+    val real = TimeSeries.autocorrelation(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", "value", 24).collect()
+    assert(real.nonEmpty)
+    assert(real.forall { r =>
+      val a = r.getAs[java.lang.Double]("acf")
+      a == null || (a >= -1.0 && a <= 1.0)
+    })
+  }
 }
