@@ -389,6 +389,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("c27 shares one key exchange between the lag window and the moment aggregate") {
+    val plan = finalSection(SparkEntry.queries("c27_autocorrelation")(spark, sf))
+    assert("ShuffleQueryStage".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), IsNotNull(user_id), IsNotNull(value)]"), plan)
+  }
+
+  test("e54 is one corpus scan through two partial-aggregated groupBys, join-free") {
+    val plan = finalSection(SparkEntry.queries("e54_dup_rate_by_source")(spark, sf))
+    assert("FileScan".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
   test("e52 joins its three one-row counts as scalar broadcasts, window-free") {
     val plan = finalSection(SparkEntry.queries("e52_lsh_recall")(spark, sf))
     // the 1-row aggregates cross as BroadcastNestedLoopJoin (the b2/c9
