@@ -335,6 +335,10 @@ object SparkEntry {
       // per-order pair fanout is basket-bounded (≤21 per order), so
       // the pair space is linear in lineitem, never corpus-quadratic
       Analytics.partPairCounts(Tables.lineitem(s, d), 100)),
+    "d16_weekly_movers" -> ((s, d) =>
+      // the 25 biggest week-over-week revenue moves per nation —
+      // exact-integer delta ranking on the calendar-bounded aggregate
+      Analytics.weeklyRevenueMovers(s, d, 25)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -360,6 +364,12 @@ object SparkEntry {
       // distinct / dup counts + half-up-e4 dup rate — e1 dedups, this
       // attributes the duplication
       Dedup.dupRateBySource(Tables.documents(s, d), "doc_id", "text", "source")),
+    "e55_cross_source_neardup" -> ((s, d) =>
+      // the feed Venn diagram at the NEAR-dup level (exact-hash
+      // overlap is zero here — cross-feed copies re-format): e2
+      // candidates, exact shingle-Jaccard verify, per-source-pair cells
+      Dedup.crossSourceNeardup(Tables.documents(s, d), "doc_id", "text",
+        "source", 3, 16, 4, 0.5)),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
@@ -3004,6 +3014,63 @@ object SparkEntry {
            CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n,
            sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    // d16: exact-integer ten-thousandths revenue (the d2 discipline);
+    // the LIMIT ranks on the exact integer |delta| with (nation, week)
+    // tie-break; weeks CAST to TIMESTAMP (§6 dtype rule)
+    "d16_weekly_movers" ->
+      """WITH r AS (SELECT n_name,
+            CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        w AS (SELECT *, lag(rev) OVER (PARTITION BY n_name ORDER BY week) AS prev FROM r)
+        SELECT n_name, week, rev / 10000.0 AS revenue,
+          prev / 10000.0 AS prev_revenue, (rev - prev) / 10000.0 AS delta
+        FROM w WHERE prev IS NOT NULL
+        ORDER BY abs(rev - prev) DESC, n_name, week LIMIT 25""",
+    // e55: the e2 candidate CTEs + exact shingle-Jaccard verify
+    // (mirrored poly hashes, the e52 contract) + (least, greatest)
+    // source attribution
+    "e55_cross_source_neardup" -> {
+      val mhAggs = (0 until 16).map(i =>
+        s"min(${affineHashSql("h0", "mh", i)}) AS mh_$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val sig = foldSigSql((b * 4 until (b + 1) * 4).map(i => s"mh_$i"))
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, source, string_split($normSql, ' ') AS words
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL),
+          sh AS (SELECT doc_id,
+              array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+            FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+                  FROM w WHERE len(words) >= 3)),
+          h AS (SELECT doc_id, ${polyHashSql("shingle")} AS h0 FROM sh),
+          mh AS (SELECT doc_id, $mhAggs FROM h GROUP BY 1),
+          bnd AS ($bandSelects),
+          pruned AS (SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pruned a JOIN pruned b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          sg AS (SELECT DISTINCT doc_id, h0 FROM h),
+          cnt AS (SELECT doc_id, count(*) AS n FROM sg GROUP BY 1),
+          itr AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+            JOIN sg a ON a.doc_id = c.doc_a
+            JOIN sg b ON b.doc_id = c.doc_b AND b.h0 = a.h0
+            GROUP BY 1, 2),
+          ver AS (SELECT doc_a, doc_b FROM itr
+            JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5)
+          SELECT least(da.source, db.source) AS source_a,
+            greatest(da.source, db.source) AS source_b, count(*) AS n_pairs
+          FROM ver JOIN w da ON da.doc_id = ver.doc_a
+          JOIN w db ON db.doc_id = ver.doc_b
+          GROUP BY 1, 2"""
+    },
     // d15: the LIMIT cutoff is deterministic — (n_orders desc,
     // part_a, part_b) totally orders the unique pairs
     "d15_part_pair_counts" ->

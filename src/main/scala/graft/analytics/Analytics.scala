@@ -304,6 +304,49 @@ object Analytics {
           (col("cohort_size") * 2)) / 10000.0)
   }
 
+  /** Week-over-week revenue movers (round 8) — the "what changed"
+    * report on top of d2's static revenue-by-nation: weekly revenue
+    * per nation, each week's delta against the nation's previous
+    * observed week, ranked by absolute move — the top-N rows are where
+    * an analyst looks first. Revenue accumulates as exact integer
+    * ten-thousandths (the d2/d3 discipline), so the delta ranking is
+    * an exact-integer sort — no double drift can reorder the cutoff;
+    * ties break (nation, week). Weeks are midnight TIMESTAMPs (§6
+    * dtype rule); a nation's first observed week has no baseline and
+    * emits nothing.
+    *
+    * Scale shape: the fact table aggregates to (nation, week) with
+    * map-side partial combine after dimension broadcasts (the d2 join
+    * shape); the lag window and the final TakeOrdered run on that
+    * calendar-bounded aggregate, never on facts. */
+  def weeklyRevenueMovers(spark: SparkSession, dir: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val revE4 = sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+      .cast("long"))
+    val weekly = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("week", col("o_orderdate")).as("week"))
+      .agg(revE4.as("__rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("week"))
+    weekly
+      .withColumn("__prev", lag(col("__rev"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("n_name"), col("week"),
+        (col("__rev") / 10000.0).as("revenue"),
+        (col("__prev") / 10000.0).as("prev_revenue"),
+        ((col("__rev") - col("__prev")) / 10000.0).as("delta"),
+        abs(col("__rev") - col("__prev")).as("__absd"))
+      .orderBy(col("__absd").desc, col("n_name"), col("week"))
+      .limit(topN)
+      .drop("__absd")
+  }
+
   /** Market-basket co-occurrence (round 8): the top-N part pairs that
     * appear together in the most orders — the "frequently bought
     * together" report every order-fact table eventually gets asked

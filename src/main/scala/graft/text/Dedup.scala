@@ -421,6 +421,63 @@ object Dedup {
         floor((col("n_dup_docs") * 20000 + col("n_docs")) / (col("n_docs") * 2)) / 10000.0)
   }
 
+  /** Cross-source NEAR-duplication matrix (round 8) — the pairwise
+    * attribution on top of [[dupRateBySource]]: verified near-dup pair
+    * counts per (source, source) cell, the feed Venn diagram that
+    * tells a corpus build which crawls/licenses are re-buying each
+    * other's documents. (Exact-hash overlap is the wrong key here —
+    * cross-feed copies get re-formatted, so they land as NEAR dups;
+    * in this corpus 24 of 25 true shingle-Jaccard pairs cross
+    * sources while exact-md5 cross-source overlap is zero.)
+    *
+    * Funnel: e2's production banding proposes candidates over the
+    * whole corpus; each candidate is verified by EXACT word-shingle
+    * Jaccard ≥ `threshold` (shingle poly hashes — the mirrored-hash
+    * contract); verified pairs attribute to the (least, greatest)
+    * source pair, diagonal included (within-feed near-dups are a cell
+    * too, and the contrast against off-diagonal cells is the point).
+    *
+    * Scale shape: candidates come from the banding (never all-pairs);
+    * the verify joins move gram hashes ONLY for docs named in a
+    * candidate (left-semi against the broadcast candidate-id list —
+    * the e36 discipline), so verify volume is O(Σ candidate grams),
+    * not O(corpus); source attribution broadcasts the verified pair
+    * list against the narrow (id, source) projection. */
+  def crossSourceNeardup(docs: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, shingleSize: Int, numHashes: Int,
+                         bands: Int, threshold: Double): DataFrame = {
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+      col(srcCol).isNotNull)
+    val cand = minhashLshPairs(base, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint(false) // id list + inter join + count joins
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val g = base
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.StringExpressions.shingleHashes(
+          normalizeText(col(textCol)), shingleSize)).as("h"))
+      .distinct()
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // counts + both sides of the inter join
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    val ver = inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
+      .filter(round(col("__i") * 1.0 / (col("__na") + col("__nb") - col("__i")), 4)
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val src = base.select(col(idCol).as("doc_id"), col(srcCol).as("__src"))
+    ver.join(src.select(col("doc_id").as("doc_a"), col("__src").as("__sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("__src").as("__sb")), Seq("doc_b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Incremental near-dup candidate generation: (batch doc, seen doc)
     * pairs sharing ≥1 LSH band signature — the MinHash analogue of
     * [[incrementalExactDedup]], run per crawl ingest so the new batch

@@ -176,4 +176,28 @@ class AnalyticsSpec extends SparkSpec {
       assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
+
+  test("weeklyRevenueMovers ranks exact-integer deltas and reconciles against the weekly rollup") {
+    val out = Analytics.weeklyRevenueMovers(spark, sf, 25).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    // delta is (rev-prev)/1e4 off the exact integers — it agrees with
+    // the difference of the divided doubles only to fp tolerance
+    assert(out.forall(r => math.abs(r.getAs[Double]("delta") -
+      (r.getAs[Double]("revenue") - r.getAs[Double]("prev_revenue"))) < 1e-6))
+    // ranking is monotone non-increasing in |delta|
+    val absd = out.map(r => math.abs(r.getAs[Double]("delta")))
+    assert(absd.zip(absd.tail).forall { case (a, b) => a >= b - 1e-9 }, absd.toSeq)
+    // the top row's revenues reconcile with an independent weekly rollup
+    val top = out.head
+    val wk = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === top.getAs[String]("n_name"))
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")) / 10000.0).as("rev"))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("week") -> r.getAs[Double]("rev")).toMap
+    assert(wk(top.getAs[java.sql.Timestamp]("week")) == top.getAs[Double]("revenue"))
+  }
 }

@@ -985,6 +985,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rec >= 0.0 && rec <= 1.0)
   }
 
+  test("crossSourceNeardup attributes verified near-dup pairs to source-pair cells") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val d = Seq(
+      (1L, a, "s1"), (2L, a, "s2"),              // identical across feeds → (s1, s2) cell
+      (3L, a, "s1"),                              // identical within s1 → diagonal (s1, s1)
+      (4L, "one two three four five six seven eight nine ten", "s3")) // unrelated
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceNeardup(d, "doc_id", "text", "source", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // pairs: (1,2) s1-s2, (1,3) s1-s1, (2,3) s1-s2
+    assert(got == Map(("s1", "s2") -> 2L, ("s1", "s1") -> 1L), s"got $got")
+    // real corpus: the cross-feed structure the probe found — pairs
+    // exist and at least one cell is OFF-diagonal
+    val real = Dedup.crossSourceNeardup(Tables.documents(spark, sf),
+      "doc_id", "text", "source", 3, 16, 4, 0.5).collect()
+    assert(real.nonEmpty)
+    assert(real.exists(r => r.getAs[String]("source_a") != r.getAs[String]("source_b")),
+      real.toSeq.toString)
+  }
+
   test("curationFunnel stages are cumulative and agree with the standalone operators") {
     val en = "the cat and the dog sat on the mat in the sun and it was good " * 3
     val funnel = Seq(

@@ -179,6 +179,7 @@ class DocSnippetSpec extends SparkSpec {
     val recall    = Dedup.lshRecall(corpus, "doc_id", "text", 3, 16, 4, 1000L, 0.5)
     val funnel    = TextOps.curationFunnel(corpus, "doc_id", "text", 0.5, 5L, 5000L)
     val dupBySrc  = Dedup.dupRateBySource(corpus, "doc_id", "text", "source")
+    val feedVenn  = Dedup.crossSourceNeardup(corpus, "doc_id", "text", "source", 3, 16, 4, 0.5)
     // doc-snippet:E end
     assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     assert(clusters.count() == 2)          // both dup docs resolve to one component
@@ -200,6 +201,8 @@ class DocSnippetSpec extends SparkSpec {
     assert(fn("raw") == 3L && fn("exact_dedup") == 2L) // the dup pair collapses
     val db = dupBySrc.head()
     assert(db.getAs[Long]("n_docs") == 3L && db.getAs[Long]("n_dup_docs") == 1L)
+    val fv = feedVenn.head() // docs 1/2 are identical, both "web" → diagonal cell
+    assert(fv.getAs[String]("source_a") == "web" && fv.getAs[Long]("n_pairs") == 1L)
     assertInSync("E")
   }
 
