@@ -296,5 +296,8 @@ class NullToleranceSpec extends SparkSpec {
     val dup = Dedup.dupRateBySource(docs, "doc_id", "text", "source")
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
     assert(dup.values.sum == 4L)
+    // e55: null/empty/short docs are unsignable → no cells, no crash
+    assert(Dedup.crossSourceNeardup(docs, "doc_id", "text", "source",
+      3, 16, 4, 0.5).count() == 0)
   }
 }

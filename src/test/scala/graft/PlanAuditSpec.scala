@@ -404,6 +404,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition"), plan)
   }
 
+  test("d16 broadcasts dimensions; lag window and TakeOrdered run on the weekly aggregate") {
+    val plan = finalSection(SparkEntry.queries("d16_weekly_movers")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_sum"), plan) // facts combine map-side before the window
+  }
+
+  test("e55 verify/attribution joins broadcast; window-free") {
+    // the gram-table semi-join against candidate ids executes at
+    // checkpoint time (behind this plan's LogicalRDD leaves — the d13
+    // note); what must hold HERE: every verify/attribution join
+    // broadcasts its small side, and nothing windows
+    val plan = finalSection(SparkEntry.queries("e55_cross_source_neardup")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
   test("e52 joins its three one-row counts as scalar broadcasts, window-free") {
     val plan = finalSection(SparkEntry.queries("e52_lsh_recall")(spark, sf))
     // the 1-row aggregates cross as BroadcastNestedLoopJoin (the b2/c9
