@@ -617,6 +617,30 @@ object SparkEntry {
           org.apache.spark.sql.types.StructType.fromDDL(
             "event_id BIGINT, period TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")))
     }),
+    "g12_csv_rescue" -> ((s, d) => {
+      // the quarantine AUDIT over a feed with a torn part file: land
+      // the canonical CSV, plant four deterministic malformed lines
+      // (bad long, bad double, short row, extra columns), read back
+      // PERMISSIVE and report the valid count + each quarantined raw
+      // line — the scan survives, nothing coerces silently
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"),
+        col("user_id"), col("event_type"), col("value"))
+      val tmp = s"/tmp/graft_sources/rescue_${pathTag(d)}"
+      graft.sources.Sources.writeCsv(ev, tmp)
+      graft.sources.Sources.appendRawCsvPart(s, tmp, "part-torn.csv",
+        "event_id,period,user_id,event_type,value\n" + tornCsvLines.mkString("\n") + "\n")
+      val parsed = graft.sources.Sources.readCsv(s, tmp,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, period TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+      val good = graft.sources.Sources.validRecords(parsed)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("__valid__").as("record"), col("n"))
+      val bad = graft.sources.Sources.corruptRecords(parsed)
+        .groupBy(col(graft.sources.Sources.corruptCol).as("record"))
+        .agg(count(lit(1)).as("n"))
+      good.unionByName(bad)
+    }),
     "g2_partitioned_sink_prune" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"),
         date_trunc("second", col("ts")).as("period"),
@@ -902,6 +926,16 @@ object SparkEntry {
     * toHexString of the raw Int handles Int.MinValue (no abs). */
   private def pathTag(d: String): String =
     d.replaceAll("[^A-Za-z0-9]", "_") + "_" + d.hashCode.toHexString
+
+  /** The g12 fault-injection fixture: one malformed line per failure
+    * class (unparseable long, unparseable double, short row, extra
+    * columns). Shared verbatim with the oracle VALUES list — the two
+    * sides cannot drift. */
+  private val tornCsvLines = Seq(
+    "notanumber,2024-01-01 00:00:00,5,click,1.0",
+    "73,2024-01-01 02:00:00,7,buy,notadouble",
+    "74,tooshort",
+    "75,2024-01-01 03:00:00,8,click,3.0,extra,cols")
 
   /** Hyperplane matrix as a VALUES list — components are exactly n/1e6,
     * so the %.6f literal parses to the identical double. */
@@ -3080,6 +3114,17 @@ object SparkEntry {
          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
          GROUP BY 1, 2
          ORDER BY n_orders DESC, part_a, part_b LIMIT 100""",
+    // g12: valid rows = the whole feed (empty CSV fields parse to
+    // null, not corrupt — the g1-proven contract); quarantined lines
+    // are the planted constants, interpolated from the SAME Seq the
+    // query plants
+    "g12_csv_rescue" -> {
+      val lines = tornCsvLines
+        .map(l => s"SELECT '${l.replace("'", "''")}', CAST(1 AS BIGINT)")
+        .mkString("\nUNION ALL ")
+      s"""SELECT '__valid__' AS record, count(*) AS n FROM events
+          UNION ALL $lines"""
+    },
     // layout-invariant like g8: only file boundaries/order move
     "g9_sorted_layout" ->
       """SELECT event_id, date_trunc('second', ts) AS period, user_id, event_type, value

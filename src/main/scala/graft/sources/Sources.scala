@@ -47,6 +47,21 @@ object Sources {
   def corruptRecords(df: DataFrame): DataFrame =
     df.cache().filter(col(corruptCol).isNotNull)
 
+  /** Plant a raw CSV part file into a landed directory — the
+    * fault-injection fixture for the g12 rescue audit: a crashed or
+    * buggy upstream writer leaves a torn part alongside the good ones,
+    * and the rescue read must quarantine its rows rather than abort
+    * the scan or silently coerce garbage. Driver-side write through
+    * the Hadoop FS API so the same call works on any filesystem the
+    * session can reach. */
+  def appendRawCsvPart(spark: SparkSession, dirPath: String, name: String,
+                       content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dirPath, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   /** CSV sink (save_data_to_csv parity). Seconds-precision timestamp
     * format keeps the roundtrip lossless for the canonical feed. */
   def writeCsv(df: DataFrame, path: String,

@@ -387,4 +387,34 @@ class SourcesSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("csv rescue quarantines exactly the torn rows and keeps the partial parse") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_sources_test/rescue_${System.nanoTime()}"
+    val good = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L, "click", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 6L, "view", 2.5))
+      .toDF("event_id", "period", "user_id", "event_type", "value")
+    graft.sources.Sources.writeCsv(good, dir)
+    graft.sources.Sources.appendRawCsvPart(spark, dir, "part-torn.csv",
+      "event_id,period,user_id,event_type,value\n" +
+        "notanumber,2024-01-01 00:00:00,5,click,1.0\n" +
+        "3,2024-01-01 02:00:00,7,buy,notadouble\n" +
+        "4,tooshort\n")
+    val parsed = graft.sources.Sources.readCsv(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, period TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+    val valid = graft.sources.Sources.validRecords(parsed)
+    assert(valid.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+    val bad = graft.sources.Sources.corruptRecords(parsed).collect()
+    assert(bad.length == 3)
+    // raw lines preserved byte-for-byte for replay/repair
+    val lines = bad.map(_.getAs[String](graft.sources.Sources.corruptCol)).toSet
+    assert(lines.contains("4,tooshort"), lines.toString)
+    // partial parse retained: the bad-double row still carries its id
+    val badDouble = bad.find(
+      _.getAs[String](graft.sources.Sources.corruptCol).endsWith("notadouble")).get
+    assert(badDouble.getAs[Long]("event_id") == 3L &&
+      badDouble.isNullAt(badDouble.fieldIndex("value")))
+  }
 }
