@@ -339,6 +339,10 @@ object SparkEntry {
       // the 25 biggest week-over-week revenue moves per nation —
       // exact-integer delta ranking on the calendar-bounded aggregate
       Analytics.weeklyRevenueMovers(s, d, 25)),
+    "d17_revenue_concentration" -> ((s, d) =>
+      // the Pareto view: customers covering 80% of each nation's
+      // revenue + the top whale's share, decided in exact integers
+      Analytics.revenueConcentration(s, d)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -3065,6 +3069,27 @@ object SparkEntry {
           prev / 10000.0 AS prev_revenue, (rev - prev) / 10000.0 AS delta
         FROM w WHERE prev IS NOT NULL
         ORDER BY abs(rev - prev) DESC, n_name, week LIMIT 25""",
+    // d17: the 80% cut decided as cum·5 ≥ total·4 in exact integers;
+    // per-order pre-aggregation per the d16 lesson
+    "d17_revenue_concentration" ->
+      """WITH po AS (SELECT l_orderkey,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS orev
+          FROM lineitem GROUP BY 1),
+        pc AS (SELECT n_name, c_custkey, CAST(sum(orev) AS BIGINT) AS rev
+          FROM po JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER w AS rnk,
+            sum(rev) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(rev) OVER (PARTITION BY n_name) AS total,
+            count(*) OVER (PARTITION BY n_name) AS ncust,
+            max(rev) OVER (PARTITION BY n_name) AS top
+          FROM pc WINDOW w AS (PARTITION BY n_name ORDER BY rev DESC, c_custkey))
+        SELECT n_name, CAST(min(ncust) AS BIGINT) AS n_customers,
+          CAST(min(rnk) AS BIGINT) AS n_top80,
+          min(floor((top * 20000 + total) / (total * 2)) / 10000.0) AS top1_share
+        FROM r WHERE cum * 5 >= total * 4 GROUP BY 1""",
     // e55: the e2 candidate CTEs + exact shingle-Jaccard verify
     // (mirrored poly hashes, the e52 contract) + (least, greatest)
     // source attribution

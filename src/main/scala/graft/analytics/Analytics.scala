@@ -352,6 +352,54 @@ object Analytics {
       .drop("__absd")
   }
 
+  /** Revenue-concentration (Pareto) report per nation (round 8): how
+    * many of a nation's customers it takes to cover 80% of its
+    * revenue, plus the top customer's share — the concentration-risk
+    * view behind every "whale" discussion d3's flat top-N list only
+    * hints at. Per nation: customer count, the minimal top-k covering
+    * ≥80% of revenue (customers ranked revenue desc, custkey asc), and
+    * the top customer's half-up-e4 share.
+    *
+    * Cross-engine exactness: revenue in exact integer ten-thousandths
+    * (lineitem pre-aggregated per ORDER before the orders join — the
+    * d16 lesson), and the 80% threshold compared as cum·5 ≥ total·4 in
+    * exact integers — no double share ever decides a rank.
+    *
+    * Scale shape: per-order rollup (map-side combinable) → broadcast
+    * dimension joins → (nation, customer) aggregate; the ranking
+    * window runs per nation over the customer-bounded aggregate, never
+    * over facts. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("__orev"))
+    val perCust = perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(col("__orev")).as("__rev"))
+    val byNation = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+    val ranked = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+      .orderBy(col("__rev").desc, col("c_custkey"))
+    perCust
+      .withColumn("__rank", row_number().over(ranked))
+      .withColumn("__cum", sum(col("__rev")).over(
+        ranked.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__total", sum(col("__rev")).over(byNation))
+      .withColumn("__ncust", count(lit(1)).over(byNation))
+      .withColumn("__top", max(col("__rev")).over(byNation))
+      .filter(col("__cum") * 5 >= col("__total") * 4) // first rank covering >= 80%
+      .groupBy(col("n_name"))
+      .agg(min(col("__ncust")).as("n_customers"),
+        min(col("__rank")).cast("long").as("n_top80"),
+        min(floor((col("__top") * 20000 + col("__total")) / (col("__total") * 2)) / 10000.0)
+          .as("top1_share"))
+  }
+
   /** Market-basket co-occurrence (round 8): the top-N part pairs that
     * appear together in the most orders — the "frequently bought
     * together" report every order-fact table eventually gets asked

@@ -200,4 +200,35 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getAs[java.sql.Timestamp]("week") -> r.getAs[Double]("rev")).toMap
     assert(wk(top.getAs[java.sql.Timestamp]("week")) == top.getAs[Double]("revenue"))
   }
+
+  test("revenueConcentration finds the exact 80% head count per nation") {
+    val out = Analytics.revenueConcentration(spark, sf).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Long]("n_top80"),
+          r.getAs[Double]("top1_share")))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (nat, (ncust, n80, share)) =>
+      assert(n80 >= 1 && n80 <= ncust, s"$nat: $n80 of $ncust")
+      assert(share > 0.0 && share <= 1.0, s"$nat: $share")
+    }
+    // brute-force cross-check for one nation: recompute the head count
+    // from the per-customer revenues directly
+    val nat = out.keys.min
+    val revs = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("orev"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nat)
+      .groupBy(col("c_custkey")).agg(sum(col("orev")).as("rev"))
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("rev")))
+      .sortBy { case (k, r) => (-r, k) }
+    val total = revs.map(_._2).sum
+    val n80 = revs.map(_._2).scanLeft(0L)(_ + _).tail
+      .indexWhere(cum => cum * 5 >= total * 4) + 1
+    assert(out(nat)._2 == n80.toLong, s"$nat: got ${out(nat)._2}, brute $n80")
+    assert(out(nat)._1 == revs.length.toLong)
+  }
 }
