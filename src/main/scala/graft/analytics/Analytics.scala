@@ -382,16 +382,25 @@ object Analytics {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"))
       .agg(sum(col("__orev")).as("__rev"))
-    val byNation = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+      // customer-bounded and consumed TWICE (totals + ranking) —
+      // materialize so the fact join computes once (§8 rule 3)
+      .localCheckpoint(false)
+    // nation totals as a 25-row broadcast aggregate, NOT three
+    // unbounded windows — the §8 aggregate-then-join discipline: the
+    // rank/cumsum window already pays the per-nation sort; re-scanning
+    // the customer table three more times for whole-partition
+    // aggregates measured ~2× at sf30
+    val totals = perCust.groupBy(col("n_name")).agg(
+      sum(col("__rev")).as("__total"),
+      count(lit(1)).as("__ncust"),
+      max(col("__rev")).as("__top"))
     val ranked = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
       .orderBy(col("__rev").desc, col("c_custkey"))
     perCust
       .withColumn("__rank", row_number().over(ranked))
       .withColumn("__cum", sum(col("__rev")).over(
         ranked.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .withColumn("__total", sum(col("__rev")).over(byNation))
-      .withColumn("__ncust", count(lit(1)).over(byNation))
-      .withColumn("__top", max(col("__rev")).over(byNation))
+      .join(broadcast(totals), Seq("n_name"))
       .filter(col("__cum") * 5 >= col("__total") * 4) // first rank covering >= 80%
       .groupBy(col("n_name"))
       .agg(min(col("__ncust")).as("n_customers"),
