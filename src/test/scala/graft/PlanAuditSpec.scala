@@ -422,6 +422,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition"), plan)
   }
 
+  test("d17 joins nation totals broadcast onto the checkpointed customer aggregate") {
+    // the fact join computes once behind perCust's checkpoint; this
+    // plan must only broadcast the 25-row totals and run the one
+    // ranking window — a SortMergeJoin here means the broadcast hint
+    // or the checkpoint was lost
+    val plan = finalSection(SparkEntry.queries("d17_revenue_concentration")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("e52 joins its three one-row counts as scalar broadcasts, window-free") {
     val plan = finalSection(SparkEntry.queries("e52_lsh_recall")(spark, sf))
     // the 1-row aggregates cross as BroadcastNestedLoopJoin (the b2/c9
