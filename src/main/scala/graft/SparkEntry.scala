@@ -200,6 +200,11 @@ object SparkEntry {
       // baseline — the silent-partial-feed detector b18's staleness
       // check cannot see (the feed still ticks, just thinner)
       Quality.volumeAnomaly(Tables.events(s, d), "user_id", "ts", 7, 3.0)),
+    "b20_digit_profile" -> ((s, d) =>
+      // Benford-family fabrication screen: per-key chi-square of
+      // leading significant digits vs uniform 1..9, exact-integer
+      // statistic, flagged at the 95%/8df cut
+      Quality.leadingDigitProfile(Tables.events(s, d), "user_id", "value")),
     "b17_referential_integrity" -> ((s, d) =>
       // the star schema's declared FK graph, audited in one query:
       // fact→dim orphans (should be zero) and childless dimension
@@ -1466,6 +1471,24 @@ object SparkEntry {
                WHEN std > 0.0 THEN abs((CAST(n AS DOUBLE) - mean) / std) > 3.0
                ELSE n * 7 <> base_sum END AS is_anomaly
         FROM v""",
+    // b20: leading digit off the exact micro-unit integer (no float
+    // formatting); chi-square via the exact identity (9Σc² − n²)/n,
+    // half-up-e4; the flag compares exact integers against 15.507·n
+    "b20_digit_profile" ->
+      """WITH m AS (SELECT user_id, CAST(floor(abs(value) * 1e6) AS BIGINT) AS mu
+            FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        g AS (SELECT user_id, CAST(substr(CAST(mu AS VARCHAR), 1, 1) AS INT) AS d,
+            count(*) AS c
+          FROM m WHERE mu > 0 GROUP BY 1, 2),
+        t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+            sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sq
+          FROM g GROUP BY 1)
+        SELECT user_id, n,
+          floor(CAST((9 * sq - CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) * 20000 + n AS DOUBLE)
+            / CAST(n * 2 AS DOUBLE)) / 10000.0 AS chi2_uniform,
+          CAST(9 * sq - CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+            > 15.507 * CAST(n AS DOUBLE) AS is_nonuniform
+        FROM t""",
     // one full-outer key join per declared relation, unioned — the
     // same (key, count) ⋈ distinct-parent-key shape as the Spark plan
     "b17_referential_integrity" -> {

@@ -564,6 +564,49 @@ object Quality {
         col("base_mean"), col("base_std"), col("z"), col("is_anomaly"))
   }
 
+  /** Leading-digit profile per key (round 8) — the Benford-family
+    * fabrication/fault screen: per key, the chi-square distance of the
+    * value column's leading significant digits from the uniform
+    * 1..9 reference, flagged at the 95% cut for 8 degrees of freedom
+    * (15.507). A meter that suddenly emits hand-typed or clipped
+    * values shows up here while its mean and volume still look normal
+    * — the check b2/b7's magnitude-based outliers cannot see.
+    *
+    * Cross-engine exactness: the leading digit comes from the exact
+    * integer micro-unit (first character of floor(|v|·1e6) rendered as
+    * an integer string — identical in both engines, no float
+    * formatting), zero micro-values carry no significant digit and are
+    * excluded, and the chi-square collapses algebraically to
+    * (9·Σc² − n²)/n — missing digits contribute nothing to Σc², so the
+    * whole statistic derives from the present-digit counts in EXACT
+    * integers (decimal(38,0); squares of per-key counts overflow a
+    * long at 100 TB) with one half-up-e4 terminal division. The flag
+    * compares the exact integer numerator against 15.507·9n — no
+    * rounded value decides it.
+    *
+    * Scale shape: one partial-aggregated groupBy to (key, digit) — at
+    * most 9 rows per key cross the shuffle — then a per-key rollup of
+    * the 9-row groups. No windows, no joins. */
+  def leadingDigitProfile(df: DataFrame, keyCol: String, valueCol: String,
+                          chi2Cut: Double = 15.507): DataFrame = {
+    val micro = floor(abs(col(valueCol)) * 1e6).cast("long")
+    val g = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        micro > 0L)
+      .groupBy(col(keyCol),
+        substring(micro.cast("string"), 1, 1).cast("int").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = g.groupBy(col(keyCol)).agg(
+      sum(col("__c")).as("n"),
+      sum(dec(col("__c")) * dec(col("__c"))).as("__sq"))
+    val s2 = dec(lit(9)) * col("__sq") - dec(col("n")) * dec(col("n"))
+    m.select(col(keyCol), col("n"),
+      (floor((s2 * 20000 + dec(col("n"))).cast("double") /
+        (col("n") * 2).cast("double")) / 10000.0).as("chi2_uniform"),
+      (s2.cast("double") > lit(chi2Cut) * col("n").cast("double"))
+        .as("is_nonuniform"))
+  }
+
   /** One foreign-key relation for [[referentialIntegrity]]: `child`
     * rows reference `parent` rows through `childKey` → `parentKey`. */
   final case class FkRelation(name: String, child: DataFrame, childKey: String,

@@ -520,6 +520,39 @@ class IngestQualitySpec extends SparkSpec {
     assert(!s4.getAs[Boolean]("is_anomaly") && s4.getAs[Double]("base_std") == 0.0)
   }
 
+  test("leadingDigitProfile: uniform digits stay clean, single-digit keys flag, zeros drop") {
+    // key 1: one value per leading digit 1..9 → chi2 = (9·9 − 81)/9 = 0
+    val uniform = (1 to 9).map(d => (1L, d * 10.0))
+    // key 2: nine values all leading digit 7 → chi2 = (9·81 − 81)/9 = 72 → flagged
+    val spiked = Seq.fill(9)((2L, 7.5))
+    // key 3: only zeros → no significant digits → no row
+    val zeros = Seq.fill(3)((3L, 0.0))
+    val df = (uniform ++ spiked ++ zeros).toDF("user_id", "value")
+    val got = Quality.leadingDigitProfile(df, "user_id", "value").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("chi2_uniform"),
+          r.getAs[Boolean]("is_nonuniform")))).toMap
+    assert(got(1L) == ((9L, 0.0, false)), s"got $got")
+    assert(got(2L) == ((9L, 72.0, true)), s"got $got")
+    assert(!got.contains(3L), s"got $got")
+    // the digit is the leading digit of the MICRO unit: 0.05 → 50000 → '5'
+    val tiny = Seq((9L, 0.05), (9L, 0.05)).toDF("user_id", "value")
+    val t9 = Quality.leadingDigitProfile(tiny, "user_id", "value").collect().head
+    assert(t9.getAs[Long]("n") == 2L)
+    // real data: chi2 non-negative, flags consistent with the cut
+    val real = Quality.leadingDigitProfile(Tables.events(spark, sf), "user_id", "value")
+      .collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getAs[Double]("chi2_uniform") >= 0.0))
+    // the flag agrees with the (half-up-e4-rounded) statistic up to
+    // the rounding width of the cut
+    real.foreach { r =>
+      val chi2 = r.getAs[Double]("chi2_uniform")
+      if (r.getAs[Boolean]("is_nonuniform")) assert(chi2 > 15.507 - 1e-4, r.toString)
+      else assert(chi2 <= 15.507 + 1e-4, r.toString)
+    }
+  }
+
   test("deadLetterLedger emits one row per violated rule; the anti-join is the clean side") {
     val rows = Seq(
       (1L, Option(ts("2024-01-01 00:00:00")), Option("A"), Option("D"), Option(10.0)), // clean
