@@ -15,6 +15,22 @@ import org.apache.spark.sql.SparkSession
   * cluster executes steady-state.
   */
 object Bench {
+  /** Pruning-proof evaluation sink. The round-8 harness forced
+    * evaluation with `df.count()`, which plans as `Aggregate[count(1)]`
+    * — ColumnPruning then DELETES deterministic computed projections,
+    * so narrow map-only queries (e8's regex families, e9's quality
+    * expressions, e21's redaction chain, …) timed scan+count instead
+    * of the operator (e8 read 0.24 s at sf30 while e53 ran the same
+    * expressions inside an aggregate in 65 s). The `noop` v2 datasource
+    * write consumes every output column of the frame — the writer
+    * requires full rows, so no projection above the scan can be pruned
+    * — and discards them without serialization, which is exactly
+    * "execute the operator, skip the sink". BenchSinkSpec proves the
+    * pruning-proof property with a side-effect counter that count()
+    * skips and this sink fires. */
+  def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     // fixed-point JSON below must not pick up a comma-decimal locale
     java.util.Locale.setDefault(java.util.Locale.ROOT)
@@ -29,7 +45,7 @@ object Bench {
     val queries = SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
         // reap per-query so the warm pass itself doesn't build up the
         // block-manager backlog the measured pass then pays for
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -44,7 +60,7 @@ object Bench {
                  fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a throwing query must be VISIBLE, not a suspiciously fast timing
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try { materialize(fn(spark, sfDir)) } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9

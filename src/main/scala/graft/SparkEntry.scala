@@ -2195,7 +2195,7 @@ object SparkEntry {
             GROUP BY 1, 2),
           ex AS (SELECT doc_a, doc_b FROM itr
             JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5)
+            WHERE i * 10000 >= 5000 * (ca.n + cb.n - i))
           SELECT ne.n_exact, nc.n_candidates, nh.n_hit,
             CASE WHEN ne.n_exact > 0
               THEN floor((nh.n_hit * 20000 + ne.n_exact) / (ne.n_exact * 2)) / 10000.0
@@ -3146,7 +3146,7 @@ object SparkEntry {
             GROUP BY 1, 2),
           ver AS (SELECT doc_a, doc_b FROM itr
             JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5)
+            WHERE i * 10000 >= 5000 * (ca.n + cb.n - i))
           SELECT least(da.source, db.source) AS source_a,
             greatest(da.source, db.source) AS source_b, count(*) AS n_pairs
           FROM ver JOIN w da ON da.doc_id = ver.doc_a

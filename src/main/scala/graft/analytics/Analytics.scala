@@ -320,9 +320,16 @@ object Analytics {
     * fact-fact join's big side to orders-cardinality and makes the
     * join key unique on both sides (the d10 discipline; joining raw
     * lineitem into orders at sf30 measured 16×/3× — the un-combined
-    * sort/shuffle was the whole cost). Dimensions broadcast; the lag
-    * window and the final TakeOrdered run on the calendar-bounded
-    * (nation, week) aggregate, never on facts. */
+    * sort/shuffle was the whole cost). The BOUNDED dimension (nation,
+    * 25 rows) carries a broadcast hint; customer does NOT — it grows
+    * with the scale factor, so a forced broadcast would bypass AQE
+    * sizing and OOM the build side at the 100-TB deployment this
+    * operator targets (round-9 advice). AQE still broadcasts it at
+    * every tested decade (it sits under the threshold through sf30)
+    * and falls back to a shuffled join beyond, which is the correct
+    * behavior, not a regression. The lag window and the final
+    * TakeOrdered run on the calendar-bounded (nation, week) aggregate,
+    * never on facts. */
   def weeklyRevenueMovers(spark: SparkSession, dir: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     val li = Tables.lineitem(spark, dir)
@@ -333,7 +340,7 @@ object Analytics {
       .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
         .cast("long")).as("__orev"))
     val weekly = perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_trunc("week", col("o_orderdate")).as("week"))
       .agg(sum(col("__orev")).as("__rev"))
@@ -365,8 +372,9 @@ object Analytics {
     * d16 lesson), and the 80% threshold compared as cum·5 ≥ total·4 in
     * exact integers — no double share ever decides a rank.
     *
-    * Scale shape: per-order rollup (map-side combinable) → broadcast
-    * dimension joins → (nation, customer) aggregate; the ranking
+    * Scale shape: per-order rollup (map-side combinable) → dimension
+    * joins (nation hinted broadcast; customer AQE-sized — see
+    * weeklyRevenueMovers) → (nation, customer) aggregate; the ranking
     * window runs per nation over the customer-bounded aggregate, never
     * over facts. */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
@@ -377,8 +385,11 @@ object Analytics {
     val perOrder = li.groupBy(col("l_orderkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
         .cast("long")).as("__orev"))
+    // customer joins WITHOUT a broadcast hint — it scales with SF, so
+    // forcing the build side would OOM past AQE's sizing (round-9
+    // advice; same reasoning as weeklyRevenueMovers above)
     val perCust = perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"))
       .agg(sum(col("__orev")).as("__rev"))

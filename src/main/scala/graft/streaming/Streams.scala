@@ -79,19 +79,29 @@ object Streams {
     * native session operator — sessions merge across micro-batches in
     * the store and emit (append mode) once the watermark passes their
     * end. Identical output schema and values to the batch form on the
-    * same data (the parity spec's contract). */
+    * same data (the parity spec's contract) — which requires the SAME
+    * input projection as the batch twin: null key/ts rows dropped and
+    * timestamps truncated to the second BEFORE the watermark, else
+    * sub-second events put session boundaries where the batch form has
+    * none and the parity claim silently holds only for whole-second
+    * non-null inputs (round-9 advice). The watermark sits on the
+    * truncated column, so eviction and sessionization see one clock. */
   def sessionWindowAggStream(events: DataFrame, keyCol: String, tsCol: String,
                              valueCol: String, gapSeconds: Long,
-                             watermark: String): DataFrame =
+                             watermark: String): DataFrame = {
+    require(gapSeconds > 0, "session gap must be positive")
     events
-      .withWatermark(tsCol, watermark)
-      .groupBy(col(keyCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"), col(valueCol))
+      .withWatermark("period", watermark)
+      .groupBy(col(keyCol), session_window(col("period"), s"$gapSeconds seconds"))
       .agg(count(lit(1)).as("n_events"),
         (sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0).as("sum_value"))
       .select(col(keyCol),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
+  }
 
   /** Tumbling-window aggregation (batch form): fixed windows via
     * date_trunc; the streaming twin uses window() + watermark. Value

@@ -375,12 +375,16 @@ object Dedup {
       .join(grams.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    // threshold gate in EXACT integers: j >= t ⇔ i·10⁴ ≥ (t·10⁴)·union
+    // (t is 4-decimal by contract). The former round(j,4) >= t form is
+    // the double-rounding pattern the b19/c26 notes flag — a Jaccard
+    // landing on an x.00005 boundary could flip verified status
+    // between Spark and the oracle (round-9 advice).
     val exact = inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
-      .withColumn("__j", round(col("inter") * 1.0 /
-        (col("__na") + col("__nb") - col("inter")), 4))
-      .filter(col("__j") >= threshold)
+      .filter(col("inter") * 10000L >=
+        lit(math.round(threshold * 10000)) * (col("__na") + col("__nb") - col("inter")))
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(false) // count + hit semi-join
     val cand = minhashLshPairs(docs, idCol, textCol, shingleSize, numHashes, bands)
@@ -464,11 +468,12 @@ object Dedup {
       .join(g.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    // exact-integer threshold gate — same rationale as lshRecall's
     val ver = inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
-      .filter(round(col("__i") * 1.0 / (col("__na") + col("__nb") - col("__i")), 4)
-        >= threshold)
+      .filter(col("__i") * 10000L >=
+        lit(math.round(threshold * 10000)) * (col("__na") + col("__nb") - col("__i")))
       .select(col("doc_a"), col("doc_b"))
     val src = base.select(col(idCol).as("doc_id"), col(srcCol).as("__src"))
     ver.join(src.select(col("doc_id").as("doc_a"), col("__src").as("__sa")), Seq("doc_a"))

@@ -581,8 +581,9 @@ object Quality {
     * whole statistic derives from the present-digit counts in EXACT
     * integers (decimal(38,0); squares of per-key counts overflow a
     * long at 100 TB) with one half-up-e4 terminal division. The flag
-    * compares the exact integer numerator against 15.507·9n — no
-    * rounded value decides it.
+    * compares the exact integer numerator against 15.507·n (χ² = s2/n
+    * with s2 = 9·Σc² − n², so s2 > cut·n ⇔ χ² > cut) — no rounded
+    * value decides it.
     *
     * Scale shape: one partial-aggregated groupBy to (key, digit) — at
     * most 9 rows per key cross the shuffle — then a per-key rollup of
