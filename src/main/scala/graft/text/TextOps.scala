@@ -194,6 +194,33 @@ object TextOps {
     * partial-aggregate map-side to one row per partition, and only the
     * distinct-hash count shuffles (16-byte md5 per surviving doc,
     * partial-distinct before the exchange). The corpus never moves. */
+  /** The e9 stopword ratio as a column expression — shared with
+    * [[qualityScore]] and the e56 corpus-build chain (which re-scores
+    * the post-scrub text), so the ranking value can never drift from
+    * the standalone operator's. */
+  private[graft] def stopwordRatioCol(t: Column): Column = {
+    val nStop = size(regexp_extract_all(lower(t), lit(stopwordsRe), lit(0)))
+    round(nStop.cast("double") / greatest(nWordsCol(t), lit(1)), 6)
+  }
+
+  /** The documents SURVIVING [[curationFunnel]]'s cumulative lang →
+    * quality → length stages (e53 reports the counts; this returns the
+    * rows — the hand-off a real corpus build makes into its dedup
+    * stage). Shares [[langIdCols]]/[[qualityScoreCol]]/[[nWordsCol]]
+    * with the funnel so the two can never drift. Keeps `idCol`,
+    * `textCol`, and `keepCols`; one narrow pass, no shuffle. */
+  def curationSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                        keepCols: Seq[String], minQuality: Double,
+                        minWords: Long, maxWords: Long): DataFrame = {
+    require(minWords <= maxWords, "minWords must be <= maxWords")
+    val t = col(textCol)
+    val (bestLang, _) = langIdCols(t)
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .filter(bestLang === "en" && qualityScoreCol(t) >= minQuality &&
+        nWordsCol(t).cast("long").between(minWords, maxWords))
+      .select(col(idCol) +: col(textCol) +: keepCols.map(col): _*)
+  }
+
   def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
                      minQuality: Double, minWords: Long, maxWords: Long): DataFrame = {
     require(minWords <= maxWords, "minWords must be <= maxWords")

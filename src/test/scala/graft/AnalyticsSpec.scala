@@ -149,7 +149,7 @@ class AnalyticsSpec extends SparkSpec {
       r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size")))
   }
 
-  test("partPairCounts dedups parts per order, orders pairs, and reuses one exchange") {
+  test("partPairCounts dedups parts per order, orders pairs, and never joins or sorts facts") {
     import spark.implicits._
     // order 1: parts {10, 20, 30} (20 twice → once); order 2: {10, 20};
     // order 3: {10} (no pair); null key rows ignored
@@ -165,16 +165,18 @@ class AnalyticsSpec extends SparkSpec {
     // topN cuts on (count desc, part_a, part_b)
     val top1 = Analytics.partPairCounts(li, 1).collect().head
     assert(top1.getAs[Long]("part_a") == 10L && top1.getAs[Long]("part_b") == 20L)
-    // at-scale plan shape: with broadcast off (the 100 TB case — no
-    // side fits), the self-join's two branches must share ONE exchange
-    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = Analytics.partPairCounts(Tables.lineitem(spark, sf), 5)
-      df.collect() // AQE applies exchange reuse at stage materialization
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // at-scale plan shape (round-9 rewrite): pair generation is a
+    // basket aggregate + bounded explode — NO join and NO sort of the
+    // fact table anywhere in the plan (the previous distinct+self-join
+    // spilled 41 GB at sf30 across its three sort-heavy exchanges —
+    // D15Probe study in BASELINE.md)
+    val df = Analytics.partPairCounts(Tables.lineitem(spark, sf), 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"pair generation must not join:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected basket collect_set in:\n$plan")
+    assert(plan.contains("Generate"), s"expected explode pair generation in:\n$plan")
   }
 
   test("weeklyRevenueMovers ranks exact-integer deltas and reconciles against the weekly rollup") {

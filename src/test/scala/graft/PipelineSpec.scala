@@ -68,4 +68,35 @@ class PipelineSpec extends SparkSpec {
         abs(col("value") - col("trend") - col("seasonal") - col("remainder")))
     assert(dec.agg(max("__resid")).head().getDouble(0) < 1e-9)
   }
+
+  test("e56 corpus build: shard layout is dense, unique, and deterministic") {
+    // the values themselves are hash-verified end-to-end by the
+    // composed DuckDB oracle; this spec pins the STRUCTURAL contract
+    // of the final artifact — the properties a trainer relies on
+    val out = SparkEntry.queries("e56_corpus_build")(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty, "the chain must survive to at least one packed sequence")
+      // a sequence id identifies exactly one sequence
+      assert(rows.map(_.getAs[Long]("seq_id")).distinct.length == rows.length)
+      // (source, bin) is the packing key — unique by construction
+      assert(rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("bin")))
+        .distinct.length == rows.length)
+      // positions are dense 0..n-1 within every shard (a trainer
+      // streams a shard sequentially by position)
+      rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+        assert(shard >= 0 && shard < 4, s"shard $shard out of range")
+        val ps = rs.map(_.getAs[Long]("position")).sorted
+        assert(ps.sameElements(0L until rs.length.toLong),
+          s"shard $shard positions not dense: ${ps.take(10).mkString(",")}")
+      }
+      // every sequence packs at least one doc with at least one token
+      assert(rows.forall(r => r.getAs[Long]("n_docs") >= 1 && r.getAs[Long]("n_tokens") >= 1))
+      // determinism: the whole chain (filters, clustering, scrub,
+      // sampling, packing, sharding) re-runs to the identical artifact
+      val again = SparkEntry.queries("e56_corpus_build")(spark, sf)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty,
+        "corpus build must be deterministic")
+    } finally out.unpersist()
+  }
 }
