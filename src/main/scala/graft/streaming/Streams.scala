@@ -85,7 +85,11 @@ object Streams {
     * sub-second events put session boundaries where the batch form has
     * none and the parity claim silently holds only for whole-second
     * non-null inputs (round-9 advice). The watermark sits on the
-    * truncated column, so eviction and sessionization see one clock. */
+    * truncated column, so eviction and sessionization see one clock.
+    * Late-data contract (StreamsSpec): a row older than the watermark
+    * is dropped even when it would have merged into an already-emitted
+    * session — append mode cannot retract; the batch form absorbs it
+    * on re-run. */
   def sessionWindowAggStream(events: DataFrame, keyCol: String, tsCol: String,
                              valueCol: String, gapSeconds: Long,
                              watermark: String): DataFrame = {
@@ -302,7 +306,12 @@ object Streams {
       .select(col("w.start").as("window_start"), col(segCol),
         col("n"), col("sum_value"))
 
-  /** Streaming dedup bounded by a watermark. */
+  /** Streaming dedup bounded by a watermark. Late-data contract
+    * (StreamsSpec): rows OLDER than the watermark are dropped — even
+    * never-seen keys — because the dedup state for that event-time
+    * region is already evicted and admitting them would make output
+    * depend on arrival order; a batch re-run over the full feed
+    * absorbs them instead. */
   def streamDedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
                         watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
@@ -332,7 +341,12 @@ object Streams {
     * events sort by (ts, id) before admitting, so a stream fed in
     * event-time order emits exactly the batch form's rows; admits past
     * the cap drop inline — the stream never buffers a window's events.
-    * windowSeconds must match the batch form's `unit` for parity. */
+    * windowSeconds must match the batch form's `unit` for parity.
+    * Late-data contract (StreamsSpec): events below the watermark are
+    * dropped BEFORE the operator — once a window's counter state has
+    * timed out, a late event would otherwise re-open it and grant
+    * admits past the budget; the batch form absorbs such rows on
+    * re-run. */
   def rateCapStream(events: Dataset[CapEvent], windowSeconds: Long,
                     maxPerWindow: Int,
                     watermarkDelay: String = "0 seconds"): Dataset[CapOut] = {

@@ -450,4 +450,89 @@ class StreamsSpec extends SparkSpec {
       assert(res == got, s"stream $res != batch $got")
     } finally q.stop()
   }
+
+  // ---- late-data contracts for the stateful F-group (round-9 verdict
+  // item 6): rows OLDER than the watermark are silently DROPPED by the
+  // streams (state for them was evicted — emitting would double-count
+  // or resurrect closed state); a batch re-run over the full feed
+  // ABSORBS them. These specs pin the drop side, the failure mode
+  // production replay/backfill actually hits.
+
+  test("f3 streamDedupStream: a row older than the watermark is dropped, even if never seen") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streams.streamDedupStream(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", Seq("user_id", "event_type"), "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ddlate").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view"))
+      q.processAllAvailable()
+      // advance the watermark to 14:00 (15:00 − 1 hour delay)
+      input.addData((Timestamp.valueOf("2024-01-01 15:00:00"), 7L, "view"))
+      q.processAllAvailable()
+      // late rows below the watermark: a replayed duplicate AND a
+      // never-seen key — both must vanish (dedup state for that region
+      // of event time is already evicted; admitting the fresh key here
+      // would make output depend on arrival order)
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view"),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 99L, "click"))
+      q.processAllAvailable()
+      val keys = spark.table("ddlate").select("user_id").as[Long].collect().sorted
+      assert(keys.toSeq == Seq(7L, 7L), s"late rows must drop, got keys ${keys.toSeq}")
+    } finally q.stop()
+  }
+
+  test("f9 rateCapStream: a late event below the watermark never re-opens a cleared window counter") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.CapEvent]
+    val out = Streams.rateCapStream(input.toDS(), 3600L, 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("caplate").start()
+    try {
+      input.addData(
+        Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 10:00:10"), 1L),
+        Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 10:00:20"), 2L))
+      q.processAllAvailable()
+      // watermark → 13:00; hour-10's counter state times out and clears
+      input.addData(Streams.CapEvent(8L, Timestamp.valueOf("2024-01-01 13:00:00"), 3L))
+      q.processAllAvailable()
+      // a late hour-10 event: with the counter gone, admitting it would
+      // grant a THIRD admit against a budget of 2 — it must be dropped
+      // before the stateful operator instead
+      input.addData(Streams.CapEvent(7L, Timestamp.valueOf("2024-01-01 10:30:00"), 9L))
+      q.processAllAvailable()
+      val ids = spark.table("caplate").as[Streams.CapOut].collect().map(_.id).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"late event must drop, got ids ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("f10 sessionWindowAggStream: a late row cannot extend or resurrect an emitted session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = Streams.sessionWindowAggStream(
+      input.toDF().toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      1800L, "0 seconds")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("swlate").start()
+    try {
+      input.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // watermark passes the session end → the session emits closed
+      input.addData((9L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val emitted = spark.table("swlate").filter($"user_id" === 1L).collect()
+      assert(emitted.length == 1 && emitted.head.getAs[Long]("n_events") == 1L)
+      // a late row that WOULD have merged into the emitted session
+      // (10:15 < 10:00 + gap) — append mode cannot retract, so the
+      // stream must drop it: no new row, no extra session fragment
+      input.addData((1L, Timestamp.valueOf("2024-01-01 10:15:00"), 5.0))
+      q.processAllAvailable()
+      val after = spark.table("swlate").filter($"user_id" === 1L).collect()
+      assert(after.length == 1 && after.head.getAs[Long]("n_events") == 1L,
+        s"late row must drop, got ${after.toSeq}")
+    } finally q.stop()
+  }
 }
