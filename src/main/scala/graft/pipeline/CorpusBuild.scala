@@ -55,15 +55,23 @@ object CorpusBuild {
                   cap: Long,
                   budgetNum: Long, budgetDen: Long,
                   seqBudget: Int, nShards: Int): DataFrame = {
-    // stage 1-3: e53's cumulative lang → quality → length survivors
+    // stage 1-3: e53's cumulative lang → quality → length survivors.
+    // Materialized (lazy localCheckpoint, §8 rule 3): THREE consumers
+    // (the pair build, the canonical anti-join, and the scrub's
+    // join-back through kept) would otherwise each re-run the
+    // five-regex-family filter pass over the corpus — measured 15.5 →
+    // 12.4 s at sf0.1 from this checkpoint alone.
     val sv = TextOps.curationSurvivors(
       docs.filter(col(srcCol).isNotNull), idCol, textCol, Seq(srcCol),
       minQuality, minWords, maxWords)
+      .localCheckpoint(false)
     // stage 4: near-dup clusters (e4 pairs, blocked per source — the
     // survivor set is single-language) → keep the canonical member (e18)
     val pairs = Dedup.ngramJaccardPairs(sv, idCol, textCol, Seq(srcCol),
       shingleSize, jaccardThreshold)
+    // two consumers (scrub + join-back) — same rule
     val kept = Components.keepCanonical(sv, pairs, idCol, "doc_a", "doc_b")
+      .localCheckpoint(false)
     // stage 5: duplicate-span scrub (e44) — clean_text is the
     // normalized stream, the representation every stage below ranks,
     // packs, and counts on
