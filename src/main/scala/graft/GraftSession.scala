@@ -27,6 +27,18 @@ object GraftSession {
       // fall back to shuffle automatically, so this is a per-run
       // decision from measured sizes, not a plan-time gamble.
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Scan-partition granularity sized to the parallelism (SURVEY §5,
+      // round 9): the defaults (128 MB max + 4 MB open cost) PACK small
+      // part-files until a mid-size table scans in 3-5 tasks — at sf10
+      // the 57 MB documents table read on 4 of 32 cores and every
+      // narrow map-only operator paid ~4x (e10 17.5 -> ~4 s solo). At
+      // 100 TB the same math holds per executor: partitions should be
+      // sized so the WAVE COUNT matches the cluster, not the file
+      // layout. 16 MB / 512 KB keeps small-file packing (thousands of
+      // tiny files still coalesce) while letting tables from ~0.5 GB
+      // up scan at full parallelism.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       // collect_set/collect_list run on ObjectHashAggregate, which falls
       // back to SORT-based aggregation after only 128 distinct groups per
       // partition — every signature-building aggregation (gram sets,

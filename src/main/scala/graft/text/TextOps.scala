@@ -579,19 +579,30 @@ object TextOps {
     * wants). Docs with no words keep a row with zero counts via the
     * left join from the id spine. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(normalizeText(col(textCol)), " ")))
-      .filter(length(col("col")) > 0)
-      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    val norm = normalizeText(col(textCol))
+    val words = when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+    val toks = docs.select(col(idCol).as("doc_id"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
     val wc = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
     val wstats = wc.groupBy(col("doc_id")).agg(
       sum(col("c")).as("total"), count(lit(1)).as("dstnct"), max(col("c")).as("topw"))
-    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("next", lead(col("word"), 1).over(ordered))
-      .filter(col("next").isNotNull)
-      .select(col("doc_id"), concat(col("word"), lit(" "), col("next")).as("bigram"))
+    // Bigrams come from a per-row zip of the word array against itself
+    // shifted by one — NOT from a lead() window over the exploded
+    // tokens: the window formulation shuffled AND sorted the whole
+    // exploded token table per doc (225M rows at sf30) and went
+    // super-linear at the third decade for exactly the d15 reason —
+    // the sort spilled (105 s solo at sf30; this shape: 12 s). slice/
+    // arrays_zip are codegen'd Catalyst expressions, so the pair
+    // stream stays narrow and inside whole-stage codegen.
+    val bigrams = docs
+      .select(col(idCol).as("doc_id"), words.as("__w"))
+      .select(col("doc_id"),
+        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))).as("__a"),
+        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))).as("__b"))
+      .select(col("doc_id"), explode(arrays_zip(col("__a"), col("__b"))).as("z"))
+      .select(col("doc_id"),
+        concat(col("z.__a"), lit(" "), col("z.__b")).as("bigram"))
     val bstats = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("btotal"), max(col("c")).as("topb"))
     docs.select(col(idCol).as("doc_id"))

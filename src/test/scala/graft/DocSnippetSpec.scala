@@ -6,6 +6,7 @@ import graft.analytics.Analytics
 import graft.graph.Components
 import graft.ingest.Ingest
 import graft.sample.Sampling
+import graft.pipeline.CorpusBuild
 import graft.sources.{ParquetStats, Sources}
 import graft.streaming.{Streams, Upsert}
 import graft.text.{Dedup, TextOps}
@@ -180,6 +181,8 @@ class DocSnippetSpec extends SparkSpec {
     val funnel    = TextOps.curationFunnel(corpus, "doc_id", "text", 0.5, 5L, 5000L)
     val dupBySrc  = Dedup.dupRateBySource(corpus, "doc_id", "text", "source")
     val feedVenn  = Dedup.crossSourceNeardup(corpus, "doc_id", "text", "source", 3, 16, 4, 0.5)
+    val shards    = CorpusBuild.corpusBuild(corpus, "doc_id", "text", "source",
+      0.5, 5L, 5000L, 3, 0.6, 8, 1L, 2L, 100L, 8L, 10L, 256, 4)
     // doc-snippet:E end
     assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     assert(clusters.count() == 2)          // both dup docs resolve to one component
@@ -203,6 +206,12 @@ class DocSnippetSpec extends SparkSpec {
     assert(db.getAs[Long]("n_docs") == 3L && db.getAs[Long]("n_dup_docs") == 1L)
     val fv = feedVenn.head() // docs 1/2 are identical, both "web" → diagonal cell
     assert(fv.getAs[String]("source_a") == "web" && fv.getAs[Long]("n_pairs") == 1L)
+    // the full chain on this corpus: doc 2 deduped, doc 3 loses the
+    // quality quantile, doc 1 survives the 8/10 mixture → one packed
+    // 12-token sequence at shard position 0
+    val sh = shards.collect()
+    assert(sh.length == 1 && sh.head.getAs[Long]("n_docs") == 1L &&
+      sh.head.getAs[Long]("n_tokens") == 12L && sh.head.getAs[Long]("position") == 0L)
     assertInSync("E")
   }
 

@@ -39,6 +39,9 @@ class PlanSnapshotSpec extends SparkSpec {
     .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
     .replaceAll("(file:)?/[-A-Za-z0-9_./]*(testdata|graft_sources|graft_warehouse|graft_maintained|tmp)[-A-Za-z0-9_./]*", "PATH")
     .replaceAll("\\brdd_\\d+", "rdd_N")
+    // lambda variable names carry a JVM-GLOBAL counter — any suite
+    // running earlier in the same test JVM shifts them
+    .replaceAll("\\blambda ([a-zA-Z]+)_\\d+", "lambda \\$1_N")
     .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[N]")
     .replaceAll("ExistingRDD\\[\\d+\\]", "ExistingRDD[N]")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(N)")
