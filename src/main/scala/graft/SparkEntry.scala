@@ -348,6 +348,10 @@ object SparkEntry {
       // the Pareto view: customers covering 80% of each nation's
       // revenue + the top whale's share, decided in exact integers
       Analytics.revenueConcentration(s, d)),
+    "d18_basket_lift" -> ((s, d) =>
+      // association-rule confidence/lift for the top co-ordered part
+      // pairs — d15's basket shape feeding three bounded consumers
+      Analytics.basketLift(Tables.lineitem(s, d), 100)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -3127,6 +3131,29 @@ object SparkEntry {
           CAST(min(rnk) AS BIGINT) AS n_top80,
           min(floor((top * 20000 + total) / (total * 2)) / 10000.0) AS top1_share
         FROM r WHERE cum * 5 >= total * 4 GROUP BY 1""",
+    // d18: lift through HUGEINT (N·n_ab·20000 passes int64 at corpus
+    // scale — the Spark side routes the same product through
+    // decimal(38,0)); one terminal CAST per metric
+    "d18_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         nb AS (SELECT count(DISTINCT o) AS n_baskets FROM items),
+         ic AS (SELECT p, count(*) AS n_part FROM items GROUP BY 1),
+         tp AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_orders
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2
+           ORDER BY n_orders DESC, part_a, part_b LIMIT 100)
+         SELECT part_a, part_b, n_orders, ia.n_part AS n_a, ib.n_part AS n_b,
+           n_baskets,
+           floor((n_orders * 20000 + ia.n_part) / (ia.n_part * 2)) / 10000.0
+             AS confidence,
+           CAST((CAST(n_baskets AS HUGEINT) * n_orders * 20000
+                 + CAST(ia.n_part AS HUGEINT) * ib.n_part)
+             // (2 * CAST(ia.n_part AS HUGEINT) * ib.n_part) AS DOUBLE) / 10000.0
+             AS lift
+         FROM tp JOIN ic ia ON tp.part_a = ia.p JOIN ic ib ON tp.part_b = ib.p
+         CROSS JOIN nb
+         ORDER BY n_orders DESC, part_a, part_b""",
     // e55: the e2 candidate CTEs + exact shingle-Jaccard verify
     // (mirrored poly hashes, the e52 contract) + (least, greatest)
     // source attribution

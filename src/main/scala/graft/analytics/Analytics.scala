@@ -449,12 +449,25 @@ object Analytics {
     * (count desc, part_a, part_b) and pairs are unique. */
   def partPairCounts(lineitem: DataFrame, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
-    val baskets = lineitem
+    val baskets = orderBaskets(lineitem).filter(size(col("__ps")) >= 2)
+    pairCounts(baskets)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  /** Per-order sorted part baskets — the d15/d18 shared first stage.
+    * ONE exchange of the fact table; see [[partPairCounts]] for why
+    * this beats distinct + self-join (round-9 d15 spill study). */
+  private def orderBaskets(lineitem: DataFrame): DataFrame =
+    lineitem
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
       .select(col("__ps"))
-      .filter(size(col("__ps")) >= 2)
+
+  /** Pair generation from sorted baskets: positional double-explode,
+    * `i < j` ⇒ `part_a < part_b`, each unordered pair once per order. */
+  private def pairCounts(baskets: DataFrame): DataFrame =
     baskets
       .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "part_a")))
       .select(col("part_a"),
@@ -462,7 +475,61 @@ object Analytics {
           size(col("__ps")) - col("__i") - lit(1))).as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
+
+  /** Association-rule strength for the top-N co-ordered part pairs
+    * (round 9): support counts plus the two classic rule metrics —
+    * confidence(a→b) = n_ab / n_a and lift = N·n_ab / (n_a·n_b) —
+    * the "is this pair POPULAR or actually CORRELATED" report layered
+    * on d15's co-occurrence counts (a pair of two independently
+    * bestselling parts co-orders often by chance alone; lift > 1 is
+    * the dependence signal).
+    *
+    * Scale shape: d15's basket formulation end to end — the fact
+    * table is exchanged ONCE into per-order baskets; the basket table
+    * (one row per order, set bounded by basket size) then feeds three
+    * consumers (total count, per-part counts, pair counts), so it is
+    * localCheckpoint-materialized per SURVEY §8 rule 3 rather than
+    * re-aggregated from the corpus per branch. The pair table top-N
+    * is TakeOrdered (per-partition heaps, no global sort); the ≤topN
+    * winner rows then broadcast against the per-part count table —
+    * the corpus-sized side never re-shuffles for the metric join.
+    * Ranking ties at the cutoff are impossible (pairs unique,
+    * order (count desc, part_a, part_b)).
+    *
+    * Cross-engine exactness: confidence and lift round half-up-e4 in
+    * exact integer arithmetic. Lift's numerator N·n_ab·20000 can pass
+    * int64 at corpus scale (N ≤ 1e10 orders at 100 TB), so both
+    * operands move through decimal(38,0) before ONE terminal double
+    * division — the d1/b19 discipline. */
+  def basketLift(lineitem: DataFrame, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val baskets = orderBaskets(lineitem).localCheckpoint(false)
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    // two consumers (the n_a and n_b joins): materialized so the
+    // basket table isn't re-exploded per branch (rule 3); the table
+    // is parts-bounded — checkpoint cost is nil
+    val itemCounts = baskets
+      .select(explode(col("__ps")).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_part"))
+      .localCheckpoint(false)
+    val topPairs = pairCounts(baskets.filter(size(col("__ps")) >= 2))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(topN)
+    val dec = "decimal(38,0)"
+    val liftDen = (col("n_a") * col("n_b")).cast(dec)
+    val liftNum = (col("n_baskets").cast(dec) * col("n_orders").cast(dec)
+      * lit(20000).cast(dec))
+    broadcast(topPairs)
+      .join(itemCounts.select(col("part").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(itemCounts.select(col("part").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_orders"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        (floor((col("n_orders") * 20000 + col("n_a")) / (col("n_a") * 2)) / 10000.0)
+          .as("confidence"),
+        (graft.functions.divLong(liftNum + liftDen, liftDen * 2).cast("double") / 10000.0)
+          .as("lift"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
 }

@@ -179,6 +179,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"expected explode pair generation in:\n$plan")
   }
 
+  test("basketLift computes exact confidence/lift and agrees with partPairCounts on pair counts") {
+    import spark.implicits._
+    // orders: 1:{10,20}, 2:{10,20}, 3:{10,30}, 4:{20}, 5:{30} →
+    // N=5; n_10=3, n_20=3, n_30=2; pair (10,20): n_ab=2
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 30L), (4L, 20L), (5L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketLift(li, 10).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r).toMap
+    val p = out((10L, 20L))
+    assert(p.getAs[Long]("n_orders") == 2L && p.getAs[Long]("n_a") == 3L &&
+      p.getAs[Long]("n_b") == 3L && p.getAs[Long]("n_baskets") == 5L)
+    // confidence = 2/3 → 0.6667 half-up-e4; lift = 5·2/(3·3) = 1.1111
+    assert(p.getAs[Double]("confidence") == 0.6667, s"conf ${p}")
+    assert(p.getAs[Double]("lift") == 1.1111, s"lift ${p}")
+    // (10,30): conf 1/3 → 0.3333, lift 5·1/(3·2) = 0.8333
+    val q = out((10L, 30L))
+    assert(q.getAs[Double]("confidence") == 0.3333 &&
+      q.getAs[Double]("lift") == 0.8333, s"got $q")
+    // singleton-only parts appear in n_a/n_b denominators but not as pairs
+    assert(!out.contains((20L, 30L)) || out((20L, 30L)).getAs[Long]("n_orders") == 0)
+    // pair counts agree with d15 on real data; winners broadcast
+    // against the part-count table (no fact-side re-shuffle join)
+    val real = Analytics.basketLift(Tables.lineitem(spark, sf), 5)
+    val pairs = Analytics.partPairCounts(Tables.lineitem(spark, sf), 5)
+    val a = real.select("part_a", "part_b", "n_orders").collect().map(_.toSeq).toSet
+    val b = pairs.collect().map(_.toSeq).toSet
+    assert(a == b, s"d18 pair counts drifted from d15: $a vs $b")
+    real.collect()
+    val plan = real.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"metric join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no fact-side SMJ expected:\n$plan")
+  }
+
   test("weeklyRevenueMovers ranks exact-integer deltas and reconciles against the weekly rollup") {
     val out = Analytics.weeklyRevenueMovers(spark, sf, 25).collect()
     assert(out.nonEmpty && out.length <= 25)
