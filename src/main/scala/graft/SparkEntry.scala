@@ -397,6 +397,11 @@ object SparkEntry {
         keepNum = 1L, keepDen = 2L, cap = 15L,
         budgetNum = 3L, budgetDen = 10L,
         seqBudget = 256, nShards = 4)),
+    "e57_gopher_rules" -> ((s, d) =>
+      // the published Gopher heuristic filter set as per-rule
+      // booleans — every ratio decided in exact integer
+      // cross-multiplication, one narrow map pass
+      TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
@@ -3348,6 +3353,32 @@ object SparkEntry {
           source, bin, seq_id, n_docs, n_tokens
         FROM sh48"""
     },
+    // e57: every ratio rule decided by integer cross-multiplication —
+    // no float forms on either engine; '…'/'...'-count division is
+    // exact (diff is a multiple of 3) so the terminal BIGINT cast
+    // cannot round
+    "e57_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+           CAST(len(regexp_extract_all(text, '\S*[a-zA-Z]\S*')) AS BIGINT) AS n_alpha_words,
+           CAST((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3
+             + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
+           CAST(len(list_intersect(string_split(lower(trim(text)), ' '),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_kinds
+         FROM documents)
+         SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_stop_kinds,
+           n_words BETWEEN 50 AND 100000 AS r_word_count,
+           n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AS r_word_len,
+           n_symbols * 10 <= n_words AS r_symbol,
+           n_alpha_words * 5 >= n_words * 4 AS r_alpha,
+           n_stop_kinds >= 2 AS r_stopwords,
+           (n_words BETWEEN 50 AND 100000) AND n_word_chars >= n_words * 3
+             AND n_word_chars <= n_words * 10 AND n_symbols * 10 <= n_words
+             AND n_alpha_words * 5 >= n_words * 4 AND n_stop_kinds >= 2 AS keep
+         FROM m""",
     // d15: the LIMIT cutoff is deterministic — (n_orders desc,
     // part_a, part_b) totally orders the unique pairs
     "d15_part_pair_counts" ->

@@ -68,6 +68,55 @@ object TextOps {
               * when(col("stopword_ratio") > 0.01, 1.0).otherwise(0.7)), 4))
   }
 
+  /** Per-document Gopher quality-rule report (round 9) — the
+    * published Rae et al. 2021 (Gopher, appendix A1.1) heuristic
+    * filter set, as per-rule booleans plus the combined keep verdict,
+    * complementing e9's continuous composite score (a keep/drop rule
+    * set is auditable per rule; a score is tunable). Rules covered:
+    * word count in [50, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ellipses) ≤ 0.1, ≥80% of words
+    * containing an alphabetic character, and ≥2 distinct stop words
+    * present. The Gopher line-shaped rules (bullet/ellipsis line
+    * ratios) need line structure this corpus does not carry
+    * (single-line documents) and are deliberately out of scope.
+    *
+    * Cross-engine exactness: every ratio rule is decided in exact
+    * integer cross-multiplication (3n ≤ chars ≤ 10n; 10·sym ≤ n;
+    * 5·alpha ≥ 4n) — no float ever forms, so no rounding boundary
+    * exists to diverge on. Scale shape: one narrow map pass over the
+    * corpus (regex + split expressions, whole-stage codegen), zero
+    * shuffles — the same family as e8/e9. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = nWordsCol(t).cast("long")
+    // all non-whitespace chars = total length of the whitespace tokens
+    val nWordChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    // words containing >= 1 letter: one match per token (matches
+    // cannot cross whitespace; greedy \S* covers the token)
+    val nAlphaWords = size(regexp_extract_all(t, lit("\\S*[a-zA-Z]\\S*"), lit(0)))
+      .cast("long")
+    // Gopher's symbol set: hash marks and ellipses (either form)
+    val nSymbols = ((length(t) - length(expr(s"replace($textCol, '#', '')"))) +
+      (length(t) - length(expr(s"replace($textCol, '...', '')"))) / 3 +
+      (length(t) - length(expr(s"replace($textCol, '…', '')")))).cast("long")
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStopKinds = size(array_intersect(
+      split(lower(trim(t)), "\\s+"), array(stopList.map(lit(_)): _*))).cast("long")
+    docs.select(col(idCol),
+        nWords.as("n_words"), nWordChars.as("n_word_chars"),
+        nAlphaWords.as("n_alpha_words"), nSymbols.as("n_symbols"),
+        nStopKinds.as("n_stop_kinds"))
+      .withColumn("r_word_count", col("n_words").between(50L, 100000L))
+      .withColumn("r_word_len",
+        col("n_word_chars") >= col("n_words") * 3 &&
+        col("n_word_chars") <= col("n_words") * 10)
+      .withColumn("r_symbol", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("r_alpha", col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_stopwords", col("n_stop_kinds") >= 2L)
+      .withColumn("keep", col("r_word_count") && col("r_word_len") &&
+        col("r_symbol") && col("r_alpha") && col("r_stopwords"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / single digits / single symbols) — the cheap proxy
     * for tokenizer budgeting over a 100 TB corpus. */

@@ -247,6 +247,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(TextOps.tokenFrequency(d, "doc_id", "text", 2L).count() == 1) // only alpha
   }
 
+  test("gopherRules decides every ratio rule at its exact integer boundary") {
+    import spark.implicits._
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val d = Seq(
+      // 1: 60 words, 2 stop kinds, all alpha, no symbols → keep
+      (1L, "the and " + words("word", 58)),
+      // 2: under the 50-word floor
+      (2L, "the and " + words("word", 8)),
+      // 3: 58 numeric words → alpha 2/60 fails; mean len sits EXACTLY
+      //    on the 3.0 floor (6 + 58·3 = 180 = 3·60) → r_word_len holds
+      (3L, "the and " + words("123", 58)),
+      // 4: 6 '#' in 60 words → 6·10 ≤ 60, boundary-true
+      (4L, "the and " + words("wo#d", 6) + " " + words("word", 52)),
+      // 5: 7 '#' in 60 words → 70 > 60, fails
+      (5L, "the and " + words("wo#d", 7) + " " + words("word", 51)),
+      // 6: one stop kind only
+      (6L, words("the", 30) + " " + words("word", 30)),
+      // 7: ellipsis forms: one '...' and one '…' → n_symbols = 2
+      (7L, "a... b… " + words("word", 58)))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), s"doc1 ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("r_word_count") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("r_alpha") && out(3L).getAs[Boolean]("r_word_len"),
+      s"doc3 ${out(3L)}")
+    assert(out(4L).getAs[Long]("n_symbols") == 6L && out(4L).getAs[Boolean]("r_symbol"))
+    assert(out(5L).getAs[Long]("n_symbols") == 7L && !out(5L).getAs[Boolean]("r_symbol"))
+    assert(out(6L).getAs[Long]("n_stop_kinds") == 1L && !out(6L).getAs[Boolean]("r_stopwords"))
+    assert(out(7L).getAs[Long]("n_symbols") == 2L, s"doc7 ${out(7L)}")
+    // 50-word floor is inclusive
+    val atFloor = TextOps.gopherRules(
+      Seq((8L, "the and " + words("word", 48))).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(atFloor.getAs[Long]("n_words") == 50L && atFloor.getAs[Boolean]("r_word_count"))
+  }
+
   test("ngramFrequency counts bigram totals and doc frequency with pruning") {
     val d = Seq(
       (1L, "a b a b", "en", "s"),   // bigrams: "a b", "b a", "a b"
