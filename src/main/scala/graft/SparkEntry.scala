@@ -205,6 +205,11 @@ object SparkEntry {
       // leading significant digits vs uniform 1..9, exact-integer
       // statistic, flagged at the 95%/8df cut
       Quality.leadingDigitProfile(Tables.events(s, d), "user_id", "value")),
+    "b21_ks_drift" -> ((s, d) =>
+      // bin-free numeric-distribution drift: exact two-sample KS per
+      // event type over the b14 time split, decided on the integer
+      // cents histogram — the CDF-shape change PSI's bins can miss
+      Quality.ksDrift(Tables.events(s, d), "event_type", "ts", "value", 14, 7)),
     "b17_referential_integrity" -> ((s, d) =>
       // the star schema's declared FK graph, audited in one query:
       // fact→dim orphans (should be zero) and childless dimension
@@ -1574,6 +1579,38 @@ object SparkEntry {
            sum(micro) > 100000 AS drifted
          FROM t GROUP BY 1, 2, 3"""
     },
+    // b21: the KS supremum decided on exact integers (HUGEINT ≙ the
+    // Spark side's decimal(38,0)); the drifted flag evaluates the
+    // identical IEEE double product chain from identical integers on
+    // both engines — no rounded intermediate decides it
+    "b21_ks_drift" ->
+      """WITH mx AS (SELECT max(date_trunc('second', ts)) AS max_ts FROM events),
+         base AS (SELECT event_type AS k, CAST(round(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN date_trunc('second', ts) >= max_ts - INTERVAL 7 DAY THEN 'current'
+                  WHEN date_trunc('second', ts) >= max_ts - INTERVAL 21 DAY THEN 'reference'
+             END AS bucket
+           FROM events CROSS JOIN mx WHERE value IS NOT NULL),
+         cnt AS (SELECT k, v,
+             count(*) FILTER (WHERE bucket = 'reference') AS r,
+             count(*) FILTER (WHERE bucket = 'current') AS c
+           FROM base WHERE bucket IS NOT NULL GROUP BY 1, 2),
+         cum AS (SELECT k, v,
+             sum(r) OVER w AS cr, sum(c) OVER w AS cc,
+             sum(r) OVER (PARTITION BY k) AS nr,
+             sum(c) OVER (PARTITION BY k) AS nc
+           FROM cnt WINDOW w AS (PARTITION BY k ORDER BY v ASC ROWS UNBOUNDED PRECEDING)),
+         agg AS (SELECT k,
+             max(abs(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr)) AS d,
+             CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
+           FROM cum GROUP BY 1)
+         SELECT k AS event_type, n_ref, n_cur,
+           CAST((d * 2000000 + CAST(n_ref AS HUGEINT) * n_cur)
+             // (2 * CAST(n_ref AS HUGEINT) * n_cur) AS DOUBLE) / 1000000.0 AS ks,
+           CAST(d AS DOUBLE) * CAST(d AS DOUBLE) >
+             (CAST(1844164 AS DOUBLE) / 1000000.0)
+             * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+             * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) AS drifted
+         FROM agg WHERE n_ref > 0 AND n_cur > 0""",
     "c14_multi_horizon_forecast" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          r AS (SELECT user_id, period, event_id, value,

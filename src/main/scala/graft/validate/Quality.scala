@@ -1,6 +1,7 @@
 package graft.validate
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.roundMeanE4
 
@@ -351,6 +352,73 @@ object Quality {
       .select(col(keyCol), col("n_ref"), col("n_cur"),
         (col("psi_micro").cast("double") / 1e6).as("psi"),
         (col("psi_micro") > thrMicro).as("drifted"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test per key (round 9):
+    * the NUMERIC-distribution complement to [[psiDrift]]'s categorical
+    * test — did the value distribution of the current window move
+    * against the reference window, at any point of the CDF? PSI over
+    * hand-picked bins misses shape changes inside a bin; KS is
+    * bin-free.
+    *
+    * Exactness: values quantize to exact integer cents (the corpus is
+    * 2-decimal), so the KS supremum is decided on integers:
+    * D·n_ref·n_cur = max over distinct values of
+    * |cum_ref·n_cur − cum_cur·n_ref| — an EXACT integer (through
+    * decimal(38,0); the products pass int64 once both windows exceed
+    * ~3e9 rows). The reported `ks` is one half-up-e6 terminal
+    * division. The `drifted` flag (α=0.05, c²·1e6 = 1844164, i.e.
+    * c = 1.358) compares D² against c²·(n₁+n₂)·n₁·n₂ — both sides
+    * evaluate the identical IEEE double product chain from identical
+    * integers, so the comparison is engine-deterministic (no rounded
+    * intermediate decides it).
+    *
+    * Scale shape: ONE corpus pass partial-aggregates (key, cents)
+    * counts — the shuffle carries one row per distinct (key, cents),
+    * bounded by the value grid, not the row count. The cumulative
+    * window and per-key totals run over THAT bounded histogram
+    * (winsorize's discipline), then collapse to one row per key. */
+  def ksDrift(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+              referenceDays: Int, currentDays: Int,
+              c2Micro: Long = 1844164L): DataFrame = {
+    val maxTs = df.agg(max(date_trunc("second", col(tsCol))).as("max_ts"))
+    val curStart = col("max_ts") - expr(s"INTERVAL $currentDays DAYS")
+    val refStart = col("max_ts") - expr(s"INTERVAL ${currentDays + referenceDays} DAYS")
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        round(col(valueCol) * 100, 0).cast("long").as("__v"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("bucket",
+        when(col("period") >= curStart, "current")
+          .when(col("period") >= refStart, "reference"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col(keyCol), col("__v"))
+      .agg(count(when(col("bucket") === "reference", lit(1))).as("__r"),
+        count(when(col("bucket") === "current", lit(1))).as("__c"))
+    val dec = "decimal(38,0)"
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(keyCol))
+    val agg = counts
+      .withColumn("__cr", sum(col("__r")).over(ord))
+      .withColumn("__cc", sum(col("__c")).over(ord))
+      .withColumn("__nr", sum(col("__r")).over(whole))
+      .withColumn("__nc", sum(col("__c")).over(whole))
+      .groupBy(col(keyCol))
+      .agg(max(abs(col("__cr").cast(dec) * col("__nc").cast(dec)
+          - col("__cc").cast(dec) * col("__nr").cast(dec))).as("__d"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    val den = col("n_ref").cast(dec) * col("n_cur").cast(dec)
+    val dD = col("__d").cast("double")
+    agg.select(col(keyCol), col("n_ref"), col("n_cur"),
+      (graft.functions.divLong(col("__d") * 2000000 + den, den * 2)
+        .cast("double") / 1000000.0).as("ks"),
+      (dD * dD > (lit(c2Micro).cast("double") / lit(1000000.0))
+        * (col("n_ref").cast("double") + col("n_cur").cast("double"))
+        * col("n_ref").cast("double") * col("n_cur").cast("double"))
+        .as("drifted"))
   }
 
   /** A declarative expectation rule for [[expectationReport]]. Rules are

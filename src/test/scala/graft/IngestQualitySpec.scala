@@ -345,6 +345,33 @@ class IngestQualitySpec extends SparkSpec {
     assert(out("Y")._1 > 0.1 && out("Y")._2)   // full inversion: large PSI
   }
 
+  test("ksDrift computes the exact integer KS supremum and flags at the 5% cut") {
+    def rows(key: String, day: String, v: Double, n: Int) =
+      (1 to n).map(_ => (key, ts(s"$day 00:00:00"), v))
+    // current window [Jan 25, Feb 1], reference [Jan 11, Jan 25)
+    val df = (
+      // x: mass moves 1.00→2.00: cdf gap at v=100 is |3·4−1·4| = 8
+      rows("x", "2024-01-20", 1.0, 3) ++ rows("x", "2024-01-20", 2.0, 1) ++
+      rows("x", "2024-02-01", 1.0, 1) ++ rows("x", "2024-02-01", 2.0, 3) ++
+      rows("x", "2023-12-01", 99.0, 1) ++ // older than the split: excluded
+      // y: identical distributions → D = 0
+      rows("y", "2024-01-20", 1.0, 2) ++ rows("y", "2024-01-20", 2.0, 2) ++
+      rows("y", "2024-02-01", 1.0, 2) ++ rows("y", "2024-02-01", 2.0, 2) ++
+      // z: full separation at n=4 each → D=16, 256 > 1.844164·8·16
+      rows("z", "2024-01-20", 1.0, 4) ++ rows("z", "2024-02-01", 2.0, 4) ++
+      // w: current-only key → dropped (no reference mass)
+      rows("w", "2024-02-01", 5.0, 3)
+    ).toDF("key", "ts", "value")
+    val out = Quality.ksDrift(df, "key", "ts", "value", 14, 7)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("ks"), r.getAs[Boolean]("drifted")))).toMap
+    assert(out.keySet == Set("x", "y", "z"))
+    assert(out("x") == ((4L, 4L, 0.5, false)), s"x: ${out("x")}")
+    assert(out("y") == ((4L, 4L, 0.0, false)), s"y: ${out("y")}")
+    assert(out("z") == ((4L, 4L, 1.0, true)), s"z: ${out("z")}")
+  }
+
   test("backfillPlan reports exactly the missing and short days") {
     import java.sql.Timestamp
     // 10 days × 24 hourly rows; day 4 absent, day 7 torn to 6 rows
