@@ -407,6 +407,11 @@ object SparkEntry {
       // booleans — every ratio decided in exact integer
       // cross-multiplication, one narrow map pass
       TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text")),
+    "e58_lm_buckets" -> ((s, d) =>
+      // CCNet-style head/middle/tail corpus tiers per language: e34's
+      // LM score + histogram value-thresholds (never a corpus rank)
+      TextOps.lmQualityBuckets(Tables.documents(s, d), "doc_id", "text",
+        "lang", 5L)),
     "e3_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), 3)),
     "e29_simhash128" -> ((s, d) =>
@@ -865,6 +870,29 @@ object SparkEntry {
   /** Shared normalized-text expression (matches graft.functions.normalizeText). */
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  /** The e34 unigram-LM score chain as shared CTEs (ends with `u34`,
+    * one row per non-empty doc) — used verbatim by the e34 oracle and
+    * as e58's scoring stage so the two can never drift. */
+  private val unigramScoreCtes =
+    s"""toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+          WHERE length(token) > 0 GROUP BY 1, 2),
+        va AS (SELECT token, CAST(sum(tf) AS BIGINT) AS vn FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(vn) AS BIGINT) AS total FROM va),
+        v AS (SELECT token, vn FROM va WHERE vn >= 5),
+        sc AS (SELECT tf.doc_id, tf.tf,
+            CASE WHEN v.vn IS NULL
+              THEN CAST(floor(ln(0.5 / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)
+              ELSE CAST(floor(ln(CAST(vn AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)
+            END AS lpq,
+            CASE WHEN v.vn IS NULL THEN tf.tf ELSE 0 END AS oov
+          FROM tf LEFT JOIN v USING (token) CROSS JOIN tot),
+        u34 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            CAST(sum(oov) AS BIGINT) AS oov_tokens,
+            floor(CAST(sum(lpq * tf) AS DOUBLE) / (100.0 * sum(tf))) / 10000.0 AS logprob
+          FROM sc GROUP BY 1)"""
 
   // Native list_dot_product, NOT the list_reduce fold it replaced:
   // bit-identical (sequential left-to-right double accumulation,
@@ -2960,24 +2988,29 @@ object SparkEntry {
     // each doc's sum exact — no float summation order — and the final
     // floor-average divides exact sub-2^53 integers (b5 pattern)
     "e34_unigram_logprob" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
-            FROM documents),
-          tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-            WHERE length(token) > 0 GROUP BY 1, 2),
-          va AS (SELECT token, CAST(sum(tf) AS BIGINT) AS vn FROM tf GROUP BY 1),
-          tot AS (SELECT CAST(sum(vn) AS BIGINT) AS total FROM va),
-          v AS (SELECT token, vn FROM va WHERE vn >= 5),
-          sc AS (SELECT tf.doc_id, tf.tf,
-              CASE WHEN v.vn IS NULL
-                THEN CAST(floor(ln(0.5 / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)
-                ELSE CAST(floor(ln(CAST(vn AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)
-              END AS lpq,
-              CASE WHEN v.vn IS NULL THEN tf.tf ELSE 0 END AS oov
-            FROM tf LEFT JOIN v USING (token) CROSS JOIN tot)
-          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-            CAST(sum(oov) AS BIGINT) AS oov_tokens,
-            floor(CAST(sum(lpq * tf) AS DOUBLE) / (100.0 * sum(tf))) / 10000.0 AS logprob
-          FROM sc GROUP BY 1""",
+      s"""WITH $unigramScoreCtes
+          SELECT doc_id, n_tokens, oov_tokens, logprob FROM u34""",
+    // e58: the e34 score chain + the winsorize/e46 histogram
+    // threshold discipline — value thresholds on the micro-log grid
+    // (3·cum ≥ n in exact integers), ties share a bucket
+    "e58_lm_buckets" ->
+      s"""WITH $unigramScoreCtes,
+          scored AS (SELECT u34.doc_id, d.lang, n_tokens, logprob,
+              CAST(round(logprob * 10000, 0) AS BIGINT) AS lp
+            FROM u34 JOIN documents d ON u34.doc_id = d.doc_id),
+          hist AS (SELECT lang, lp, count(*) AS c FROM scored GROUP BY 1, 2),
+          cum AS (SELECT lang, lp,
+              sum(c) OVER (PARTITION BY lang ORDER BY lp DESC ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY lang) AS n
+            FROM hist),
+          thr AS (SELECT lang,
+              max(CASE WHEN cum * 3 >= n THEN lp END) AS t_head,
+              max(CASE WHEN cum * 3 >= n * 2 THEN lp END) AS t_mid
+            FROM cum GROUP BY 1)
+          SELECT s.doc_id, s.lang, s.n_tokens, s.logprob,
+            CASE WHEN s.lp >= t.t_head THEN 'head'
+                 WHEN s.lp >= t.t_mid THEN 'middle' ELSE 'tail' END AS bucket
+          FROM scored s JOIN thr t ON s.lang = t.lang""",
     // e50: the e34 micro-log pattern one LM order up — pair counts,
     // context counts, and the context-vocab V all from the pair table;
     // the smoothing ratio is int/double in both engines (identical

@@ -515,6 +515,53 @@ object TextOps {
           (lit(100.0) * sum(col("tf")))) / 10000.0).as("logprob"))
   }
 
+  /** CCNet-style LM-quality bucketing (round 9, after Wenzek et al.
+    * 2020): per language, rank documents by their corpus-LM score
+    * ([[unigramLogProb]]) and split the corpus into head / middle /
+    * tail thirds — the curation tiering that routes head-quality text
+    * to training and tail to review, without a hand-tuned threshold.
+    *
+    * Bucket boundaries are VALUE thresholds on the integer micro-log
+    * grid (the largest score value whose descending cumulative count
+    * reaches ⌈n/3⌉ resp. ⌈2n/3⌉, decided as 3·cum ≥ n in exact
+    * integers), so ties share a bucket and the split is deterministic
+    * and engine-exact — never a row-rank tiebreak on equal scores.
+    * Documents with zero tokens carry no score and are absent, as in
+    * e34.
+    *
+    * Scale shape: e34's score pass (tf shuffle + vocab join), one
+    * doc-keyed equi-join to recover the language column, then the
+    * winsorize/e46 histogram discipline — per-(lang, score) counts
+    * partial-aggregate into a bounded histogram, ONE cumulative
+    * window over THAT yields both thresholds, and the per-lang
+    * threshold rows broadcast back. The corpus is never sorted or
+    * ranked. The scored table feeds two consumers (histogram +
+    * bucket join) — materialized per §8 rule 3. */
+  def lmQualityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                       langCol: String, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(docs, idCol, textCol, minCount)
+      .select(col("doc_id"), col("n_tokens"), col("logprob"),
+        round(col("logprob") * 10000).cast("long").as("__lp"))
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol)), "doc_id")
+      .localCheckpoint(false)
+    val cumW = Window.partitionBy(col(langCol)).orderBy(col("__lp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = scored
+      .groupBy(col(langCol), col("__lp"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(langCol))))
+      .groupBy(col(langCol))
+      .agg(max(when(col("__cum") * 3 >= col("__n"), col("__lp"))).as("__t_head"),
+        max(when(col("__cum") * 3 >= col("__n") * 2, col("__lp"))).as("__t_mid"))
+    scored.join(broadcast(thr), Seq(langCol))
+      .select(col("doc_id"), col(langCol), col("n_tokens"), col("logprob"),
+        when(col("__lp") >= col("__t_head"), "head")
+          .when(col("__lp") >= col("__t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Corpus-self-trained BIGRAM LM quality score (round 8) — the next
     * LM order up from [[unigramLogProb]], closing on the CCNet/KenLM
     * filter shape: per doc, the mean log-probability of its word

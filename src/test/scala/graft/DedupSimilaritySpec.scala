@@ -284,6 +284,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(atFloor.getAs[Long]("n_words") == 50L && atFloor.getAs[Boolean]("r_word_count"))
   }
 
+  test("lmQualityBuckets tiers by value thresholds that agree with a reference split") {
+    import spark.implicits._
+    // doc i: (10−i) common words + i unique words → score strictly
+    // decreases with i (unique words are rarer); two languages so
+    // thresholds are per-lang; docs 20/21 are exact ties; doc 99 empty
+    val docs = ((1 to 9).map { i =>
+      (i.toLong, (Seq.fill(10 - i)("common") ++ (1 to i).map(j => s"u${i}x$j")).mkString(" "), "en")
+    } ++ Seq(
+      (20L, "tie tie common", "fr"), (21L, "tie tie common", "fr"),
+      (22L, "common common common", "fr"), (23L, "zq1 zq2 zq3", "fr"),
+      (99L, "   ", "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.lmQualityBuckets(docs, "doc_id", "text", "lang", 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Double]("logprob"), r.getAs[String]("bucket")))).toMap
+    // empty doc carries no score; everything else present exactly once
+    assert(!out.contains(99L) && out.size == 13)
+    // reference split: recompute thresholds from e34's scores per lang
+    val scores = TextOps.unigramLogProb(docs, "doc_id", "text", 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logprob")).toMap
+    for (lang <- Seq("en", "fr")) {
+      val ids = out.collect { case (id, (l, _, _)) if l == lang => id }.toSeq
+      val lps = ids.map(id => math.round(scores(id) * 10000)).sortBy(-_)
+      val n = lps.length
+      val tHead = lps(math.max((n + 2) / 3 - 1, 0))
+      val tMid = lps(math.max((2 * n + 2) / 3 - 1, 0))
+      for (id <- ids) {
+        val lp = math.round(scores(id) * 10000)
+        val expect = if (lp >= tHead) "head" else if (lp >= tMid) "middle" else "tail"
+        assert(out(id)._3 == expect, s"doc $id lang $lang lp $lp: ${out(id)} vs $expect")
+        assert(out(id)._2 == scores(id), s"doc $id logprob drifted from e34")
+      }
+    }
+    // exact ties land in the same bucket
+    assert(out(20L)._3 == out(21L)._3)
+  }
+
   test("ngramFrequency counts bigram totals and doc frequency with pruning") {
     val d = Seq(
       (1L, "a b a b", "en", "s"),   // bigrams: "a b", "b a", "a b"
