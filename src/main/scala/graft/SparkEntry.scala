@@ -296,6 +296,12 @@ object SparkEntry {
         "value", 24)),
     "c17_ema_smooth" -> ((s, d) =>
       TimeSeries.emaSmooth(Tables.events(s, d), "user_id", "ts", "event_id", "value", 0.2, 24)),
+    "c28_holt_forecast" -> ((s, d) =>
+      // Holt linear level+trend over the last 48 observations,
+      // forecasts at h=1/2/3 — published driver-computed weight
+      // vectors dotted against the bounded newest-first array
+      Forecast.holtForecast(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value", 0.5, 0.25, 48, Seq(1, 2, 3))),
     "c19_scaler_apply" -> ((s, d) => {
       val ev = Tables.events(s, d)
       TimeSeries.applyScaler(ev, TimeSeries.scalerParams(ev, "user_id", "value"),
@@ -1639,6 +1645,28 @@ object SparkEntry {
              * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
              * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) AS drifted
          FROM agg WHERE n_ref > 0 AND n_cur > 0""",
+    // c28: the weight literals are the exact driver-computed Holt
+    // coefficient vectors (Forecast.holtWeights — binary-exact α=0.5,
+    // β=0.25); list_dot_product folds left-to-right exactly like the
+    // Spark side's native ArrayDot, so no summation-order drift
+    "c28_holt_forecast" -> {
+      val (lw, bw) = graft.timeseries.Forecast.holtWeights(0.5, 0.25, 48)
+      val lwSql = lw.mkString("[", ", ", "]")
+      val bwSql = bw.mkString("[", ", ", "]")
+      val dl = dotSql("vals", lwSql)
+      val dt = dotSql("vals", bwSql)
+      s"""WITH r AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rd
+          FROM events WHERE value IS NOT NULL),
+        k AS (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY rd ASC) AS vals
+          FROM r WHERE rd <= 48 GROUP BY 1 HAVING count(*) = 48)
+        SELECT user_id, round($dl, 4) AS level, round($dt, 4) AS trend,
+          round($dl + 1 * $dt, 4) AS f_h1,
+          round($dl + 2 * $dt, 4) AS f_h2,
+          round($dl + 3 * $dt, 4) AS f_h3
+        FROM k"""
+    },
     "c14_multi_horizon_forecast" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value FROM events),
          r AS (SELECT user_id, period, event_id, value,

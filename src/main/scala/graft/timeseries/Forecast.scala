@@ -379,4 +379,73 @@ object Forecast {
         round(col("__b.__val_rmse"), 4).as("val_rmse"),
         round(col("__b.__test_rmse"), 4).as("test_rmse"))
   }
+
+  /** Holt linear (double) exponential smoothing per key (round 9):
+    * level + trend state over the last `window` observations, forecast
+    * at `horizons` steps as level + h·trend — the trend-aware tier
+    * between c6's seasonal-naive and c11's ridge fit (EMA smooths but
+    * cannot extrapolate; a global linear fit cannot adapt its slope).
+    *
+    * Like c17's EMA, the bounded-window recursion is LINEAR in the
+    * observations, so the operator's contract is two DRIVER-computed
+    * weight vectors ([[holtWeights]]: the exact coefficient recursion
+    * l₁=x₁, b₁=0, l_t=αx_t+(1−α)(l_{t−1}+b_{t−1}),
+    * b_t=β(l_t−l_{t−1})+(1−β)b_{t−1}, published as literals) dotted
+    * against the newest-first value array. The dot runs left-to-right
+    * in BOTH engines (native ArrayDot here, list_dot_product in the
+    * oracle, verified bit-identical on the e37 vectors), so no
+    * summation-order drift exists; the terminal round(·,4) is the c17
+    * rounding contract. Keys with fewer than `window` observations
+    * emit nothing (their weights would be a different vector — route
+    * short series to c6/c8).
+    *
+    * Scale shape: one per-key window pass (rank the newest `window`
+    * rows) + one groupBy collecting the BOUNDED array — state is
+    * `window` doubles per key, never the series; all keys fold in
+    * parallel. */
+  def holtForecast(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   valueCol: String, alpha: Double, beta: Double,
+                   window: Int, horizons: Seq[Int]): DataFrame = {
+    require(window >= 2 && horizons.nonEmpty, "window >= 2, horizons non-empty")
+    val (lw, bw) = holtWeights(alpha, beta, window)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("period").desc, col(idCol).desc)
+    val arr = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rd", row_number().over(w))
+      .filter(col("__rd") <= window)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+        transform(array_sort(collect_list(struct(col("__rd"), col("__v")))),
+          s => s.getField("__v")).as("__vals"))
+      .filter(col("__n") === window)
+    val level = graft.functions.dotProduct(col("__vals"), typedLit(lw))
+    val trend = graft.functions.dotProduct(col("__vals"), typedLit(bw))
+    arr.select(
+      col(keyCol) +:
+      round(level, 4).as("level") +:
+      round(trend, 4).as("trend") +:
+      horizons.map(h => round(level + lit(h) * trend, 4).as(s"f_h$h")): _*)
+  }
+
+  /** The Holt coefficient weight vectors (newest-first), exposed so
+    * oracles/tests embed the exact same constants — the coefficient
+    * form of the l/b recursion in [[holtForecast]]. */
+  def holtWeights(alpha: Double, beta: Double, window: Int): (Seq[Double], Seq[Double]) = {
+    // oldest-first coefficient recursion over basis vectors
+    var lc = Array.tabulate(window)(i => if (i == 0) 1.0 else 0.0)
+    var bc = Array.fill(window)(0.0)
+    for (t <- 1 until window) {
+      val nl = Array.tabulate(window) { i =>
+        (if (i == t) alpha else 0.0) + (1 - alpha) * (lc(i) + bc(i))
+      }
+      val nb = Array.tabulate(window) { i =>
+        beta * (nl(i) - lc(i)) + (1 - beta) * bc(i)
+      }
+      lc = nl; bc = nb
+    }
+    // the value array is newest-first
+    (lc.reverse.toSeq, bc.reverse.toSeq)
+  }
 }

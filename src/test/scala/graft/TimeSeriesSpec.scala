@@ -493,4 +493,49 @@ class TimeSeriesSpec extends SparkSpec {
       a == null || (a >= -1.0 && a <= 1.0)
     })
   }
+
+  test("holtForecast matches the scalar Holt recursion and uses exactly the last window") {
+    val (alpha, beta, win) = (0.5, 0.25, 48)
+    // scalar reference recursion over an oldest-first series
+    def holtScalar(xs: Seq[Double]): (Double, Double) = {
+      var l = xs.head; var b = 0.0
+      for (x <- xs.tail) {
+        val nl = alpha * x + (1 - alpha) * (l + b)
+        b = beta * (nl - l) + (1 - beta) * b
+        l = nl
+      }
+      (l, b)
+    }
+    // key A: 60 rows of a noisy ramp — only the last 48 may count
+    // (the first 12 are poisoned with a huge level); key S is short
+    val rows = (0 until 60).map { i =>
+      val v = if (i < 12) 1e6 else 10.0 + i * 2.0 + (i % 7) * 0.37
+      (i.toLong, Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"), "A", v)
+    } ++ (0 until 47).map { i =>
+      (1000L + i, Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"), "S", 5.0)
+    }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = Forecast.holtForecast(df, "key", "ts", "event_id", "value",
+      alpha, beta, win, Seq(1, 2, 3)).collect()
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("A")) // short key absent
+    val r = out.head
+    val lastWin = (12 until 60).map(i => 10.0 + i * 2.0 + (i % 7) * 0.37)
+    val (el, eb) = holtScalar(lastWin)
+    // the contract value is the weight-vector dot; it agrees with the
+    // scalar recursion to float noise, far inside the e4 rounding
+    val (lw, bw) = Forecast.holtWeights(alpha, beta, win)
+    val newestFirst = lastWin.reverse
+    val dotL = newestFirst.zip(lw).foldLeft(0.0) { case (a, (x, w)) => a + x * w }
+    val dotB = newestFirst.zip(bw).foldLeft(0.0) { case (a, (x, w)) => a + x * w }
+    assert(math.abs(dotL - el) < 1e-8 && math.abs(dotB - eb) < 1e-8,
+      s"weights drifted from recursion: $dotL vs $el, $dotB vs $eb")
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(r.getAs[Double]("level") == r4(dotL), s"level ${r}")
+    assert(r.getAs[Double]("trend") == r4(dotB), s"trend ${r}")
+    assert(r.getAs[Double]("f_h2") == r4(dotL + 2 * dotB), s"f_h2 ${r}")
+    // poisoned prefix really excluded: level is near the ramp, not 1e6
+    assert(r.getAs[Double]("level") < 1000.0)
+    // trend on a slope-2 ramp converges near 2
+    assert(math.abs(r.getAs[Double]("trend") - 2.0) < 0.5, s"trend ${r}")
+  }
 }
