@@ -23,6 +23,13 @@ object SparkEntry {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** f11's published reference distribution (config, registry-shaped):
+    * category → baseline count over eventTypes :+ __other__. The same
+    * constants build the Spark expressions AND the oracle SQL. */
+  private val f11RefCounts: Seq[(String, Long)] = Seq(
+    "click" -> 4000L, "error" -> 500L, "purchase" -> 1500L,
+    "signup" -> 800L, "view" -> 5000L, "__other__" -> 200L)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.revenueByNation(spark, "/root/testdata/sf0.001")
@@ -817,6 +824,12 @@ object SparkEntry {
       // throttle; streaming twin holds one counter per open window
       Streams.rateCap(Tables.events(s, d), "user_id", "ts", "event_id",
         "hour", 5)),
+    "f11_windowed_drift" -> ((s, d) =>
+      // per-hour PSI of the event-type mix vs the published reference
+      // distribution (registry-shaped config) — the model-monitoring
+      // stream; twin = windowedDriftStream
+      Streams.windowedDrift(Tables.events(s, d), "ts", "event_type",
+        eventTypes, f11RefCounts)),
     "f8_stream_upsert" -> ((s, d) => {
       // the REAL streaming machinery end-to-end (not the batch twin):
       // events land as a file-source stream, foreachBatch upserts the
@@ -1612,6 +1625,35 @@ object SparkEntry {
            CAST(sum(micro) AS DOUBLE) / 1000000 AS psi,
            sum(micro) > 100000 AS drifted
          FROM t GROUP BY 1, 2, 3"""
+    },
+    // f11: the oracle SQL is GENERATED from the same eventTypes +
+    // f11RefCounts constants as the Spark expressions — identical
+    // integer literals, identical double division/ln chain (b14's
+    // libm caveat applies), exact-integer micro-PSI sum and flag
+    "f11_windowed_drift" -> {
+      val cats = eventTypes :+ "__other__"
+      val k = cats.size
+      val refMap = f11RefCounts.toMap
+      val nRef = f11RefCounts.map(_._2).sum
+      val inList = eventTypes.map(t => s"'$t'").mkString(", ")
+      val countCols = (eventTypes.zipWithIndex.map { case (c, i) =>
+        s"count(*) FILTER (WHERE event_type = '$c') AS c$i"
+      } :+ s"count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN ($inList)) AS co" :+
+        "count(*) AS n_cur").mkString(",\n             ")
+      val terms = cats.zipWithIndex.map { case (c, i) =>
+        val cnt = if (c == "__other__") "co" else s"c$i"
+        val pr = s"(CAST(${refMap(c) + 1} AS DOUBLE) / CAST(${nRef + k} AS DOUBLE))"
+        val pc = s"(CAST($cnt + 1 AS DOUBLE) / CAST(n_cur + $k AS DOUBLE))"
+        s"CAST(floor(($pc - $pr) * ln($pc / $pr) * 1e6) AS BIGINT)"
+      }.mkString("\n           + ")
+      s"""WITH w AS (SELECT date_trunc('hour', ts) AS window_start,
+             $countCols
+           FROM events GROUP BY 1),
+         p AS (SELECT window_start, n_cur, ($terms) AS psi_micro FROM w)
+         SELECT window_start, n_cur,
+           CAST(psi_micro AS DOUBLE) / 1000000.0 AS psi,
+           psi_micro > 100000 AS drifted
+         FROM p"""
     },
     // b21: the KS supremum decided on exact integers (HUGEINT ≙ the
     // Spark side's decimal(38,0)); the drifted flag evaluates the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -347,6 +347,90 @@ object Streams {
     * timed out, a late event would otherwise re-open it and grant
     * admits past the budget; the batch form absorbs such rows on
     * re-run. */
+  /** Per-window PSI drift monitor against a STATIC reference
+    * distribution (round 9): every tumbling window's category mix is
+    * scored with b14's PSI term math against a published baseline —
+    * the model-monitoring shape where the reference lives in a
+    * registry (config), not in the stream. The reference is a plain
+    * Scala argument: category → count over `domain :+ "__other__"`,
+    * so the whole PSI computation compiles to per-window column
+    * expressions (domain is bounded CONFIG — the k+1 conditional
+    * counts unroll statically, per the b15 rule-suite discipline) and
+    * the windowed count aggregate stays map-side combinable. Null or
+    * out-of-domain categories count as `__other__` (b14's contract).
+    * PSI terms quantize to integer micro-units (floor·1e6) so the
+    * per-window sum is exact-integer and the threshold flag compares
+    * integers; the same libm-`ln` caveat as b14 applies.
+    *
+    * The streaming twin is [[windowedDriftStream]]; late-data
+    * contract: below-watermark rows DROP (their window's PSI has been
+    * emitted — absorbing them would re-open closed windows), a batch
+    * re-run absorbs them. */
+  def windowedDrift(events: DataFrame, tsCol: String, catCol: String,
+                    domain: Seq[String], refCounts: Seq[(String, Long)],
+                    thresholdMicro: Long = 100000L): DataFrame = {
+    val counts = driftCounts(catCol, domain)
+    val counted = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("window_start"))
+      .agg(counts.head, counts.tail: _*)
+    driftProject(counted, domain, refCounts, thresholdMicro)
+  }
+
+  /** Streaming twin of [[windowedDrift]]: watermarked tumbling-window
+    * conditional counts (stateful only in the window aggregate — the
+    * reference is a compile-time constant, so no stream-static join
+    * state), then the identical PSI projection. Windows emit on
+    * watermark close; below-watermark stragglers drop. */
+  def windowedDriftStream(events: DataFrame, tsCol: String, catCol: String,
+                          domain: Seq[String], refCounts: Seq[(String, Long)],
+                          windowLen: String, watermark: String,
+                          thresholdMicro: Long = 100000L): DataFrame = {
+    val counts = driftCounts(catCol, domain)
+    val counted = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("__w"))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("window_start", col("__w.start"))
+      .drop("__w")
+    driftProject(counted, domain, refCounts, thresholdMicro)
+  }
+
+  /** The k+1 statically-unrolled conditional category counts shared by
+    * both [[windowedDrift]] forms (one aggregate, map-side partial). */
+  private def driftCounts(catCol: String, domain: Seq[String]): Seq[Column] =
+    domain.zipWithIndex.map { case (c, i) =>
+      count(when(col(catCol) === c, lit(1))).as(s"__c$i")
+    } :+
+    count(when(col(catCol).isNull || !col(catCol).isin(domain: _*), lit(1)))
+      .as("__cO") :+
+    count(lit(1)).as("n_cur")
+
+  /** Shared PSI projection over the counted windows — identical
+    * expression tree for the batch and streaming forms so the twins
+    * cannot drift. */
+  private def driftProject(counted: DataFrame, domain: Seq[String],
+                           refCounts: Seq[(String, Long)],
+                           thresholdMicro: Long): DataFrame = {
+    val cats = domain :+ "__other__"
+    require(refCounts.map(_._1).sorted == cats.sorted,
+      s"refCounts must cover exactly ${cats.sorted}")
+    val refMap = refCounts.toMap
+    val k = cats.size
+    val nRef = refCounts.map(_._2).sum
+    require(nRef > 0, "reference distribution must have mass")
+    val terms = cats.zipWithIndex.map { case (c, i) =>
+      val cnt = if (c == "__other__") col("__cO") else col(s"__c$i")
+      val pr = lit(refMap(c) + 1).cast("double") / lit(nRef + k).cast("double")
+      val pc = (cnt + 1).cast("double") / (col("n_cur") + k).cast("double")
+      floor((pc - pr) * log(pc / pr) * 1e6).cast("long")
+    }
+    counted
+      .withColumn("__psi_micro", terms.reduce(_ + _))
+      .select(col("window_start"), col("n_cur"),
+        (col("__psi_micro").cast("double") / 1e6).as("psi"),
+        (col("__psi_micro") > thresholdMicro).as("drifted"))
+  }
+
   def rateCapStream(events: Dataset[CapEvent], windowSeconds: Long,
                     maxPerWindow: Int,
                     watermarkDelay: String = "0 seconds"): Dataset[CapOut] = {

@@ -535,4 +535,80 @@ class StreamsSpec extends SparkSpec {
         s"late row must drop, got ${after.toSeq}")
     } finally q.stop()
   }
+
+  private val f11Domain = Seq("a", "b")
+  private val f11Ref = Seq("a" -> 6L, "b" -> 3L, "__other__" -> 1L)
+
+  /** The f11 PSI reference formula, mirrored in plain Scala. */
+  private def psiMicro(counts: Seq[Long], ref: Seq[Long]): Long = {
+    val k = ref.size
+    val nCur = counts.sum; val nRef = ref.sum
+    counts.zip(ref).map { case (c, r) =>
+      val pc = (c + 1).toDouble / (nCur + k)
+      val pr = (r + 1).toDouble / (nRef + k)
+      math.floor((pc - pr) * math.log(pc / pr) * 1e6).toLong
+    }.sum
+  }
+
+  test("f11 windowedDrift scores each window's PSI exactly, batch and stream agree") {
+    implicit val sqlCtx = spark.sqlContext
+    // window 10: 4a 1b 1null; window 11: 3a 1b 1'zz' (out-of-domain)
+    val rows: Seq[(Timestamp, String)] =
+      Seq.fill(4)((ts("10:05"), "a")) ++ Seq((ts("10:10"), "b"), (ts("10:15"), null)) ++
+      Seq.fill(3)((ts("11:05"), "a")) ++ Seq((ts("11:10"), "b"), (ts("11:15"), "zz"))
+    val batch = Streams.windowedDrift(rows.toDF("ts", "event_type"),
+      "ts", "event_type", f11Domain, f11Ref)
+      .collect().map(r => r.getAs[Timestamp]("window_start") ->
+        ((r.getAs[Long]("n_cur"), r.getAs[Double]("psi"), r.getAs[Boolean]("drifted")))).toMap
+    val exp10 = psiMicro(Seq(4L, 1L, 1L), f11Ref.map(_._2))
+    val exp11 = psiMicro(Seq(3L, 1L, 1L), f11Ref.map(_._2))
+    assert(batch(ts("10:00")) == ((6L, exp10.toDouble / 1e6, exp10 > 100000L)),
+      s"got ${batch(ts("10:00"))}, want micro $exp10")
+    assert(batch(ts("11:00")) == ((5L, exp11.toDouble / 1e6, exp11 > 100000L)))
+    // stream twin on the same rows (complete mode): identical output
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streams.windowedDriftStream(input.toDF().toDF("ts", "event_type"),
+      "ts", "event_type", f11Domain, f11Ref, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("f11par").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("f11par").collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          ((r.getAs[Long]("n_cur"), r.getAs[Double]("psi"), r.getAs[Boolean]("drifted")))).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("f11 windowedDriftStream: below-watermark rows drop from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streams.windowedDriftStream(input.toDF().toDF("ts", "event_type"),
+      "ts", "event_type", f11Domain, f11Ref, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("f11late").start()
+    try {
+      input.addData((ts("10:05"), "a"), (ts("10:40"), "b"), (ts("11:30"), "a"))
+      q.processAllAvailable() // wm 11:20 → [10,11) closed and emitted
+      input.addData(
+        (ts("10:30"), "a"),  // below watermark → DROPPED
+        (ts("11:10"), "b"))  // late but [11,12) still open → ABSORBED
+      q.processAllAvailable()
+      input.addData((ts("14:00"), "a")) // close [11,12)
+      q.processAllAvailable()
+      val out = spark.table("f11late").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Long]("n_cur")).toMap
+      assert(out(ts("10:00")) == 2L, s"dropped row must not reopen [10,11): $out")
+      assert(out(ts("11:00")) == 2L, s"open-window late row must absorb: $out")
+      // a batch re-run over the full feed ABSORBS the dropped row
+      val batch = Streams.windowedDrift(
+        Seq((ts("10:05"), "a"), (ts("10:40"), "b"), (ts("11:30"), "a"),
+          (ts("10:30"), "a"), (ts("11:10"), "b"), (ts("14:00"), "a"))
+          .toDF("ts", "event_type"),
+        "ts", "event_type", f11Domain, f11Ref)
+        .collect().map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Long]("n_cur")).toMap
+      assert(batch(ts("10:00")) == 3L)
+    } finally q.stop()
+  }
 }
