@@ -14,6 +14,7 @@ import org.apache.spark.sql.DataFrame
 object D15Probe {
   private final class StageTable extends SparkListener {
     case class Row(id: Int, name: String, tasks: Int, taskSec: Double,
+                   gcSec: Double,
                    inRec: Long, srMB: Double, swMB: Double,
                    spillMemMB: Double, spillDiskMB: Double, outRec: Long)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -21,7 +22,7 @@ object D15Probe {
       val si = sc.stageInfo
       val m = si.taskMetrics
       rows += Row(si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks,
-        m.executorRunTime / 1e3,
+        m.executorRunTime / 1e3, m.jvmGCTime / 1e3,
         m.inputMetrics.recordsRead,
         m.shuffleReadMetrics.totalBytesRead / 1e6,
         m.shuffleWriteMetrics.bytesWritten / 1e6,
@@ -29,9 +30,9 @@ object D15Probe {
         m.shuffleWriteMetrics.recordsWritten)
     }
     def dump(): Unit = {
-      println(f"${"stage"}%5s ${"tasks"}%5s ${"taskSec"}%8s ${"inRec"}%12s ${"shRdMB"}%9s ${"shWrMB"}%9s ${"spillM"}%9s ${"spillD"}%9s ${"shWrRec"}%12s  name")
+      println(f"${"stage"}%5s ${"tasks"}%5s ${"taskSec"}%8s ${"gcSec"}%8s ${"inRec"}%12s ${"shRdMB"}%9s ${"shWrMB"}%9s ${"spillM"}%9s ${"spillD"}%9s ${"shWrRec"}%12s  name")
       rows.sortBy(_.id).foreach { r =>
-        println(f"${r.id}%5d ${r.tasks}%5d ${r.taskSec}%8.1f ${r.inRec}%12d ${r.srMB}%9.1f ${r.swMB}%9.1f ${r.spillMemMB}%9.1f ${r.spillDiskMB}%9.1f ${r.outRec}%12d  ${r.name}")
+        println(f"${r.id}%5d ${r.tasks}%5d ${r.taskSec}%8.1f ${r.gcSec}%8.1f ${r.inRec}%12d ${r.srMB}%9.1f ${r.swMB}%9.1f ${r.spillMemMB}%9.1f ${r.spillDiskMB}%9.1f ${r.outRec}%12d  ${r.name}")
       }
     }
   }
@@ -65,6 +66,14 @@ object D15Probe {
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
           .limit(100)
       }
+      case "d18" =>
+        graft.analytics.Analytics.basketLift(graft.Tables.lineitem(spark, sfDir), 100)
+      case "sortagg" =>
+        // same plan but the basket collect_set runs as SortAggregate
+        // (radix-sorted UnsafeRows, one group buffer at a time) instead
+        // of ObjectHashAggregate (44M boxed set objects → GC)
+        spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+        graft.analytics.Analytics.partPairCounts(graft.Tables.lineitem(spark, sfDir), 100)
       case other => sys.error(s"unknown variant $other")
     }
     println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
