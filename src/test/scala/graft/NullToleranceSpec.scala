@@ -300,4 +300,42 @@ class NullToleranceSpec extends SparkSpec {
     assert(Dedup.crossSourceNeardup(docs, "doc_id", "text", "source",
       3, 16, 4, 0.5).count() == 0)
   }
+
+  test("round-9 session-2 operators tolerate null/degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // e57: one row per doc; null text → null metrics and null verdict
+    val gop = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(gop.size == 4)
+    assert(gop(2L).isNullAt(gop(2L).fieldIndex("keep")))
+    assert(gop(3L).getAs[Long]("n_words") == 0 && !gop(3L).getAs[Boolean]("keep"))
+    // e58: docs with no tokens (null/empty text) carry no score → absent
+    val buckets = TextOps.lmQualityBuckets(docs, "doc_id", "text", "lang", 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(buckets == Set(1L, 4L))
+    // b21/c28/f11: null values / null keys / null timestamps survive
+    val ev = Seq(
+      (Some(1L), Some(Timestamp.valueOf("2024-01-10 10:00:00")), Some("a"), Some(1.0)),
+      (Some(2L), Some(Timestamp.valueOf("2024-01-20 10:00:00")), None, Some(2.0)),
+      (Some(3L), None, Some("a"), Some(3.0)),
+      (Some(4L), Some(Timestamp.valueOf("2024-01-20 11:00:00")), Some("a"), None),
+      (None, Some(Timestamp.valueOf("2024-01-20 12:00:00")), Some("b"), Some(4.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+    assert(graft.validate.Quality.ksDrift(ev, "event_type", "ts", "value", 14, 7)
+      .count() >= 0) // no crash; null-value rows carry no magnitude
+    assert(graft.timeseries.Forecast.holtForecast(ev, "event_type", "ts",
+      "event_id", "value", 0.5, 0.25, 48, Seq(1)).count() == 0) // all series short
+    val drift = graft.streaming.Streams.windowedDrift(ev, "ts", "event_type",
+      Seq("a", "b"), Seq("a" -> 5L, "b" -> 3L, "__other__" -> 1L))
+      .collect()
+    // null category counts as __other__; null ts forms its own window
+    // row (4 distinct hours + the null-ts group = 5)
+    assert(drift.length == 5 && drift.forall(!_.isNullAt(2)))
+    // d18: null order/part keys are filtered before baskets
+    val li = Seq((Some(1L), Some(10L)), (Some(1L), Some(20L)),
+      (None, Some(10L)), (Some(2L), None)).toDF("l_orderkey", "l_partkey")
+    val lift = graft.analytics.Analytics.basketLift(li, 5).collect()
+    assert(lift.length == 1 && lift.head.getAs[Long]("n_baskets") == 1L)
+  }
 }
