@@ -370,6 +370,12 @@ object SparkEntry {
       // association-rule confidence/lift for the top co-ordered part
       // pairs — d15's basket shape feeding three bounded consumers
       Analytics.basketLift(Tables.lineitem(s, d), 100)),
+    "d19_window_funnel" -> ((s, d) =>
+      // ORDERED view→click→purchase funnel within 1 h (d6 counts
+      // types unordered; this proves the sequence) — one per-user
+      // sort, chained running-max anchors, zero self-joins
+      Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", Seq("view", "click", "purchase"), 3600L)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -3299,6 +3305,34 @@ object SparkEntry {
          FROM tp JOIN ic ia ON tp.part_a = ia.p JOIN ic ib ON tp.part_b = ib.p
          CROSS JOIN nb
          ORDER BY n_orders DESC, part_a, part_b""",
+    // d19: identical greedy running-max anchor chain (greatest/CASE
+    // null semantics verified identical); epoch-second integers
+    // everywhere, so no float exists in the whole funnel
+    "d19_window_funnel" ->
+      """WITH base AS (SELECT user_id, event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, event_type
+         FROM events WHERE ts IS NOT NULL
+           AND event_type IN ('view', 'click', 'purchase')),
+       a1 AS (SELECT *, CASE WHEN event_type = 'view' THEN t END AS a1 FROM base),
+       a2 AS (SELECT *, CASE WHEN event_type = 'click'
+             AND t <= max(a1) OVER w + 3600 THEN max(a1) OVER w END AS a2
+         FROM a1 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       a3 AS (SELECT *, CASE WHEN event_type = 'purchase'
+             AND t <= max(a2) OVER w + 3600 THEN max(a2) OVER w END AS a3
+         FROM a2 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       d AS (SELECT user_id, greatest(
+           max(CASE WHEN a1 IS NOT NULL THEN 1 END),
+           max(CASE WHEN a2 IS NOT NULL THEN 2 END),
+           max(CASE WHEN a3 IS NOT NULL THEN 3 END)) AS deepest
+         FROM a3 GROUP BY 1),
+       h AS (SELECT count(*) FILTER (WHERE deepest >= 1) AS n1,
+           count(*) FILTER (WHERE deepest >= 2) AS n2,
+           count(*) FILTER (WHERE deepest >= 3) AS n3 FROM d)
+       SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n1 AS n_users FROM h
+       UNION ALL SELECT CAST(2 AS BIGINT), 'click', n2 FROM h
+       UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n3 FROM h""",
     // e55: the e2 candidate CTEs + exact shingle-Jaccard verify
     // (mirrored poly hashes, the e52 contract) + (least, greatest)
     // source attribution

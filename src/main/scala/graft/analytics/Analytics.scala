@@ -242,6 +242,64 @@ object Analytics {
         round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4)
           .as("purchase_value"))
 
+  /** Ordered window funnel (round 9; the ClickHouse `windowFunnel`
+    * report shape): per user, the deepest step k such that events
+    * matching `steps(0) < steps(1) < … < steps(k-1)` occur IN ORDER
+    * with the whole chain inside `windowSeconds` of its first step —
+    * d6 counts event types per user UNORDERED; this one proves the
+    * sequence. Output: one row per step with the count of users
+    * reaching at least that depth.
+    *
+    * Exists-semantics without self-joins: a chain (t₁<…<tⱼ, tⱼ ≤
+    * t₁+W) exists iff it exists when each tᵢ anchors on the LATEST
+    * valid predecessor — the anchor condition is monotone in the
+    * anchor, so the greedy running maximum is exact. That makes the
+    * whole funnel ONE per-user sort: level-j anchors are
+    * `max(aⱼ₋₁) OVER (… ROWS … PRECEDING -1)` chained k-1 times over
+    * the SAME sorted window partition (k is bounded CONFIG, so the
+    * passes unroll statically and Spark runs them in one Window exec),
+    * then a single per-user aggregate takes the deepest level and one
+    * k-counter aggregate (b15's rule-suite discipline) folds the
+    * histogram. The naive SQL is k-1 self-joins of the event table —
+    * at 100 TB this shape replaces those with zero extra shuffles.
+    * Timestamps compare as exact epoch seconds; order ties break on
+    * the id column, and a row can never serve two steps (strictly
+    * earlier in (ts, id) order is required). */
+  def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String, steps: Seq[String],
+                   windowSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    import org.apache.spark.sql.expressions.Window
+    val epoch = date_trunc("second", col(tsCol)).cast("long")
+    val prevW = Window.partitionBy(col(userCol))
+      .orderBy(col("__t").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(idCol), epoch.as("__t"), col(typeCol))
+    val withAnchors = steps.zipWithIndex.tail.foldLeft(
+      base.withColumn("__a1",
+        when(col(typeCol) === steps.head, col("__t")))) {
+      case (df, (s, j)) =>
+        val run = max(col(s"__a$j")).over(prevW)
+        df.withColumn(s"__a${j + 1}",
+          when(col(typeCol) === s && col("__t") <= run + windowSeconds, run))
+    }
+    val deepest = withAnchors
+      .groupBy(col(userCol))
+      .agg(greatest(steps.indices.map(j =>
+        max(when(col(s"__a${j + 1}").isNotNull, j + 1))): _*).as("__deepest"))
+    val counters = steps.indices.map(j =>
+      count(when(col("__deepest") >= j + 1, lit(1))).as(s"__n${j + 1}"))
+    val hist = deepest.agg(counters.head, counters.tail: _*)
+    val stepLits = steps.zipWithIndex.map { case (s, j) =>
+      struct(lit(j + 1).cast("long").as("step"), lit(s).as("step_name"),
+        col(s"__n${j + 1}").as("n_users"))
+    }
+    hist.select(explode(array(stepLits: _*)).as("__r"))
+      .select(col("__r.step"), col("__r.step_name"), col("__r.n_users"))
+  }
+
   /** Weekly cohort retention matrix (round 8) — the classic activity
     * report: users cohorted by the Monday week of their FIRST event,
     * each (cohort_week, weeks_since) cell counting how many of that

@@ -213,6 +213,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"no fact-side SMJ expected:\n$plan")
   }
 
+  test("windowFunnel proves ordered chains with greedy-latest anchors and the window bound") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val rows = Seq(
+      // u1: clean in-order chain → depth 3
+      (1L, t(0), "view", 10L), (1L, t(100), "click", 11L), (1L, t(200), "purchase", 12L),
+      // u2: click BEFORE the view → only the view counts → depth 1
+      (2L, t(0), "click", 20L), (2L, t(100), "view", 21L), (2L, t(200), "purchase", 22L),
+      // u3: click outside the 3600 s window → depth 1
+      (3L, t(0), "view", 30L), (3L, t(4000), "click", 31L),
+      // u4: the FIRST view can't bound the purchase (3700 > 3600) but
+      // the greedy-latest anchor (view@500) can → depth 3
+      (4L, t(0), "view", 40L), (4L, t(500), "view", 41L),
+      (4L, t(3000), "click", 42L), (4L, t(3700), "purchase", 43L),
+      // u5: no view at all → depth 0, appears in no step
+      (5L, t(0), "purchase", 50L), (5L, t(100), "click", 51L),
+      // u6: view then purchase, no click → depth 1
+      (6L, t(0), "view", 60L), (6L, t(100), "purchase", 61L),
+      // u7: same-second view/click ordered by id → still a valid chain
+      (7L, t(10), "view", 70L), (7L, t(10), "click", 71L), (7L, t(11), "purchase", 72L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Analytics.windowFunnel(rows, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"), 3600L)
+      .collect().map(r => r.getAs[Long]("step") ->
+        ((r.getAs[String]("step_name"), r.getAs[Long]("n_users")))).toMap
+    assert(out(1L) == (("view", 6L)), s"step1 ${out}")     // u1 u2 u3 u4 u6 u7
+    assert(out(2L) == (("click", 3L)), s"step2 ${out}")    // u1 u4 u7
+    assert(out(3L) == (("purchase", 3L)), s"step3 ${out}") // u1 u4 u7
+    // one Window exec chain, no self-join of the event table
+    val plan = Analytics.windowFunnel(rows, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"), 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not self-join:\n$plan")
+  }
+
   test("weeklyRevenueMovers ranks exact-integer deltas and reconciles against the weekly rollup") {
     val out = Analytics.weeklyRevenueMovers(spark, sf, 25).collect()
     assert(out.nonEmpty && out.length <= 25)
