@@ -452,6 +452,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 16, 4, 5)
     }),
+    "e59_hard_negatives" -> ((s, d) => {
+      // contrastive-training hard negatives: nearest DIFFERENT-label
+      // vectors per anchor, from the e7 LSH bucket path (label filter
+      // before scoring — same-label near-neighbors never cost a dot)
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesLsh(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 16, 4, 5)
+    }),
     "e42_source_token_lift" -> ((s, d) =>
       TextOps.sourceTokenLift(Tables.documents(s, d), "doc_id", "text", "source", 5L, 10)),
     "e43_ngram_containment" -> ((s, d) =>
@@ -2586,6 +2594,27 @@ object SparkEntry {
             FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
               JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
           SELECT query_id, neighbor_id, round(cos6, 4) AS cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+          FROM scored QUALIFY rank <= 5""",
+    // e59: the e7 CTEs + label join; the label-differ filter sits in
+    // the candidate CTE exactly where the Spark side applies it
+    "e59_hard_negatives" ->
+      s"""WITH ${lshBandCte(16, 4)},
+          lab AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, ql.label AS query_label,
+              c.vec_id AS neighbor_id, cl.label AS neighbor_label
+            FROM bnd c JOIN bnd q ON c.band = q.band AND c.key = q.key
+            JOIN lab ql ON ql.vec_id = q.vec_id
+            JOIN lab cl ON cl.vec_id = c.vec_id
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+              AND cl.label <> ql.label),
+          scored AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+              round(${dotSql("qe.embedding", "ce.embedding")} /
+                (${normVecSql("qe.embedding")} * ${normVecSql("ce.embedding")}), 6) AS cos6
+            FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+          SELECT query_id, query_label, neighbor_id, neighbor_label,
+            round(cos6, 4) AS cosine,
             row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
           FROM scored QUALIFY rank <= 5""",
     // recall@k: the e6 exact ranking left-joined to the e7 LSH ranking

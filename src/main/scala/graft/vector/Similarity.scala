@@ -360,6 +360,65 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (round 9): for
+    * each anchor vector, the top-k most-similar corpus vectors whose
+    * label DIFFERS from the anchor's — the negatives that sit right
+    * at the decision boundary, which is exactly what a contrastive /
+    * embedding-training loop wants batched next to each anchor
+    * (random negatives are trivially easy; same-label neighbors are
+    * false negatives — both filtered here).
+    *
+    * Scale shape: the e7 hyperplane-LSH bucket path end to end —
+    * candidates come from same-(band, key) buckets only, never an
+    * all-pairs scan; the anchor side broadcasts; exact cosine is
+    * computed only inside buckets; per-anchor top-k is a bounded
+    * window over the candidate set. The label filter runs BEFORE
+    * scoring, so same-label candidates (the common case near an
+    * anchor) never cost a dot product. Rows with null labels are
+    * excluded on both sides — an unknown label can neither anchor
+    * nor be proven negative. Ranking is deterministic (rounded
+    * cosine desc, then neighbor id), the e6/e7 contract. */
+  def hardNegativesLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String,
+                       numPlanes: Int, bands: Int, k: Int): DataFrame = {
+    require(numPlanes % bands == 0)
+    val per = numPlanes / bands
+    require(per <= 62, s"bits per band must stay off the long sign bit, got $per")
+    val dim = probeDim(corpus, vecCol)
+    val planes = planeMatrix(numPlanes, dim)
+    def banded(df: DataFrame, role: String): DataFrame = {
+      val pre = withVecNorm(
+        df.filter(col(labelCol).isNotNull)
+          .select(col(idCol).as(s"${role}_id"), col(labelCol).as(s"${role}_label"),
+            col(vecCol)),
+        vecCol, s"${role}_v", s"${role}_n2")
+      pre.select(col(s"${role}_id"), col(s"${role}_label"),
+        col(s"${role}_v"), col(s"${role}_n2"),
+        posexplode(array((0 until bands).map { b =>
+          VectorExpressions.planeSignature(col(s"${role}_v"),
+            planes.slice(b * per, (b + 1) * per))
+        }: _*)).as(Seq("band", "key")))
+    }
+    val c = banded(corpus, "neighbor")
+    val q = banded(queries, "query")
+    val cand = c.join(broadcast(q), Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        col("query_v"), col("query_n2"), col("neighbor_v"), col("neighbor_n2"))
+      .distinct()
+    val scored = cand.withColumn("cosine",
+      round(dot(col("query_v"), col("neighbor_v")) /
+        (sqrt(col("query_n2")) * sqrt(col("neighbor_n2"))), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** Index-quality gate: recall@k of the LSH ANN path against the exact
     * brute-force ranking, per query. The operational question every ANN
     * deployment must answer — "how much does the approximate index

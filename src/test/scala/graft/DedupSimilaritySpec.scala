@@ -486,6 +486,38 @@ class DedupSimilaritySpec extends SparkSpec {
     got.values.foreach(c => assert(c >= 0.999))
   }
 
+  test("hardNegativesLsh excludes same-label and null-label neighbors, ranks by cosine") {
+    import spark.implicits._
+    def vec(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // near-identical directions → identical band signatures (all
+    // candidates collide, so LSH recall cannot blur the assertion)
+    val emb = Seq(
+      (1L, vec(0), Some("A")),   // anchor
+      (2L, vec(2), Some("A")),   // nearest overall but same label → excluded
+      (3L, vec(4), Some("B")),   // hard negative rank 1
+      (6L, vec(8), Some("B")),   // hard negative rank 2
+      (5L, vec(1), None)         // null label → excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesLsh(emb, emb.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", "label", 16, 4, 5).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 6L), s"got ${out.toSeq}")
+    assert(out.forall(r => r.getAs[String]("neighbor_label") != r.getAs[String]("query_label")))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+    assert(out.head.getAs[Double]("cosine") > out.last.getAs[Double]("cosine"))
+    // on real embeddings: every mined negative differs in label and
+    // sits inside the e7 candidate relation (same banding params)
+    val realEmb = Tables.embeddings(spark, sf)
+    val mined = Similarity.hardNegativesLsh(realEmb,
+      realEmb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", 16, 4, 5)
+      .collect()
+    assert(mined.nonEmpty)
+    assert(mined.forall(r =>
+      r.get(r.fieldIndex("neighbor_label")) != r.get(r.fieldIndex("query_label"))))
+  }
+
   test("annLshTopK achieves reasonable recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
