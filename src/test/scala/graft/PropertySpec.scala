@@ -425,4 +425,54 @@ class PropertySpec extends SparkSpec {
       assert(got48.toSet == want48, s"round $round e48 (shards=$nShards)")
     }
   }
+
+  test("windowFunnel matches a brute-force exists-chain oracle on random event streams") {
+    import java.sql.Timestamp
+    val steps = Seq("view", "click", "purchase")
+    val w = 50L
+    for (round <- 1 to 6) {
+      val nUsers = 4 + rnd.nextInt(4)
+      val rows = (1 to 120).map { i =>
+        (rnd.nextInt(nUsers).toLong,
+          new Timestamp(1700000000000L + rnd.nextInt(200) * 1000L),
+          Seq("view", "click", "purchase", "error")(rnd.nextInt(4)), i.toLong)
+      }
+      val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+      val got = graft.analytics.Analytics
+        .windowFunnel(df, "user_id", "ts", "event_id", "event_type", steps, w)
+        .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_users")).toMap
+      // brute force: for every anchor view, greedily match the earliest
+      // valid next step (optimal for a fixed anchor — the standard
+      // subsequence argument); deepest level over all anchors
+      val byUser = rows.groupBy(_._1).map { case (u, rs) =>
+        val ord = rs.map(r => (r._2.getTime / 1000, r._4, r._3))
+          .sortBy(t => (t._1, t._2))
+        var best = 0
+        for (start <- ord.indices if ord(start)._3 == steps.head) {
+          val t1 = ord(start)._1
+          var level = 1
+          var pos = start
+          var done = false
+          while (!done && level < steps.size) {
+            val next = (pos + 1 until ord.length).find(i =>
+              ord(i)._3 == steps(level) && ord(i)._1 <= t1 + w)
+            next match {
+              case Some(i) => pos = i; level += 1
+              case None => done = true
+            }
+          }
+          best = math.max(best, level)
+        }
+        if (!ord.exists(_._3 == steps.head)) best = 0
+        u -> best
+      }
+      for (j <- 1 to steps.size) {
+        val want = byUser.values.count(_ >= j).toLong
+        assert(got.getOrElse(j.toLong, 0L) == want,
+          s"round $round step $j: got ${got.get(j.toLong)}, want $want\n$byUser")
+      }
+      // monotone depth histogram
+      assert(got(1L) >= got(2L) && got(2L) >= got(3L))
+    }
+  }
 }
