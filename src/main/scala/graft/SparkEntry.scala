@@ -686,6 +686,24 @@ object SparkEntry {
           org.apache.spark.sql.types.StructType.fromDDL(
             "event_id BIGINT, period TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")))
     }),
+    "g13_versioned_read" -> ((s, d) => {
+      // manifest-gated snapshot versioning (poor-man's time travel):
+      // v1 and v2 published append-only, a TORN third write planted
+      // (data landed, manifest never published) — reading each
+      // version must see exactly its snapshot, the orphan never
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      val dir = s"/tmp/graft_sources/g13_${pathTag(d)}"
+      graft.sources.PagedFeed.reset(s, dir)
+      graft.sources.Sources.appendVersion(ev.filter(col("event_id") % 3 === 0), s, dir)
+      graft.sources.Sources.appendVersion(ev.filter(col("event_id") % 3 =!= 0), s, dir)
+      ev.limit(7).write.mode("overwrite").parquet(s"$dir/data/v3")
+      Seq(1L, 2L).map { v =>
+        graft.sources.Sources.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_value"))
+      }.reduce(_ union _)
+    }),
     "g12_csv_rescue" -> ((s, d) => {
       // the quarantine AUDIT over a feed with a torn part file: land
       // the canonical CSV, plant four deterministic malformed lines
@@ -3591,6 +3609,17 @@ object SparkEntry {
          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
          GROUP BY 1, 2
          ORDER BY n_orders DESC, part_a, part_b LIMIT 100""",
+    // g13: v1 = the modular slice, v2 = v1 plus its complement (i.e.
+    // every non-null-id row); the planted orphan must change NOTHING
+    // here — that invisibility IS the operator's publish contract
+    "g13_versioned_read" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), count(*),
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+         FROM events WHERE event_id IS NOT NULL""",
     // g12: valid rows = the whole feed (empty CSV fields parse to
     // null, not corrupt — the g1-proven contract); quarantined lines
     // are the planted constants, interpolated from the SAME Seq the

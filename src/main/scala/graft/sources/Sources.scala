@@ -290,4 +290,62 @@ object Sources {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(p).toSeq.map(_.getPath.getName).filter(isDataFile)
   }
+
+  // ------------------------------------------------------------------
+  // Versioned snapshot table (round 9) — manifest-gated, append-only.
+  // ------------------------------------------------------------------
+
+  /** Append a new VERSION to a manifest-gated snapshot table — the
+    * portable re-expression of a lakehouse table's time travel, and
+    * the atomic-publish discipline the reference's object-store
+    * re-lands lack (a crashed writer must never leave a half-visible
+    * dataset). Layout: data lands under `data/v<N>/` (never rewritten
+    * — versions share history by construction), then the manifest
+    * `manifest_<N>` is written LAST, listing every data directory the
+    * version comprises. The manifest write is the publish point:
+    * readers resolve versions ONLY through manifests, so a crash
+    * after the data write but before the manifest leaves an orphan
+    * directory that no read will ever see (SourcesSpec plants one and
+    * proves it invisible). Returns the new version number.
+    *
+    * Scale shape: the manifest is a few hundred bytes regardless of
+    * data volume; a version read opens exactly the listed directories
+    * (no full-table listing); history costs nothing until read.
+    * Concurrent writers are out of scope here — serialize them with
+    * [[LandingLease]] like the a8/f8 sinks. */
+  def appendVersion(df: DataFrame, spark: SparkSession, table: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = currentVersion(spark, table) + 1
+    df.write.mode("overwrite").parquet(s"$table/data/v$next")
+    val dirs = (1L to next).map(v => s"data/v$v").mkString("\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, s"manifest_$next"), true)
+    try out.write(dirs.getBytes("UTF-8")) finally out.close()
+    next
+  }
+
+  /** Highest published (manifest-gated) version, 0 when none. */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("manifest_"))
+      .map(_.stripPrefix("manifest_").toLong)
+      .sorted.lastOption.getOrElse(0L)
+  }
+
+  /** Read a snapshot AS OF `version` — exactly the directories its
+    * manifest lists, nothing else (orphan data from torn writes is
+    * invisible; later versions do not leak in). */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(root, s"manifest_$version")
+    require(fs.exists(mf), s"version $version was never published in $table")
+    val in = fs.open(mf)
+    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
+    finally in.close()
+    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
+  }
 }

@@ -417,4 +417,28 @@ class SourcesSpec extends SparkSpec {
     assert(badDouble.getAs[Long]("event_id") == 3L &&
       badDouble.isNullAt(badDouble.fieldIndex("value")))
   }
+
+  test("versioned snapshots: append-only history, atomic publish, orphan invisible") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val table = java.nio.file.Files.createTempDirectory("graft_ver").toString + "/t"
+    assert(Sources.currentVersion(spark, table) == 0L)
+    val v1 = Sources.appendVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), spark, table)
+    val v2 = Sources.appendVersion(Seq((3L, "c")).toDF("id", "s"), spark, table)
+    assert(v1 == 1L && v2 == 2L && Sources.currentVersion(spark, table) == 2L)
+    // torn write: data lands, manifest never published
+    Seq((99L, "orphan")).toDF("id", "s").write.parquet(s"$table/data/v3")
+    // v1 is frozen history: later versions and orphans never leak in
+    assert(Sources.readVersion(spark, table, 1L).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Sources.readVersion(spark, table, 2L).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(Sources.currentVersion(spark, table) == 2L) // orphan unpublished
+    intercept[IllegalArgumentException] {
+      Sources.readVersion(spark, table, 3L) // never published → must throw
+    }
+    // the orphan slot can be re-published cleanly (idempotent re-land)
+    val v3 = Sources.appendVersion(Seq((4L, "d")).toDF("id", "s"), spark, table)
+    assert(v3 == 3L && Sources.readVersion(spark, table, 3L).count() == 4L)
+  }
 }
