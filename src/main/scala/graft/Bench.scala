@@ -109,5 +109,10 @@ object Bench {
     // stdout line — nothing can push it out of a bounded tail capture
     spark.stop()
     println(line)
+    // the full per-query line outgrew the driver's tail capture at 164
+    // queries (BENCH_r09.json parsed:null) — follow with a compact
+    // total-only line that always fits; BENCH.json stays authoritative
+    // for the per-query map
+    println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -3587,7 +3587,7 @@ object SparkEntry {
            CAST((length(text) - length(replace(text, '#', '')))
              + (length(text) - length(replace(text, '...', ''))) / 3
              + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
-           CAST(len(list_intersect(string_split(lower(trim(text)), ' '),
+           CAST(len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_kinds
          FROM documents)
          SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_stop_kinds,

@@ -308,6 +308,13 @@ object Sources {
     * directory that no read will ever see (SourcesSpec plants one and
     * proves it invisible). Returns the new version number.
     *
+    * The manifest itself publishes atomically: it is written to a
+    * dot-prefixed temp name (which the `manifest_` prefix filter in
+    * [[currentVersion]] ignores) and renamed into place — rename is
+    * atomic on HDFS and local filesystems, so a crash mid-write leaves
+    * only an invisible temp file, never a partial manifest that
+    * [[currentVersion]] would count as published.
+    *
     * Scale shape: the manifest is a few hundred bytes regardless of
     * data volume; a version read opens exactly the listed directories
     * (no full-table listing); history costs nothing until read.
@@ -319,8 +326,11 @@ object Sources {
     val next = currentVersion(spark, table) + 1
     df.write.mode("overwrite").parquet(s"$table/data/v$next")
     val dirs = (1L to next).map(v => s"data/v$v").mkString("\n")
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, s"manifest_$next"), true)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest_$next.tmp")
+    val out = fs.create(tmp, true)
     try out.write(dirs.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"manifest_$next")))
+      throw new java.io.IOException(s"failed to publish manifest_$next in $table")
     next
   }
 
@@ -344,8 +354,10 @@ object Sources {
     val mf = new org.apache.hadoop.fs.Path(root, s"manifest_$version")
     require(fs.exists(mf), s"version $version was never published in $table")
     val in = fs.open(mf)
-    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+    val dirs = body.split("\n").toSeq.filter(_.nonEmpty)
+    require(dirs.nonEmpty, s"manifest_$version in $table is empty (torn publish?)")
     spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
   }
 }

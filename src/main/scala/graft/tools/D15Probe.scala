@@ -45,6 +45,11 @@ object D15Probe {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new StageTable
     spark.sparkContext.addSparkListener(listener)
+    // conf overrides a variant installs, restored after the timed run
+    // (the exec choice is read at PHYSICAL planning time, i.e. during
+    // materialize — restoring any earlier would defeat the variant;
+    // restoring at all keeps a same-JVM caller from inheriting it)
+    var restoreConf: () => Unit = () => ()
     val df: DataFrame = variant match {
       case "current" =>
         graft.analytics.Analytics.partPairCounts(graft.Tables.lineitem(spark, sfDir), 100)
@@ -72,13 +77,19 @@ object D15Probe {
         // same plan but the basket collect_set runs as SortAggregate
         // (radix-sorted UnsafeRows, one group buffer at a time) instead
         // of ObjectHashAggregate (44M boxed set objects → GC)
-        spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+        val key = "spark.sql.execution.useObjectHashAggregateExec"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
+        restoreConf = () => prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
         graft.analytics.Analytics.partPairCounts(graft.Tables.lineitem(spark, sfDir), 100)
       case other => sys.error(s"unknown variant $other")
     }
     println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     val t0 = System.nanoTime()
-    graft.Bench.materialize(df)
+    try graft.Bench.materialize(df) finally restoreConf()
     val dt = (System.nanoTime() - t0) / 1e9
     Thread.sleep(2000) // let the last stage-completed events drain
     println(f"\n=== d15/$variant on $sfDir: $dt%.1f s ===")

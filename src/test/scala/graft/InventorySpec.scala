@@ -43,6 +43,21 @@ class InventorySpec extends SparkSpec {
     assert(danglingOracles.isEmpty, s"oracles without a query: $danglingOracles")
   }
 
+  test("SURVEY §2 rows-only annotations match the designed sketch pair") {
+    // r9 verdict: §2 kept calling e13_ann_ivf rows-only two rounds
+    // after it was fully oracled, because the name-sync tests above
+    // don't read annotations. Parse each §2 bullet and require the
+    // *rows-only*-annotated set to equal the set of queries that
+    // actually lack an oracle (== {b11, b13} by the test above).
+    val annotated = section2.split("- \\[x\\]").iterator.flatMap { chunk =>
+      if (chunk.contains("*rows-only*")) queryKey.findFirstIn(chunk) else None
+    }.toSet
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(annotated == unoracled,
+      s"§2 annotated rows-only but oracled: ${annotated -- unoracled}; " +
+        s"unoracled but not annotated: ${unoracled -- annotated}")
+  }
+
   test("README's inventory counts match the registry") {
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), "UTF-8")

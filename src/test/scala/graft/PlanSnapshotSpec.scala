@@ -87,7 +87,12 @@ class PlanSnapshotSpec extends SparkSpec {
       val snaps =
         if (Files.isDirectory(snapDir))
           Files.list(snapDir).iterator().asScala
-            .map(_.getFileName.toString.stripSuffix(".txt")).toSet
+            .map(_.getFileName.toString)
+            // only snapshot files count — a stray tooling directory
+            // (e.g. an accidental sbt launch creating plans/target)
+            // must not fail an otherwise-green suite (r9 verdict)
+            .filter(_.endsWith(".txt"))
+            .map(_.stripSuffix(".txt")).toSet
         else Set.empty[String]
       val registered = SparkEntry.queries.keySet
       assert(snaps == registered,
