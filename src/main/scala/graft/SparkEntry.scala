@@ -309,6 +309,12 @@ object SparkEntry {
       // vectors dotted against the bounded newest-first array
       Forecast.holtForecast(Tables.events(s, d), "user_id", "ts", "event_id",
         "value", 0.5, 0.25, 48, Seq(1, 2, 3))),
+    "c29_holt_winters" -> ((s, d) =>
+      // additive Holt-Winters: level + trend + 24-slot season over the
+      // last 48 observations (two cycles), forecasts at h=1/2/3 — same
+      // driver-computed weight-vector contract as c28
+      Forecast.holtWintersForecast(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value", 0.5, 0.25, 0.5, 24, 48, Seq(1, 2, 3))),
     "c19_scaler_apply" -> ((s, d) => {
       val ev = Tables.events(s, d)
       TimeSeries.applyScaler(ev, TimeSeries.scalerParams(ev, "user_id", "value"),
@@ -1739,6 +1745,29 @@ object SparkEntry {
           round($dl + 1 * $dt, 4) AS f_h1,
           round($dl + 2 * $dt, 4) AS f_h2,
           round($dl + 3 * $dt, 4) AS f_h3
+        FROM k"""
+    },
+    // c29: same generated-constant contract as c28 — the literals are
+    // the exact driver-computed Holt-Winters coefficient vectors
+    // (Forecast.holtWintersWeights; α=0.5, β=0.25, γ=0.5, m=24, n=48),
+    // one vector per output column, so the two engines dot the SAME
+    // doubles left-to-right and cannot drift
+    "c29_holt_winters" -> {
+      val (lw, bw, fws) = graft.timeseries.Forecast.holtWintersWeights(
+        0.5, 0.25, 0.5, 24, 48, Seq(1, 2, 3))
+      val dl = dotSql("vals", lw.mkString("[", ", ", "]"))
+      val dt = dotSql("vals", bw.mkString("[", ", ", "]"))
+      val fcols = Seq(1, 2, 3).zip(fws).map { case (h, fw) =>
+        s"round(${dotSql("vals", fw.mkString("[", ", ", "]"))}, 4) AS f_h$h"
+      }.mkString(",\n          ")
+      s"""WITH r AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rd
+          FROM events WHERE value IS NOT NULL),
+        k AS (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY rd ASC) AS vals
+          FROM r WHERE rd <= 48 GROUP BY 1 HAVING count(*) = 48)
+        SELECT user_id, round($dl, 4) AS level, round($dt, 4) AS trend,
+          $fcols
         FROM k"""
     },
     "c14_multi_horizon_forecast" ->

@@ -429,6 +429,120 @@ object Forecast {
       horizons.map(h => round(level + lit(h) * trend, 4).as(s"f_h$h")): _*)
   }
 
+  /** Additive Holt-Winters per key (round 10): level + trend + a
+    * `season`-slot seasonal state over the last `window` observations,
+    * forecast at horizon h as l + h·b + s_{slot(T+h)} — the
+    * seasonal-aware smoothing tier the reference's LSTM/Transformer
+    * exist to learn (model.py:44-86: seq_len=168 to capture the
+    * daily/weekly cycle) and that c28's trend-only Holt cannot emit.
+    * Winters (1960) recursion with the standard detrended heuristic
+    * init (Hyndman & Athanasopoulos, fpp ch. 7): b = mean per-step
+    * change between the first two cycles, l = first-cycle mean shifted
+    * to the cycle's END (mean + b·(m−1)/2), s_j = x_j − the fitted
+    * trend line at j — on clean trend+season data the init is exact,
+    * so every in-sample one-step error is zero and the state tracks
+    * from the first update.
+    *
+    * Like c17/c28, the bounded-window recursion is LINEAR in the
+    * observations, so the operator's contract is DRIVER-computed
+    * weight vectors ([[holtWintersWeights]]: the coefficient form of
+    * l_t=α(x_t−s_{t−m})+(1−α)(l_{t−1}+b_{t−1}),
+    * b_t=β(l_t−l_{t−1})+(1−β)b_{t−1},
+    * s_t=γ(x_t−l_t)+(1−γ)s_{t−m}, published as literals — one vector
+    * per output column) dotted against the newest-first value array.
+    * The dot runs left-to-right in BOTH engines (native ArrayDot here,
+    * list_dot_product in the oracle — the c28 parity argument), so no
+    * summation-order drift exists; terminal round(·,4) is the c17
+    * rounding contract. Keys with fewer than `window` observations
+    * emit nothing (their init would be a different weight vector —
+    * route short series to c6/c28).
+    *
+    * Scale shape: identical to [[holtForecast]] — one per-key window
+    * pass ranking the newest `window` rows + one groupBy collecting
+    * the BOUNDED array; per-key state is `window` doubles, never the
+    * series; the recursion itself runs ONCE on the driver over
+    * coefficient vectors, not per key and not per row. */
+  def holtWintersForecast(df: DataFrame, keyCol: String, tsCol: String,
+                          idCol: String, valueCol: String, alpha: Double,
+                          beta: Double, gamma: Double, season: Int,
+                          window: Int, horizons: Seq[Int]): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1), "horizons >= 1")
+    val (lw, bw, fws) = holtWintersWeights(alpha, beta, gamma, season, window, horizons)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("period").desc, col(idCol).desc)
+    val arr = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rd", row_number().over(w))
+      .filter(col("__rd") <= window)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+        transform(array_sort(collect_list(struct(col("__rd"), col("__v")))),
+          s => s.getField("__v")).as("__vals"))
+      .filter(col("__n") === window)
+    val level = graft.functions.dotProduct(col("__vals"), typedLit(lw))
+    val trend = graft.functions.dotProduct(col("__vals"), typedLit(bw))
+    arr.select(
+      col(keyCol) +:
+      round(level, 4).as("level") +:
+      round(trend, 4).as("trend") +:
+      horizons.zip(fws).map { case (h, fw) =>
+        round(graft.functions.dotProduct(col("__vals"), typedLit(fw)), 4).as(s"f_h$h")
+      }: _*)
+  }
+
+  /** The Holt-Winters coefficient weight vectors (newest-first):
+    * (level, trend, one forecast vector per horizon), exposed so
+    * oracles/tests embed the exact same constants. The recursion runs
+    * oldest-first over basis-vector coefficients — m seasonal slots
+    * each carry their own vector, updated every m steps — and the
+    * horizon-h forecast vector is l + h·b + s_{slot(T+h)}. Requires
+    * window ≥ 2·season (the trend init averages the first two
+    * cycles — the statsmodels legacy-heuristic convention). */
+  def holtWintersWeights(alpha: Double, beta: Double, gamma: Double,
+                         season: Int, window: Int,
+                         horizons: Seq[Int]): (Seq[Double], Seq[Double], Seq[Seq[Double]]) = {
+    val m = season
+    val n = window
+    require(m >= 2, s"season $m must be >= 2")
+    require(n >= 2 * m, s"window $n must be >= 2*season ${2 * m} for the heuristic init")
+    // detrended heuristic init (0-based observation indices 0..m-1):
+    // b = mean_{i<m}((x_{m+i} - x_i) / m)  — two-cycle trend estimate
+    // l = mean(x_0..x_{m-1}) + b·(m-1)/2   — level at END of cycle 1
+    // s_j = x_j - (mean + b·(j - (m-1)/2)) — seasonal offsets DETRENDED
+    // On exact trend+season data this init reproduces the series, so
+    // the recursion's one-step errors start at zero (the property the
+    // spec's planted-cycle case pins).
+    val bc0 = Array.tabulate(n)(i =>
+      if (i < m) -1.0 / (m.toDouble * m) else if (i < 2 * m) 1.0 / (m.toDouble * m) else 0.0)
+    val meanC = Array.tabulate(n)(i => if (i < m) 1.0 / m else 0.0)
+    var lc = Array.tabulate(n)(i => meanC(i) + (m - 1) / 2.0 * bc0(i))
+    var bc = bc0
+    val sc = Array.tabulate(m)(j =>
+      Array.tabulate(n)(i =>
+        (if (i == j) 1.0 else 0.0) - (meanC(i) + (j - (m - 1) / 2.0) * bc0(i))))
+    // recursion over x_{m}..x_{n-1} (0-based); slot(t) = t mod m
+    for (t <- m until n) {
+      val slot = t % m
+      val st = sc(slot)
+      val nl = Array.tabulate(n) { i =>
+        alpha * ((if (i == t) 1.0 else 0.0) - st(i)) + (1 - alpha) * (lc(i) + bc(i))
+      }
+      val nb = Array.tabulate(n)(i => beta * (nl(i) - lc(i)) + (1 - beta) * bc(i))
+      val ns = Array.tabulate(n) { i =>
+        gamma * ((if (i == t) 1.0 else 0.0) - nl(i)) + (1 - gamma) * st(i)
+      }
+      lc = nl; bc = nb; sc(slot) = ns
+    }
+    // forecast at T+h (T = n, 0-based time index n-1): seasonal slot of
+    // the forecast period, carrying its most recent update
+    val fws = horizons.map { h =>
+      val slot = (n + h - 1) % m
+      Array.tabulate(n)(i => lc(i) + h * bc(i) + sc(slot)(i)).reverse.toSeq
+    }
+    (lc.reverse.toSeq, bc.reverse.toSeq, fws)
+  }
+
   /** The Holt coefficient weight vectors (newest-first), exposed so
     * oracles/tests embed the exact same constants — the coefficient
     * form of the l/b recursion in [[holtForecast]]. */

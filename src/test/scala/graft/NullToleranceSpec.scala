@@ -326,6 +326,9 @@ class NullToleranceSpec extends SparkSpec {
       .count() >= 0) // no crash; null-value rows carry no magnitude
     assert(graft.timeseries.Forecast.holtForecast(ev, "event_type", "ts",
       "event_id", "value", 0.5, 0.25, 48, Seq(1)).count() == 0) // all series short
+    // c29: same window contract — every series here is too short
+    assert(graft.timeseries.Forecast.holtWintersForecast(ev, "event_type", "ts",
+      "event_id", "value", 0.5, 0.25, 0.5, 24, 48, Seq(1)).count() == 0)
     val drift = graft.streaming.Streams.windowedDrift(ev, "ts", "event_type",
       Seq("a", "b"), Seq("a" -> 5L, "b" -> 3L, "__other__" -> 1L))
       .collect()

@@ -538,4 +538,66 @@ class TimeSeriesSpec extends SparkSpec {
     // trend on a slope-2 ramp converges near 2
     assert(math.abs(r.getAs[Double]("trend") - 2.0) < 0.5, s"trend ${r}")
   }
+
+  test("holtWintersForecast matches the scalar Winters recursion and recovers a planted cycle") {
+    val (alpha, beta, gamma, m, win) = (0.5, 0.25, 0.5, 24, 48)
+    // scalar reference: the textbook additive recursion with the
+    // heuristic init the weights claim to encode — an INDEPENDENT
+    // implementation (state recursion over values, not coefficients)
+    def hwScalar(xs: Seq[Double], hs: Seq[Int]): (Double, Double, Seq[Double]) = {
+      val n = xs.length
+      var b = (0 until m).map(i => (xs(m + i) - xs(i)) / m).sum / m
+      val mean = xs.take(m).sum / m
+      var l = mean + b * (m - 1) / 2.0
+      val s = Array.tabulate(m)(j => xs(j) - (mean + b * (j - (m - 1) / 2.0)))
+      for (t <- m until n) {
+        val slot = t % m
+        val nl = alpha * (xs(t) - s(slot)) + (1 - alpha) * (l + b)
+        b = beta * (nl - l) + (1 - beta) * b
+        s(slot) = gamma * (xs(t) - nl) + (1 - gamma) * s(slot)
+        l = nl
+      }
+      (l, b, hs.map(h => l + h * b + s((n + h - 1) % m)))
+    }
+    // key A: 60 rows = trend + a daily (24h) sawtooth cycle; only the
+    // last 48 may count (poisoned prefix); key S one row short
+    def cyc(i: Int) = 50.0 + 0.5 * i + 8.0 * math.sin(2 * math.Pi * (i % 24) / 24.0)
+    val rows = (0 until 60).map { i =>
+      val v = if (i < 12) -1e6 else cyc(i)
+      (i.toLong, Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"), "A", v)
+    } ++ (0 until 47).map { i =>
+      (1000L + i, Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"), "S", 5.0)
+    }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = Forecast.holtWintersForecast(df, "key", "ts", "event_id", "value",
+      alpha, beta, gamma, m, win, Seq(1, 2, 3)).collect()
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("A")) // short key absent
+    val r = out.head
+    val lastWin = (12 until 60).map(cyc)
+    val (el, eb, efs) = hwScalar(lastWin, Seq(1, 2, 3))
+    // the weight-vector dots agree with the independent scalar
+    // recursion to float noise, far inside the 4-decimal rounding
+    val (lw, bw, fws) = Forecast.holtWintersWeights(alpha, beta, gamma, m, win, Seq(1, 2, 3))
+    val newestFirst = lastWin.reverse
+    def dot(ws: Seq[Double]) = newestFirst.zip(ws).foldLeft(0.0) { case (a, (x, w)) => a + x * w }
+    assert(math.abs(dot(lw) - el) < 1e-7 && math.abs(dot(bw) - eb) < 1e-7,
+      s"weights drifted from recursion: ${dot(lw)} vs $el, ${dot(bw)} vs $eb")
+    fws.zip(efs).foreach { case (fw, ef) =>
+      assert(math.abs(dot(fw) - ef) < 1e-7, s"forecast weights drifted: ${dot(fw)} vs $ef")
+    }
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(r.getAs[Double]("level") == r4(dot(lw)), s"level $r")
+    assert(r.getAs[Double]("trend") == r4(dot(bw)), s"trend $r")
+    assert(r.getAs[Double]("f_h1") == r4(dot(fws.head)), s"f_h1 $r")
+    assert(r.getAs[Double]("f_h3") == r4(dot(fws(2))), s"f_h3 $r")
+    // the poisoned prefix is excluded and the planted structure is
+    // recovered: trend near 0.5, and the h=1..3 forecasts track the
+    // true series far better than trend-only Holt can on a cycle
+    assert(r.getAs[Double]("level") > -1000.0)
+    assert(math.abs(r.getAs[Double]("trend") - 0.5) < 0.3, s"trend $r")
+    Seq(1, 2, 3).foreach { h =>
+      val err = math.abs(r.getAs[Double](s"f_h$h") - cyc(60 + h - 1))
+      assert(err < 4.0, s"h=$h forecast off planted cycle by $err: $r")
+    }
+  }
 }
