@@ -710,6 +710,37 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_rows"), col("sum_value"))
       }.reduce(_ union _)
     }),
+    "g14_version_retention" -> ((s, d) => {
+      // keep-newest-N retention GC over the g13 manifest store: two
+      // appends, a full-snapshot REWRITE (v3), one more append (v4),
+      // then retain the newest 2 — v1/v2 expire and their data dirs
+      // (unreferenced since the rewrite cut the chain) are reclaimed;
+      // a second retention run must be a no-op (idempotence). The
+      // emitted rows prove the live versions read identically post-GC
+      // and pin the post-GC filesystem state as literal counts.
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      val dir = s"/tmp/graft_sources/g14_${pathTag(d)}"
+      graft.sources.PagedFeed.reset(s, dir)
+      graft.sources.Sources.appendVersion(ev.filter(col("event_id") % 3 === 0), s, dir)
+      graft.sources.Sources.appendVersion(ev.filter(col("event_id") % 3 =!= 0), s, dir)
+      graft.sources.Sources.overwriteVersion(ev, s, dir)
+      graft.sources.Sources.appendVersion(ev.filter(col("event_id") % 7 === 0), s, dir)
+      val (expired, removed) = graft.sources.Sources.retainVersions(s, dir, 2)
+      val (expired2, removed2) = graft.sources.Sources.retainVersions(s, dir, 2)
+      val nExpired = expired.size + expired2.size
+      val nRemoved = removed.size + removed2.size
+      val liveManifests = graft.sources.Sources.listVersions(s, dir).size
+      val liveDirs = graft.sources.Sources.versionDataDirs(s, dir).size
+      Seq(3L, 4L).map { v =>
+        graft.sources.Sources.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_value"),
+            lit(nExpired.toLong).as("n_expired"), lit(nRemoved.toLong).as("n_removed"),
+            lit(liveManifests.toLong).as("live_manifests"),
+            lit(liveDirs.toLong).as("live_dirs"))
+      }.reduce(_ union _)
+    }),
     "g12_csv_rescue" -> ((s, d) => {
       // the quarantine AUDIT over a feed with a torn part file: land
       // the canonical CSV, plant four deterministic malformed lines
@@ -3649,6 +3680,29 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT), count(*),
            sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
          FROM events WHERE event_id IS NOT NULL""",
+    // g14: v3 = the rewrite (full snapshot), v4 = v3 plus the %7
+    // delta; the literal counts pin the post-GC contract — exactly
+    // two versions expired, exactly two data directories reclaimed
+    // (the rewrite cut the chain to v1/v2), the re-run reclaimed
+    // nothing (idempotence), and two manifests + two data dirs remain
+    "g14_version_retention" ->
+      """WITH base AS (SELECT count(*) AS n,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS s
+         FROM events),
+        delta AS (SELECT count(*) AS n,
+           coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS s
+         FROM events WHERE event_id % 7 = 0)
+        SELECT CAST(3 AS BIGINT) AS version, base.n AS n_rows,
+          base.s / 100.0 AS sum_value,
+          CAST(2 AS BIGINT) AS n_expired, CAST(2 AS BIGINT) AS n_removed,
+          CAST(2 AS BIGINT) AS live_manifests, CAST(2 AS BIGINT) AS live_dirs
+        FROM base
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), base.n + delta.n,
+          (base.s + delta.s) / 100.0,
+          CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+          CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+        FROM base, delta""",
     // g12: valid rows = the whole feed (empty CSV fields parse to
     // null, not corrupt — the g1-proven contract); quarantined lines
     // are the planted constants, interpolated from the SAME Seq the

@@ -323,26 +323,114 @@ object Sources {
   def appendVersion(df: DataFrame, spark: SparkSession, table: String): Long = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val next = currentVersion(spark, table) + 1
+    val prev = currentVersion(spark, table)
+    val next = prev + 1
     df.write.mode("overwrite").parquet(s"$table/data/v$next")
-    val dirs = (1L to next).map(v => s"data/v$v").mkString("\n")
-    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest_$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(dirs.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"manifest_$next")))
-      throw new java.io.IOException(s"failed to publish manifest_$next in $table")
+    // the new manifest extends the PREVIOUS version's directory list
+    // (not a blind v1..vN enumeration): after an [[overwriteVersion]]
+    // the chain restarts from the rewrite, so retention can actually
+    // free the pre-rewrite directories. Pure-append tables still
+    // produce manifest_N = v1..vN, byte-identical to the round-9 form.
+    val dirs = (if (prev == 0) Seq.empty else manifestDirs(fs, root, prev, table)) :+
+      s"data/v$next"
+    publishManifest(fs, root, next, dirs, table)
     next
   }
 
-  /** Highest published (manifest-gated) version, 0 when none. */
-  def currentVersion(spark: SparkSession, table: String): Long = {
+  /** Publish a full-snapshot REWRITE as the next version: the manifest
+    * lists ONLY the new data directory, cutting the chain to every
+    * older directory. This is the compaction/rewrite move of a real
+    * snapshot store (squash N appends into one laid-out snapshot —
+    * pair with [[writeSortedLayout]]-style rewrites); history is still
+    * intact (older manifests keep reading their own snapshots) until
+    * [[retainVersions]] expires them — at which point the pre-rewrite
+    * directories become unreferenced and reclaimable, which is what
+    * gives retention GC real bytes to free. */
+  def overwriteVersion(df: DataFrame, spark: SparkSession, table: String): Long = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) 0L
+    val next = currentVersion(spark, table) + 1
+    df.write.mode("overwrite").parquet(s"$table/data/v$next")
+    publishManifest(fs, root, next, Seq(s"data/v$next"), table)
+    next
+  }
+
+  /** Keep-newest-N retention GC for a versioned snapshot table — the
+    * reference's cleanup_old_files chore (airflow_dag.py:570-631)
+    * re-expressed against the manifest store: expire every version
+    * older than the newest `keepLast`, then reclaim data directories
+    * no surviving manifest references. Returns
+    * (expired version numbers, deleted data directory names).
+    *
+    * Crash-ordered for the publish contract: expired MANIFESTS are
+    * deleted first (removing the publish points — after this the
+    * versions read as never-published), and only then are
+    * unreferenced data directories reclaimed. A crash between the two
+    * phases leaves orphan directories that no read can see (the g13
+    * invisibility contract) and that the next retention run sweeps —
+    * the operation is idempotent. Reclamation also sweeps orphans
+    * from torn publishes, but ONLY directories numbered at or below
+    * the newest live version: an in-flight writer's landed-but-not-
+    * yet-published directory is always numbered above it and is never
+    * touched. Lease-guarded ([[LandingLease]]) like every directory
+    * mutator, so two schedulers firing the same target serialize.
+    *
+    * Scale shape: pure metadata work — one directory listing plus one
+    * few-hundred-byte manifest read per live version; data deletes are
+    * directory-level. Nothing scans table bytes. */
+  def retainVersions(spark: SparkSession, table: String,
+                     keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return (Seq.empty, Seq.empty)
+    val token = LandingLease.acquire(fs, table, leaseMs = 10 * 60 * 1000L)
+    try {
+      val versions = listVersions(spark, table)
+      val live = versions.takeRight(keepLast)
+      val expired = versions.dropRight(keepLast)
+      expired.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"manifest_$v"), false))
+      val referenced = live.flatMap(v => manifestDirs(fs, root, v, table)).toSet
+      val maxLive = live.lastOption.getOrElse(0L)
+      val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+      val removable =
+        if (!fs.exists(dataRoot)) Seq.empty
+        else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            !referenced.contains(s"data/$n") &&
+              n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+              n.drop(1).toLong <= maxLive
+          }
+      removable.foreach(p => fs.delete(p, true))
+      (expired, removable.map(p => s"data/${p.getName}"))
+    } finally LandingLease.release(fs, table, token)
+  }
+
+  /** All published (manifest-gated) versions, ascending. */
+  def listVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("manifest_"))
       .map(_.stripPrefix("manifest_").toLong)
-      .sorted.lastOption.getOrElse(0L)
+      .sorted
+  }
+
+  /** Highest published (manifest-gated) version, 0 when none. */
+  def currentVersion(spark: SparkSession, table: String): Long =
+    listVersions(spark, table).lastOption.getOrElse(0L)
+
+  /** Data directory names currently on disk under `table/data` —
+    * retention-spec probe (referenced and orphaned alike). */
+  def versionDataDirs(spark: SparkSession, table: String): Seq[String] = {
+    val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
+    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dataRoot)) Seq.empty
+    else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
   }
 
   /** Read a snapshot AS OF `version` — exactly the directories its
@@ -351,6 +439,27 @@ object Sources {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = manifestDirs(fs, root, version, table)
+    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
+  }
+
+  /** Atomic manifest publish: write to a dot-prefixed temp (invisible
+    * to the `manifest_` prefix filter) and rename into place. */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path, version: Long,
+                              dirs: Seq[String], table: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest_$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"manifest_$version")))
+      throw new java.io.IOException(s"failed to publish manifest_$version in $table")
+  }
+
+  /** The directory list a published manifest carries; throws on a
+    * never-published version and rejects empty (torn) manifests. */
+  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path, version: Long,
+                           table: String): Seq[String] = {
     val mf = new org.apache.hadoop.fs.Path(root, s"manifest_$version")
     require(fs.exists(mf), s"version $version was never published in $table")
     val in = fs.open(mf)
@@ -358,6 +467,6 @@ object Sources {
     finally in.close()
     val dirs = body.split("\n").toSeq.filter(_.nonEmpty)
     require(dirs.nonEmpty, s"manifest_$version in $table is empty (torn publish?)")
-    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
+    dirs
   }
 }

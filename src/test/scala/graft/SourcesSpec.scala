@@ -441,4 +441,84 @@ class SourcesSpec extends SparkSpec {
     val v3 = Sources.appendVersion(Seq((4L, "d")).toDF("id", "s"), spark, table)
     assert(v3 == 3L && Sources.readVersion(spark, table, 3L).count() == 4L)
   }
+
+  test("version retention: expired throw, live reads identical, rewrite frees dirs, idempotent") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val table = java.nio.file.Files.createTempDirectory("graft_gc").toString + "/t"
+    Sources.appendVersion(Seq((1L, "a")).toDF("id", "s"), spark, table)
+    Sources.appendVersion(Seq((2L, "b")).toDF("id", "s"), spark, table)
+    Sources.overwriteVersion(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), spark, table)
+    Sources.appendVersion(Seq((4L, "d")).toDF("id", "s"), spark, table)
+    val v3Before = Sources.readVersion(spark, table, 3L).collect().sortBy(_.getLong(0)).toSeq
+    val v4Before = Sources.readVersion(spark, table, 4L).collect().sortBy(_.getLong(0)).toSeq
+    val (expired, removed) = Sources.retainVersions(spark, table, 2)
+    // v1/v2 expired; their dirs were unreferenced after the v3 rewrite
+    assert(expired == Seq(1L, 2L), expired.toString)
+    assert(removed.sorted == Seq("data/v1", "data/v2"), removed.toString)
+    assert(Sources.listVersions(spark, table) == Seq(3L, 4L))
+    assert(Sources.versionDataDirs(spark, table) == Seq("v3", "v4"))
+    // live versions read byte-identically post-GC
+    assert(Sources.readVersion(spark, table, 3L).collect().sortBy(_.getLong(0)).toSeq == v3Before)
+    assert(Sources.readVersion(spark, table, 4L).collect().sortBy(_.getLong(0)).toSeq == v4Before)
+    // expired versions now read as never published
+    intercept[IllegalArgumentException](Sources.readVersion(spark, table, 1L))
+    intercept[IllegalArgumentException](Sources.readVersion(spark, table, 2L))
+    // idempotent: a second run finds nothing to do
+    assert(Sources.retainVersions(spark, table, 2) == (Seq.empty, Seq.empty))
+    // appends keep working after GC (chain continues from the live tip)
+    val v5 = Sources.appendVersion(Seq((5L, "e")).toDF("id", "s"), spark, table)
+    assert(v5 == 5L && Sources.readVersion(spark, table, 5L).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("version retention: shared dirs survive, in-flight dirs survive, crash mid-GC heals") {
+    import spark.implicits._
+    import graft.sources.Sources
+    // shared-dir survival: with NO rewrite, the newest manifest still
+    // references every older dir — retention may expire manifests but
+    // must not delete a single shared data directory
+    val tA = java.nio.file.Files.createTempDirectory("graft_gc_a").toString + "/t"
+    Sources.appendVersion(Seq((1L, "a")).toDF("id", "s"), spark, tA)
+    Sources.appendVersion(Seq((2L, "b")).toDF("id", "s"), spark, tA)
+    val (expA, remA) = Sources.retainVersions(spark, tA, 1)
+    assert(expA == Seq(1L) && remA.isEmpty, s"$expA / $remA")
+    assert(Sources.versionDataDirs(spark, tA) == Seq("v1", "v2"))
+    assert(Sources.readVersion(spark, tA, 2L).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    // in-flight protection: a landed-but-unpublished dir numbered
+    // ABOVE the newest live version is a writer mid-publish — never
+    // reclaimed; an orphan AT or BELOW it is a torn relic — swept
+    val tB = java.nio.file.Files.createTempDirectory("graft_gc_b").toString + "/t"
+    Sources.overwriteVersion(Seq((1L, "a")).toDF("id", "s"), spark, tB)
+    Sources.overwriteVersion(Seq((2L, "b")).toDF("id", "s"), spark, tB)
+    Seq((9L, "torn")).toDF("id", "s").write.parquet(s"$tB/data/v1b_orphan")
+    Seq((9L, "inflight")).toDF("id", "s").write.parquet(s"$tB/data/v3")
+    val (expB, remB) = Sources.retainVersions(spark, tB, 1)
+    assert(expB == Seq(1L), expB.toString)
+    // v1 reclaimed (expired rewrite), the malformed-name orphan kept
+    // (defensive), v3 kept (above live tip = possibly in flight)
+    assert(remB == Seq("data/v1"), remB.toString)
+    assert(Sources.versionDataDirs(spark, tB) == Seq("v1b_orphan", "v2", "v3"))
+    // the in-flight slot publishes cleanly after GC
+    val v3 = Sources.appendVersion(Seq((3L, "c")).toDF("id", "s"), spark, tB)
+    assert(v3 == 3L)
+    // crash mid-GC: manifests deleted but data dirs not yet — simulate
+    // by hand-deleting the expired manifest, leaving v2's dir orphaned
+    val tC = java.nio.file.Files.createTempDirectory("graft_gc_c").toString + "/t"
+    Sources.overwriteVersion(Seq((1L, "a")).toDF("id", "s"), spark, tC)
+    Sources.overwriteVersion(Seq((2L, "b")).toDF("id", "s"), spark, tC)
+    Sources.overwriteVersion(Seq((3L, "c")).toDF("id", "s"), spark, tC)
+    val fs = new org.apache.hadoop.fs.Path(tC).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(tC, "manifest_1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(tC, "manifest_2"), false)
+    assert(Sources.versionDataDirs(spark, tC) == Seq("v1", "v2", "v3"))
+    // the re-run completes the interrupted cleanup: no manifests left
+    // to expire, both now-unreferenced dirs swept
+    val (expC, remC) = Sources.retainVersions(spark, tC, 1)
+    assert(expC.isEmpty && remC.sorted == Seq("data/v1", "data/v2"), s"$expC / $remC")
+    assert(Sources.readVersion(spark, tC, 3L).select("id").as[Long]
+      .collect().toSeq == Seq(3L))
+  }
 }
