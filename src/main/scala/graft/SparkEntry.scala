@@ -519,6 +519,11 @@ object SparkEntry {
       TextOps.ngramFrequency(Tables.documents(s, d), "doc_id", "text", 2, 5L)),
     "e49_bpe_pair_counts" -> ((s, d) =>
       TextOps.bpePairCounts(Tables.documents(s, d), "doc_id", "text", 2L)),
+    "e60_bpe_merge_loop" -> ((s, d) =>
+      // the full 8-round BPE merge loop over e49's vocab machinery:
+      // corpus reduced to word frequencies ONCE, then vocab-sized
+      // count/pick/rewrite rounds with per-round checkpoints
+      TextOps.bpeMergeLoop(Tables.documents(s, d), "doc_id", "text", 8, 2L)),
     "e15_frame_sample" -> ((s, d) =>
       Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
     "e17_dup_clusters" -> ((s, d) =>
@@ -3137,6 +3142,45 @@ object SparkEntry {
           SELECT pair, pair_count,
             row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
           FROM pc""",
+    // e60: the 8-round merge loop UNROLLED — each round is (pair
+    // count over the vocab state, top-1 with e49's tie order, literal
+    // double-replace rewrite). The rewrite string ops are the same two
+    // replace() calls the Spark side runs (non-overlapping
+    // left-to-right; the second pass catches the never-adjacent sites
+    // whose boundary space the first pass consumed), so the vocab
+    // states — and therefore every round's winner — cannot drift.
+    // A round whose best pair misses minCount yields an empty t-CTE,
+    // every later round then repeats empty (vocab unchanged), and the
+    // union simply carries fewer rows — the Spark early-stop exactly
+    "e60_bpe_merge_loop" -> {
+      val nRounds = 8
+      val rounds = (1 to nRounds).map { r =>
+        s"""p$r AS (SELECT s[i] || ' ' || s[i + 1] AS pair, c
+            FROM (SELECT s, c, unnest(range(1, len(s))) AS i
+                  FROM (SELECT string_split(trim(w, ' '), ' ') AS s, c FROM v${r - 1})
+                  WHERE len(s) >= 2)),
+          t$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pc
+            FROM p$r GROUP BY 1 HAVING sum(c) >= 2
+            ORDER BY pc DESC, pair LIMIT 1),
+          v$r AS (SELECT CASE WHEN t.pair IS NULL THEN v.w
+              ELSE replace(replace(v.w,
+                     ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' '),
+                     ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' ')
+            END AS w, v.c
+            FROM v${r - 1} v LEFT JOIN t$r t ON true)"""
+      }.mkString(",\n          ")
+      val union = (1 to nRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, pair, pc AS pair_count FROM t$r")
+        .mkString("\n          UNION ALL ")
+      s"""WITH tok AS (SELECT unnest(string_split($normSql, ' ')) AS word
+            FROM documents),
+          wf AS (SELECT word, count(*) AS c FROM tok
+            WHERE length(word) > 0 GROUP BY 1),
+          v0 AS (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' _ ' AS w, c
+            FROM wf),
+          $rounds
+          $union"""
+    },
     // seen side reduces to its DISTINCT md5 set; batch self-dedup keeps
     // the min-id row with arg_min-carried attrs (id unique → exact).
     // NOT EXISTS, not NOT IN: a null hash (null text) must behave like

@@ -406,6 +406,82 @@ object TextOps {
         Window.orderBy(col("pair_count").desc, col("pair").asc)).cast("long"))
   }
 
+  /** Full BPE merge LOOP (round 10) — the N-iteration tokenizer build
+    * [[bpePairCounts]] documents the recipe for (Sennrich et al. 2016):
+    * the corpus reduces ONCE to the word-frequency table, and every
+    * merge round after that is vocab-sized — count adjacent symbol
+    * pairs weighted by word frequency, take the most frequent (ties on
+    * the pair string, the e49 rank order), rewrite the vocab applying
+    * the merge, repeat. Emits the merge table a tokenizer trainer
+    * persists: (merge_rank, pair, pair_count), stopping early when no
+    * pair reaches `minCount`.
+    *
+    * Vocab representation: each word is a single-space-joined symbol
+    * string padded with boundary spaces (" h e l l o _ "), so a merge
+    * of pair "x y" is a LITERAL string replace of " x y " with " xy "
+    * — applied twice, because one non-overlapping left-to-right
+    * replace pass consumes the shared boundary space between ADJACENT
+    * merge sites and misses the second of any adjacent pair; missed
+    * sites are never adjacent to each other (each one's predecessor
+    * matched, by definition), so the second pass catches them all and
+    * double-replace is exactly Sennrich's greedy regex-sub semantics.
+    * Both engines run the same two `replace` calls on the same
+    * strings, so vocab states cannot drift (the oracle unrolls the
+    * same rounds in SQL). The per-round top-1 collect is one bounded
+    * row (the Components.scala precedent), and the per-round lazy
+    * localCheckpoint stops plan growth across rounds — the same
+    * trade e17's label propagation makes.
+    *
+    * Scale shape: one corpus-sized two-level aggregate total (the
+    * word-frequency reduction, §8 rule 1), checkpointed so NO round
+    * re-reads the corpus; each round then costs one aggregate + one
+    * projection over the VOCAB table, which is corpus-size-independent
+    * (100 TB of text and 100 GB of text have comparable vocabularies). */
+  def bpeMergeLoop(docs: DataFrame, idCol: String, textCol: String,
+                   nMerges: Int, minCount: Long): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000, s"nMerges $nMerges out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("word"))
+      .agg(sum(col("__tf")).as("c"))
+    // the ONLY corpus-derived table; checkpointed so the loop's
+    // per-round actions replay vocab blocks, never the corpus scan
+    var vocab = wordFreq.select(
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" _ ")).as("w"),
+        col("c"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      r += 1
+      val top = vocab
+        .select(explode(graft.functions.StringExpressions.shingleStrings(
+          trim(col("w")), 2)).as("pair"), col("c"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("pc"))
+        .filter(col("pc") >= minCount)
+        .orderBy(col("pc").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        val pc = top(0).getLong(1)
+        merges += ((r.toLong, pair, pc))
+        val pat = lit(s" $pair ")
+        val rep = lit(s" ${pair.replace(" ", "")} ")
+        vocab = vocab
+          .withColumn("w", replace(replace(col("w"), pat, rep), pat, rep))
+          .localCheckpoint(false)
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "pair_count")
+  }
+
   /** Per-doc top-k terms by TF-IDF — the keyword/vocabulary projection
     * of the corpus (classic two-pass scheme: per-doc term counts, then
     * corpus-wide document frequencies, idf = ln(N/df)). The scalar doc

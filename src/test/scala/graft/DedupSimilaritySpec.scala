@@ -361,6 +361,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pruned == Set("lo", "ow", "w_"))
   }
 
+  test("bpeMergeLoop matches an independent scalar BPE trainer round for round") {
+    // scalar reference: explicit greedy left-to-right merge over
+    // symbol VECTORS (not the string-replace trick the operator uses)
+    def refBpe(words: Seq[(String, Long)], n: Int,
+               minCount: Long): Seq[(Long, String, Long)] = {
+      var vocab = words.map { case (w, c) =>
+        (w.map(_.toString).toVector :+ "_") -> c }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      var r = 0
+      var stop = false
+      while (r < n && !stop) {
+        r += 1
+        val pc = scala.collection.mutable.Map.empty[String, Long]
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          pc(p) = pc.getOrElse(p, 0L) + c
+        }
+        val cands = pc.filter(_._2 >= minCount)
+        if (cands.isEmpty) stop = true
+        else {
+          val (pair, cnt) = cands.minBy { case (p, c) => (-c, p) }
+          out += ((r.toLong, pair, cnt))
+          val Array(x, y) = pair.split(" ")
+          vocab = vocab.map { case (syms, c) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+                b += (x + y); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result() -> c
+          }
+        }
+      }
+      out.toSeq
+    }
+    // the Sennrich corpus shape + adjacent-overlap words ("aaaa"
+    // exercises the double-replace boundary-space subtlety: the first
+    // pass merges sites 1 and 3, the second finds none/odd remainders)
+    val corpus = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest widest"),
+      (4L, "aaaa aaaa aaa ababab"))
+    val df = corpus.toDF("doc_id", "text")
+    val wordFreq = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }.toSeq
+    for (nMerges <- Seq(3, 8, 12); minCount <- Seq(1L, 3L)) {
+      val expected = refBpe(wordFreq, nMerges, minCount)
+      val got = TextOps.bpeMergeLoop(df, "doc_id", "text", nMerges, minCount)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == expected, s"n=$nMerges minCount=$minCount:\n$got\nvs\n$expected")
+    }
+    // early stop: an impossible threshold yields an empty merge table
+    assert(TextOps.bpeMergeLoop(df, "doc_id", "text", 5, 1000L).count() == 0)
+  }
+
   test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
     val d = Seq(
       (1L, "common zebra zebra zebra", "en", "s"),

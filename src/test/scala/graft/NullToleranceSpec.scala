@@ -329,6 +329,10 @@ class NullToleranceSpec extends SparkSpec {
     // c29: same window contract — every series here is too short
     assert(graft.timeseries.Forecast.holtWintersForecast(ev, "event_type", "ts",
       "event_id", "value", 0.5, 0.25, 0.5, 24, 48, Seq(1)).count() == 0)
+    // e60: null/empty/short docs contribute no words; the loop still
+    // terminates and emits at most n merges
+    assert(graft.text.TextOps.bpeMergeLoop(docs, "doc_id", "text", 4, 1L)
+      .count() <= 4)
     val drift = graft.streaming.Streams.windowedDrift(ev, "ts", "event_type",
       Seq("a", "b"), Seq("a" -> 5L, "b" -> 3L, "__other__" -> 1L))
       .collect()
