@@ -23,6 +23,43 @@ object SparkEntry {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** f12's funnel steps — shared by the query and the generated oracle. */
+  private val f12Steps = Seq("signup", "view", "click", "purchase")
+
+  /** The d19 anchor-chain funnel as generated SQL, parameterized on
+    * (steps, window) so f12's k=4 twin shares the proven shape with
+    * d19's hand-written k=3 oracle (verified equivalent on d19's
+    * constants). */
+  private def windowFunnelOracleSql(steps: Seq[String], window: Long): String = {
+    val k = steps.size
+    val chain = (2 to k).map { j =>
+      s""",
+       a$j AS (SELECT *, CASE WHEN event_type = '${steps(j - 1)}'
+             AND t <= max(a${j - 1}) OVER w + $window THEN max(a${j - 1}) OVER w END AS a$j
+         FROM a${j - 1} WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"""
+    }.mkString
+    val deepest = (1 to k).map(j =>
+      s"max(CASE WHEN a$j IS NOT NULL THEN $j END)").mkString(",\n           ")
+    val hist = (1 to k).map(j =>
+      s"count(*) FILTER (WHERE deepest >= $j) AS n$j").mkString(",\n           ")
+    val sel = (1 to k).map { j =>
+      if (j == 1)
+        s"SELECT CAST(1 AS BIGINT) AS step, '${steps.head}' AS step_name, n1 AS n_users FROM h"
+      else s"SELECT CAST($j AS BIGINT), '${steps(j - 1)}', n$j FROM h"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH base AS (SELECT user_id, event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, event_type
+         FROM events WHERE ts IS NOT NULL
+           AND event_type IN (${steps.map(s => s"'$s'").mkString(", ")})),
+       a1 AS (SELECT *, CASE WHEN event_type = '${steps.head}' THEN t END AS a1 FROM base)$chain,
+       d AS (SELECT user_id, greatest(
+           $deepest) AS deepest
+         FROM a$k GROUP BY 1),
+       h AS (SELECT $hist FROM d)
+       $sel"""
+  }
+
   /** f11's published reference distribution (config, registry-shaped):
     * category → baseline count over eventTypes :+ __other__. The same
     * constants build the Spark expressions AND the oracle SQL. */
@@ -904,6 +941,13 @@ object SparkEntry {
       // stream; twin = windowedDriftStream
       Streams.windowedDrift(Tables.events(s, d), "ts", "event_type",
         eventTypes, f11RefCounts)),
+    "f12_stream_funnel" -> ((s, d) =>
+      // batch contract of the STREAMING funnel twin
+      // (Streams.windowFunnelStream): d19's greedy anchor-chain
+      // semantics at k=4 (signup→view→click→purchase within 2 h);
+      // StreamsSpec pins stream/batch parity and the late-data drop
+      Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", f12Steps, 7200L)),
     "f8_stream_upsert" -> ((s, d) => {
       // the REAL streaming machinery end-to-end (not the batch twin):
       // events land as a file-source stream, foreachBatch upserts the
@@ -3484,6 +3528,9 @@ object SparkEntry {
        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n1 AS n_users FROM h
        UNION ALL SELECT CAST(2 AS BIGINT), 'click', n2 FROM h
        UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n3 FROM h""",
+    // f12: the same anchor-chain shape GENERATED at k=4 from the very
+    // steps/window constants the query passes (the c28/f11 discipline)
+    "f12_stream_funnel" -> windowFunnelOracleSql(f12Steps, 7200L),
     // e55: the e2 candidate CTEs + exact shingle-Jaccard verify
     // (mirrored poly hashes, the e52 contract) + (least, greatest)
     // source attribution

@@ -463,6 +463,92 @@ object Streams {
       }
   }
 
+  case class FunnelEvent(user: Long, ts: java.sql.Timestamp, id: Long,
+                         eventType: String)
+  case class FunnelState(anchors: Seq[Long], emitted: Int)
+  case class FunnelReach(user: Long, step: Long, stepName: String)
+
+  /** Streaming twin of d19's ordered window funnel
+    * ([[graft.analytics.Analytics.windowFunnel]]) via
+    * flatMapGroupsWithState: per user, emit a (user, step) REACH row
+    * the first time the user's ordered chain
+    * steps(0) < … < steps(k-1), all within `windowSeconds` of its
+    * first step, deepens to that step — the downstream per-step
+    * distinct-user count is exactly the batch histogram.
+    *
+    * State is BOUNDED at k anchors + one emitted-depth int per user:
+    * anchors(0) is the latest step-1 event time, anchors(j) the
+    * greedy running-max step-1 anchor of the best chain reaching step
+    * j+1 — the same monotone-anchor argument that makes the batch
+    * window pass exact (d19's scaladoc) carries over verbatim because
+    * events are folded in (ts, id) order: each event reads the
+    * anchors BEFORE applying its own update, which is precisely the
+    * batch form's strictly-preceding window frame. Within a
+    * micro-batch the group sorts by (ts, id), so a stream fed in
+    * event-time order emits exactly the batch form's reach set (the
+    * f9 parity convention).
+    *
+    * Event-time timeout: a chain anchor can never validate a future
+    * step once the watermark passes anchor + window (future events
+    * carry ts ≥ watermark), so state times out at the newest anchor's
+    * validity horizon and is removed. After an eviction a RE-reach of
+    * an already-emitted depth through a fresh chain re-emits — reach
+    * rows are at-least-once across state lifetimes, which the
+    * distinct-user aggregate absorbs. Late-data contract
+    * (StreamsSpec): rows below the watermark drop BEFORE the operator
+    * — admitting one could deepen a chain whose anchors were already
+    * evicted, making output arrival-order-dependent; the batch form
+    * absorbs them on re-run. */
+  def windowFunnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                         windowSeconds: Long,
+                         watermarkDelay: String = "0 seconds"): Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val k = steps.size
+    val UNSET = Long.MinValue
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .filter(e => e.ts != null && e.eventType != null && stepIdx.contains(e.eventType))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(FunnelState(Seq.fill(k)(UNSET), 0))
+            val anchors = st.anchors.toArray
+            var emitted = st.emitted
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelReach]
+            it.toSeq.sortBy(e => (e.ts.getTime, e.id)).foreach { e =>
+              val t = e.ts.getTime / 1000
+              val j = stepIdx(e.eventType)
+              if (j == 0) {
+                if (t > anchors(0)) anchors(0) = t
+              } else {
+                val run = anchors(j - 1)
+                if (run != UNSET && t <= run + windowSeconds && run > anchors(j))
+                  anchors(j) = run
+              }
+              var deepest = 0
+              var i = 0
+              while (i < k) { if (anchors(i) != UNSET) deepest = i + 1; i += 1 }
+              while (emitted < deepest) {
+                emitted += 1
+                out += FunnelReach(user, emitted.toLong, steps(emitted - 1))
+              }
+            }
+            if (anchors.exists(_ != UNSET)) {
+              state.update(FunnelState(anchors.toSeq, emitted))
+              val horizon = (anchors.max + windowSeconds) * 1000
+              state.setTimeoutTimestamp(
+                math.max(horizon, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(key: Long, sessionStart: Long, sessionEnd: Long, n: Long, sum: Double)

@@ -319,6 +319,91 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("f12 windowFunnelStream: reach rows aggregate to the batch funnel histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // user 7: full in-window chain; user 8: click precedes any view
+    // (ordered semantics must reject); user 9: chain whose purchase
+    // falls outside the window of its FIRST step but a LATER view
+    // re-anchors a valid chain (the greedy running-max case);
+    // user 10: reaches depth 2 only
+    def fe(id: Long, t: String, u: Long, typ: String) =
+      Streams.FunnelEvent(u, Timestamp.valueOf(t), id, typ)
+    val feed = Seq(
+      fe(1L, "2024-01-01 10:00:00", 7L, "view"),
+      fe(2L, "2024-01-01 10:05:00", 7L, "click"),
+      fe(3L, "2024-01-01 10:20:00", 7L, "purchase"),
+      fe(4L, "2024-01-01 10:00:00", 8L, "click"),
+      fe(5L, "2024-01-01 10:10:00", 8L, "purchase"),
+      fe(6L, "2024-01-01 09:00:00", 9L, "view"),
+      fe(7L, "2024-01-01 10:30:00", 9L, "view"), // re-anchor
+      fe(8L, "2024-01-01 10:40:00", 9L, "click"),
+      fe(9L, "2024-01-01 10:50:00", 9L, "purchase"),
+      fe(10L, "2024-01-01 11:00:00", 10L, "view"),
+      fe(11L, "2024-01-01 11:05:00", 10L, "click"))
+    val batchDf = feed.map(e => (e.id, e.ts, e.user, e.eventType))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = graft.analytics.Analytics.windowFunnel(batchDf, "user_id", "ts",
+      "event_id", "event_type", steps, 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(batch == Seq((1L, 3L), (2L, 3L), (3L, 2L)), s"batch sanity: $batch")
+
+    val input = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.windowFunnelStream(input.toDS(), steps, 1800L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funneltest").start()
+    try {
+      // fed in event-time order across two micro-batches — state
+      // (anchors + emitted depth) must carry across the boundary
+      val (b1, b2) = feed.sortBy(e => (e.ts.getTime, e.id)).splitAt(6)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val hist = spark.table("funneltest").as[Streams.FunnelReach]
+        .groupBy("step").agg(countDistinct("user").as("n_users"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(hist == batch, s"stream $hist vs batch $batch")
+      val rows = spark.table("funneltest").as[Streams.FunnelReach].collect()
+      // the documented at-least-once contract across state lifetimes,
+      // pinned: user 9's 09:00 anchor state hit its event-time horizon
+      // (09:30 < watermark 10:20 after batch 1) and was evicted, so the
+      // 10:30 re-anchor opens a fresh lifetime and re-emits depth 1 —
+      // the ONLY duplicate; within a lifetime every reach is
+      // exactly-once (users 7, 8, 10 never evict here)
+      val dups = rows.groupBy(r => (r.user, r.step)).filter(_._2.length > 1).keys
+      assert(dups.toSet == Set((9L, 1L)), s"unexpected duplicates: $dups")
+      assert(rows.forall(r => r.stepName == steps(r.step.toInt - 1)))
+    } finally q.stop()
+  }
+
+  test("f12 windowFunnelStream: a below-watermark event never deepens an evicted chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click")
+    def fe(id: Long, epochSec: Long, u: Long, typ: String) =
+      Streams.FunnelEvent(u, new Timestamp(epochSec * 1000), id, typ)
+    val input = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.windowFunnelStream(input.toDS(), steps, 600L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnellate").start()
+    try {
+      input.addData(fe(1L, 1000L, 7L, "view"))
+      q.processAllAvailable()
+      // another user's event drives the watermark far past 1000+600:
+      // user 7's anchor state times out and is evicted
+      input.addData(fe(2L, 100000L, 8L, "view"))
+      q.processAllAvailable()
+      // user 7's click at t=1200 is below the watermark → dropped
+      // before the operator; admitting it would deepen a chain whose
+      // anchors no longer exist (arrival-order-dependent output)
+      input.addData(fe(3L, 1200L, 7L, "click"))
+      q.processAllAvailable()
+      val reaches = spark.table("funnellate").as[Streams.FunnelReach].collect()
+      assert(reaches.map(r => (r.user, r.step)).toSet ==
+        Set((7L, 1L), (8L, 1L)), s"got ${reaches.toSeq}")
+    } finally q.stop()
+  }
+
   test("f9 rateCap keeps the first N per (key, window), batch and stream agree") {
     // user 7, hour 10: four events → cap 2 keeps the two earliest by
     // (ts, id); hour 11 opens a fresh budget; user 8 independent
