@@ -518,6 +518,16 @@ object SparkEntry {
       graft.vector.Cluster.annIvfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 8, 2, 3, 5)
     }),
+    "e61_pq_ann" -> ((s, d) => {
+      // product-quantization ADC shortlist (16 subspaces × 16
+      // codewords over the 64-dim embeddings — 16x code compression)
+      // + exact re-rank of the 50-deep shortlist; rows-only — recall
+      // + lossless-exactness specs gate quality (the b11/b13
+      // exemption class)
+      val emb = Tables.embeddings(s, d)
+      graft.vector.Cluster.pqAnnTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 16, 16, 2, 5, 50)
+    }),
     "e8_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "e9_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "e48_shuffle_shard" -> ((s, d) =>

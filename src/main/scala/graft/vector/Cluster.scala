@@ -127,6 +127,102 @@ object Cluster {
         element_at(typedLit(ids), nearestCluster(col("v"), centArr) + 1))
   }
 
+  /** Product-quantization ANN top-k (round 10; Jégou et al. 2011) —
+    * the standard next 10× memory step past e27's int8: each vector
+    * splits into `m` subvectors, each subspace gets its own
+    * `ksub`-codeword k-means codebook (the [[fitCentroids]] machinery
+    * on sliced vectors — same deterministic seeding and 1e-6 centroid
+    * rounding), and a vector stores only its m codeword ids: at
+    * m=8/ksub=256 a 64-dim float vector compresses 32× to 8 bytes.
+    *
+    * Scoring is ADC (asymmetric distance): the query stays exact and
+    * scores against the corpus RECONSTRUCTION x̂ = concat of the m
+    * codewords. Spark-first form: the codebooks (m·ksub·dsub doubles —
+    * driver-held, broadcast-sized) embed as literals, so encoding is
+    * a NARROW per-row argmin per subspace (codegen'd
+    * [[VectorExpressions.nearestCentroid]] on a native slice — zero
+    * shuffle) and scoring reuses the codegen'd arrayDot against x̂,
+    * which computes bit-for-bit the ADC sum Σ_s ⟨q_s, c_s⟩ (same
+    * left-to-right dimension order) without the per-pair interpreted
+    * lookup loop a literal LUT translation would cost in the JVM.
+    * Cosine uses ‖x̂‖ (the PQ norm estimate). Top-k per query over the
+    * whole encoded corpus — a 10-query probe scans N·m byte-codes the
+    * way a GPU ADC kernel would; compose with [[annIvfTopK]]'s cell
+    * probing to cut the scan at billion-vector scale (IVF-PQ).
+    *
+    * ADC alone ranks with quantization error, so the operator runs the
+    * standard two-stage form (Jégou et al. §V): ADC selects a
+    * `rerank`-deep shortlist per query (the cheap scan over 8-byte
+    * codes — this is where the 32× memory win pays), then EXACT cosine
+    * re-ranks only shortlist rows (a broadcast-joined
+    * queries·rerank-row side against the corpus — the corpus never
+    * shuffles). Final cosines are exact; PQ error only costs recall
+    * when a true neighbor misses the shortlist.
+    *
+    * Quality is gated like every ANN here: rows-only (no SQL oracle —
+    * the e7/e13-precedent exemption class) + the e41-style recall@k
+    * spec against [[Similarity.bruteForceTopK]], plus an exactness
+    * property: with ksub ≥ the distinct subvector count the
+    * reconstruction is lossless, the shortlist is the true ranking,
+    * and the output EQUALS brute force. */
+  def pqAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, m: Int, ksub: Int, iters: Int,
+                topK: Int, rerank: Int): DataFrame = {
+    require(rerank >= topK, s"rerank depth $rerank must be >= topK $topK")
+    val dimRow = corpus.select(size(col(vecCol)).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+    require(dimRow.nonEmpty, "corpus has no non-empty vectors")
+    val dim = dimRow(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // one codebook per subspace, fit on the sliced corpus (m bounded
+    // small — the loop is driver-side orchestration of narrow jobs)
+    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { s =>
+      val sub = corpus
+        .select(col(idCol).as("__id"), slice(col(vecCol), s * dsub + 1, dsub).as("sv"))
+        .filter(col("sv").isNotNull)
+      centroidMatrix(collectCentroids(fitCentroids(sub, "__id", "sv", ksub, iters)))
+    }
+    // narrow encode + reconstruct: per subspace, argmin over the
+    // literal codebook, then the codeword array looked up by id
+    def reconstruct(v: Column): Column =
+      concat((0 until m).map { s =>
+        val cb = codebooks(s)
+        element_at(
+          typedLit(cb.map(_.toSeq).toSeq),
+          nearestCluster(slice(v, s * dsub + 1, dsub), cb) + 1)
+      }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(col("cv").isNotNull)
+      .withColumn("rv", reconstruct(col("cv")))
+      .withColumn("rn2", VectorExpressions.arrayNorm2(col("rv")))
+      .select(col("neighbor_id"), col("rv"), col("rn2"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qn2", VectorExpressions.arrayNorm2(col("qv")))
+    // stage 1: ADC shortlist — approximate cosine against x̂ over the
+    // whole encoded corpus, rerank-deep per query
+    val adcDot = VectorExpressions.arrayDot(col("qv"), col("rv"))
+    val adc = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adcDot / (sqrt(col("qn2")) * sqrt(col("rn2"))))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("__ar", row_number().over(wAdc))
+      .filter(col("__ar") <= rerank)
+      .select(col("query_id"), col("qv"), col("qn2"), col("neighbor_id"))
+    // stage 2: exact re-rank — original vectors for shortlist rows only
+    val orig = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ov"))
+      .filter(col("ov").isNotNull)
+      .withColumn("on2", VectorExpressions.arrayNorm2(col("ov")))
+    val exactDot = VectorExpressions.arrayDot(col("qv"), col("ov"))
+    val rescored = orig.join(broadcast(shortlist), Seq("neighbor_id"))
+      .withColumn("cosine", round(exactDot / (sqrt(col("qn2")) * sqrt(col("on2"))), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** IVF ANN top-k: cluster the corpus, probe the `nprobe` nearest
     * cells per query, exact cosine only inside probed cells. */
   def annIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

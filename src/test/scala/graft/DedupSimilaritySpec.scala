@@ -712,6 +712,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.size == exact.size) // full top-k emitted per query
   }
 
+  test("pqAnnTopK: recall vs brute force, lossless case exact, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    // the e41-style recall gate: 8 subspaces × 16 codewords on real
+    // 64-dim embeddings — PQ at this budget must recover a solid
+    // majority of true neighbors
+    val approx = pairs(graft.vector.Cluster.pqAnnTopK(emb, queries,
+      "vec_id", "embedding", 16, 16, 2, 5, 50))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    assert(approx.size == exact.size) // full top-k emitted per query
+    // deterministic: codebooks are seeded + 1e-6-rounded, so a re-run
+    // is identical
+    val again = pairs(graft.vector.Cluster.pqAnnTopK(emb, queries,
+      "vec_id", "embedding", 16, 16, 2, 5, 50))
+    assert(again == approx)
+    // lossless property: a corpus whose per-subspace distinct
+    // subvector count <= ksub reconstructs exactly, so PQ == brute
+    // force including the cosine values (dims 4, m=2, 3 distinct
+    // subvectors per subspace, ksub=8)
+    import spark.implicits._
+    val small = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.5f, 0.5f)),
+      (1L, Seq(0.0f, 1.0f, 0.5f, 0.5f)),
+      (2L, Seq(1.0f, 1.0f, 0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (4L, Seq(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sq = small.filter(col("vec_id") < 2)
+    val pqSmall = graft.vector.Cluster.pqAnnTopK(small, sq,
+        "vec_id", "embedding", 2, 8, 3, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val bfSmall = Similarity.bruteForceTopK(small, sq, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(pqSmall == bfSmall, s"lossless PQ drifted: $pqSmall vs $bfSmall")
+  }
+
   test("kmeans centroids partition the corpus deterministically") {
     val emb = Tables.embeddings(spark, sf)
     val cents = graft.vector.Cluster.fitCentroids(emb, "vec_id", "embedding", 4, 2)

@@ -34,11 +34,14 @@ class InventorySpec extends SparkSpec {
     assert(phantom.isEmpty, s"in SURVEY §2 but not registered: $phantom")
   }
 
-  test("every query is oracled except the two approximation sketches") {
-    val rowsOnly = Set("b11_value_stats_approx", "b13_approx_distinct")
+  test("every query is oracled except the designed approximation set") {
+    // b11/b13: sketch ops whose POINT is approximation (error-bound
+    // specs instead); e61: PQ ANN, the e7/e13-precedent quality-gated
+    // class (recall + lossless-exactness specs instead)
+    val rowsOnly = Set("b11_value_stats_approx", "b13_approx_distinct", "e61_pq_ann")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
-      s"queries without an oracle beyond the designed rows-only pair: ${unoracled -- rowsOnly}")
+      s"queries without an oracle beyond the designed rows-only set: ${unoracled -- rowsOnly}")
     val danglingOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(danglingOracles.isEmpty, s"oracles without a query: $danglingOracles")
   }

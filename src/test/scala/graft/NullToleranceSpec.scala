@@ -82,6 +82,10 @@ class NullToleranceSpec extends SparkSpec {
     // ANN paths must not crash on null vectors either
     Similarity.annLshTopK(emb, emb.filter($"vec_id" === 1L),
       "vec_id", "embedding", 8, 2, 2).collect()
+    // e61: null vectors drop from codebook fit, encode, and queries
+    val pq = graft.vector.Cluster.pqAnnTopK(emb, emb, "vec_id", "embedding",
+      2, 4, 2, 2, 2).collect()
+    assert(pq.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
   }
 
   test("round-7 operators tolerate null/empty/degenerate inputs") {
