@@ -419,6 +419,12 @@ object SparkEntry {
       // sort, chained running-max anchors, zero self-joins
       Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", Seq("view", "click", "purchase"), 3600L)),
+    "d20_order_lifecycle" -> ((s, d) =>
+      // Q21-style: suppliers who were the ONLY late shipper on a
+      // multi-supplier 'F' order — both EXISTS quantifiers collapse
+      // into one per-order aggregate; zero fact re-scans
+      Analytics.orderLifecycle(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d), 60, 100)),
 
     // ---------------- E. LLM-data operators ----------------
     "e1_exact_dedup" -> ((s, d) =>
@@ -3761,6 +3767,27 @@ object SparkEntry {
              AND n_word_chars <= n_words * 10 AND n_symbols * 10 <= n_words
              AND n_alpha_words * 5 >= n_words * 4 AND n_stop_kinds >= 2 AS keep
          FROM m""",
+    // d20: the two EXISTS quantifiers as one per-order aggregate —
+    // n_supp >= 2 is "EXISTS another supplier", n_late = 1 is
+    // "NOT EXISTS another late supplier" (and names the waiter);
+    // LIMIT total-ordered by (numwait desc, s_name, s_suppkey)
+    "d20_order_lifecycle" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F' AND l_orderkey IS NOT NULL
+           AND l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+         GROUP BY 1, 2),
+        po AS (SELECT l_orderkey, count(*) AS n_supp,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+         FROM ps GROUP BY 1),
+        w AS (SELECT late_supp AS s_suppkey, count(*) AS numwait
+         FROM po WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1)
+        SELECT w.s_suppkey, s.s_name, numwait
+        FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        ORDER BY numwait DESC, s_name, w.s_suppkey LIMIT 100""",
     // d15: the LIMIT cutoff is deterministic — (n_orders desc,
     // part_a, part_b) totally orders the unique pairs
     "d15_part_pair_counts" ->

@@ -590,4 +590,50 @@ object Analytics {
           .as("lift"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
+
+  /** Q21-style order-lifecycle report (round 10): suppliers who were
+    * the ONLY late shipper on a multi-supplier finalized order, ranked
+    * by how many orders they alone kept waiting — the classic TPC-H
+    * multi-EXISTS/NOT-EXISTS composition (EXISTS another supplier on
+    * the order; NOT EXISTS another LATE supplier). This corpus carries
+    * no receipt/commit dates, so "late" is l_shipdate more than
+    * `lateDays` past the order date.
+    *
+    * Aggregate-first (the d9/d16 discipline), no EXISTS branch
+    * re-scans the fact table: the naive SQL self-joins lineitem twice
+    * (once per EXISTS), but both quantifiers are functions of one
+    * per-order aggregate — a supplier S waits on order O iff S shipped
+    * late on O, O has ≥ 2 suppliers, and O's late-supplier count is
+    * exactly 1 (then the max-late-supplier-key IS S). So: one
+    * fact-fact equi-join lineitem⋈orders on the order key (both sides
+    * pre-filtered and column-pruned; bucket both on the order key at
+    * 100 TB and it is co-located), a two-level (order, supplier) →
+    * order aggregate, a broadcast supplier-dim join for names, and a
+    * supplier-level count. The LIMIT cutoff is total-ordered by
+    * (numwait desc, s_name, s_suppkey). */
+  def orderLifecycle(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+                     lateDays: Int, topN: Int): DataFrame = {
+    val ordF = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = lineitem
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull &&
+        col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perSupp = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
+        .otherwise(0L)).as("__late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__n_supp"),
+        sum(col("__late")).as("__n_late"),
+        max(when(col("__late") === 1L, col("l_suppkey"))).as("__late_supp"))
+    perOrder.filter(col("__n_supp") >= 2 && col("__n_late") === 1L)
+      .groupBy(col("__late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+      .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
+      .limit(topN)
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
 }

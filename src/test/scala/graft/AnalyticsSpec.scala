@@ -303,4 +303,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(nat)._2 == n80.toLong, s"$nat: got ${out(nat)._2}, brute $n80")
     assert(out(nat)._1 == revs.length.toLong)
   }
+
+  test("orderLifecycle: only-late supplier on multi-supplier F orders, boundary exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(d + " 00:00:00")
+    // order 1 (F): supp 10 late; supp 20 ships EXACTLY +60d (boundary,
+    //   strict > means on time) -> 10 is the only late -> waits
+    // order 2 (F): both late -> NOT EXISTS fails -> nobody
+    // order 3 (F): single supplier late -> EXISTS fails -> nobody
+    // order 4 (O): would qualify but not finalized -> excluded
+    // order 5 (F): supp 20 has one on-time AND one late line (max
+    //   collapses to late); supp 30 on time -> 20 waits
+    // order 6 (F): null-suppkey late line ignored; 30 alone -> nobody
+    val li = Seq(
+      (Some(1L), Some(10L), ts("2024-04-01")),
+      (Some(1L), Some(20L), ts("2024-03-01")), // +60d exactly
+      (Some(2L), Some(10L), ts("2024-04-01")),
+      (Some(2L), Some(20L), ts("2024-04-01")),
+      (Some(3L), Some(10L), ts("2024-04-01")),
+      (Some(4L), Some(10L), ts("2024-04-01")),
+      (Some(4L), Some(20L), ts("2024-01-15")),
+      (Some(5L), Some(20L), ts("2024-01-20")),
+      (Some(5L), Some(20L), ts("2024-05-01")),
+      (Some(5L), Some(30L), ts("2024-01-20")),
+      (Some(6L), None: Option[Long], ts("2024-05-01")),
+      (Some(6L), Some(30L), ts("2024-01-20"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Seq(
+      (1L, "F", ts("2024-01-01")), (2L, "F", ts("2024-01-01")),
+      (3L, "F", ts("2024-01-01")), (4L, "O", ts("2024-01-01")),
+      (5L, "F", ts("2024-01-01")), (6L, "F", ts("2024-01-01"))
+    ).toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val supp = Seq((10L, "Supp#10"), (20L, "Supp#20"), (30L, "Supp#30"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.orderLifecycle(li, ord, supp, 60, 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((10L, "Supp#10", 1L), (20L, "Supp#20", 1L)), out.toString)
+    // the topN cutoff is honored and total-ordered
+    val top1 = Analytics.orderLifecycle(li, ord, supp, 60, 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(10L))
+  }
 }
