@@ -34,7 +34,11 @@ class PlanSnapshotSpec extends SparkSpec {
     .replaceAll("#\\d+", "#N")
     .replaceAll("plan_id=\\d+", "plan_id=N")
     .replaceAll("\\bid=#?\\d+", "id=N")
-    .replaceAll("@[0-9a-fA-F]{6,}", "@x")
+    // identity hashes are usually 6-8 hex chars but CAN be shorter
+    // (observed live: [[D@62a78 — 5 chars — survived {6,} and made the
+    // e59 snapshot flaky across JVMs); 3+ plus the object-ref context
+    // ("@" after a type tag) keeps this from eating legitimate tokens
+    .replaceAll("@[0-9a-fA-F]{3,}", "@x")
     .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
     .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
     .replaceAll("(file:)?/[-A-Za-z0-9_./]*(testdata|graft_sources|graft_warehouse|graft_maintained|tmp)[-A-Za-z0-9_./]*", "PATH")
