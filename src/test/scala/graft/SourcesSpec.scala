@@ -503,6 +503,18 @@ class SourcesSpec extends SparkSpec {
     // the in-flight slot publishes cleanly after GC
     val v3 = Sources.appendVersion(Seq((3L, "c")).toDF("id", "s"), spark, tB)
     assert(v3 == 3L)
+    // lease contention: a live writer's lease makes retention fail
+    // fast instead of interleaving with the publish
+    val tD = java.nio.file.Files.createTempDirectory("graft_gc_d").toString + "/t"
+    Sources.overwriteVersion(Seq((1L, "a")).toDF("id", "s"), spark, tD)
+    val fsD = new org.apache.hadoop.fs.Path(tD).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val tok = graft.sources.LandingLease.acquire(fsD, tD, 60000L)
+    intercept[graft.sources.LandingLease.ConcurrentLandingException] {
+      Sources.retainVersions(spark, tD, 1)
+    }
+    graft.sources.LandingLease.release(fsD, tD, tok)
+    assert(Sources.retainVersions(spark, tD, 1) == (Seq.empty, Seq.empty))
     // crash mid-GC: manifests deleted but data dirs not yet — simulate
     // by hand-deleting the expired manifest, leaving v2's dir orphaned
     val tC = java.nio.file.Files.createTempDirectory("graft_gc_c").toString + "/t"
