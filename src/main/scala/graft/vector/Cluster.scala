@@ -167,8 +167,9 @@ object Cluster {
     * and the output EQUALS brute force. */
   def pqAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, m: Int, ksub: Int, iters: Int,
-                topK: Int, rerank: Int): DataFrame = {
+                topK: Int, rerank: Int, fitSample: Long = 100000L): DataFrame = {
     require(rerank >= topK, s"rerank depth $rerank must be >= topK $topK")
+    require(fitSample >= ksub, s"fitSample $fitSample must cover ksub $ksub")
     val dimRow = corpus.select(size(col(vecCol)).as("d"))
       .filter(col("d") > 0).limit(1).collect()
     require(dimRow.nonEmpty, "corpus has no non-empty vectors")
@@ -182,8 +183,22 @@ object Cluster {
     // rounded mean update) but cost m·(1+iters) Spark jobs of pure
     // scheduling overhead — measured 12.3 s at sf0.1 where this fused
     // form pays 1 seed job + `iters` aggregate jobs total.
-    val seedRows = corpus.select(col(idCol).as("__id"), asDouble(vecCol).as("v"))
+    // codebooks fit on a deterministic hash-mod SAMPLE of the corpus
+    // (~fitSample rows): a 16×16 codebook estimates m·ksub·dsub means,
+    // for which 1e5 vectors saturate — running Lloyd's over all N is
+    // pure waste at scale (the per-iteration update explodes every fit
+    // row into dim cells: sf10 measured 384M exploded rows per
+    // iteration un-sampled vs 6.4M sampled). Encoding and scoring
+    // still cover the FULL corpus.
+    val allRows = corpus.select(col(idCol).as("__id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
+    val nRows = allRows.count()
+    val keepEvery = math.max(1L, nRows / fitSample)
+    val fitRows =
+      if (keepEvery == 1L) allRows
+      else allRows.filter(
+        ((col("__id") * lit(2654435761L)) % lit(1000000007L)) % keepEvery === 0)
+    val seedRows = fitRows.select(col("__id"), asDouble("v").as("v"))
       .withColumn("__h", (col("__id") * lit(2654435761L)) % lit(1000000007L))
       .orderBy(col("__h"), col("__id"))
       .limit(ksub)
@@ -197,15 +212,13 @@ object Cluster {
     var codebooks: Seq[Array[Array[Double]]] = (0 until m).map { s =>
       seedRows.map(r => r.slice(s * dsub, (s + 1) * dsub).toArray)
     }
-    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("v"))
-      .filter(col("v").isNotNull)
     for (_ <- 1 to iters) {
       val cbs = codebooks
       // per-row: m narrow argmins (one per subspace, static unroll),
       // then one posexplode + one (subspace, cluster, subdim) average
       val assigns = array((0 until m).map(s =>
         nearestCluster(slice(col("v"), s * dsub + 1, dsub), cbs(s))): _*)
-      val updated = base
+      val updated = fitRows
         .select(assigns.as("__a"), posexplode(col("v")).as(Seq("__dim", "__x")))
         .select((col("__dim") / dsub).cast("int").as("__s"),
           element_at(col("__a"), (col("__dim") / dsub).cast("int") + 1).as("__c"),
