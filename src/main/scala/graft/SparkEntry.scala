@@ -529,10 +529,26 @@ object SparkEntry {
       // codewords over the 64-dim embeddings — 16x code compression)
       // + exact re-rank of the 50-deep shortlist; rows-only — recall
       // + lossless-exactness specs gate quality (the b11/b13
-      // exemption class)
+      // exemption class). Fit-sample sizing comes from the parquet
+      // FOOTER total (§5) — never a count() job.
       val emb = Tables.embeddings(s, d)
       graft.vector.Cluster.pqAnnTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 16, 16, 2, 5, 50)
+        "vec_id", "embedding", 16, 16, 2, 5, 50, 100000L,
+        Some(ParquetStats.rowCount(s, s"$d/embeddings.parquet")))
+    }),
+    "e62_ann_ivfpq" -> ((s, d) => {
+      // the billion-vector composition (FAISS IVFPQ): 8 coarse cells,
+      // 5 probed per query, residual-encoded 16×16 codebooks, salted
+      // ADC shortlist (50) + exact re-rank; rows-only — recall ≥ e61
+      // at equal rerank + lossless-case equality specs gate quality.
+      // The hot-cell guard is sized generously here (the full corpus)
+      // so the operator runs at every SF; the spec plants the
+      // degenerate case that must trip it.
+      val emb = Tables.embeddings(s, d)
+      val n = ParquetStats.rowCount(s, s"$d/embeddings.parquet")
+      graft.vector.Cluster.ivfPqAnnTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 8, 2, 5, 16, 16, 2, 5, 50, 100000L,
+        Some(n), Some(n))
     }),
     "e8_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "e9_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
@@ -1183,7 +1199,9 @@ object SparkEntry {
     * lowest cluster. Exposes `ivf_e(vec_id, v)` and the final
     * centroid relation `c$iters(cluster, cent)`. */
   private def ivfLloydCte(k: Int, iters: Int): String = {
-    val seedH = "(vec_id * 2654435761) % 1000000007"
+    // overflow-safe reduced form, congruent to (vec_id*2654435761)%p —
+    // mirrors Cluster.seedHash exactly (see its scaladoc)
+    val seedH = "((vec_id % 1000000007) * 654435747) % 1000000007"
     val base =
       s"""ivf_e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
           seeds AS (SELECT vec_id,
@@ -3203,11 +3221,13 @@ object SparkEntry {
             row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
           FROM pc""",
     // e60: the 8-round merge loop UNROLLED — each round is (pair
-    // count over the vocab state, top-1 with e49's tie order, literal
-    // double-replace rewrite). The rewrite string ops are the same two
-    // replace() calls the Spark side runs (non-overlapping
-    // left-to-right; the second pass catches the never-adjacent sites
-    // whose boundary space the first pass consumed), so the vocab
+    // count over the vocab state, top-1 with e49's tie order, greedy
+    // rewrite via the doubled-space scheme: double every space so
+    // adjacent merge sites share no boundary char, one literal
+    // " x  y " → " xy " replace = Sennrich's left-to-right greedy
+    // pass, halve the doubles back). The rewrite string ops are the
+    // same three replace() calls the Spark side runs (single-pass,
+    // non-overlapping, left-to-right in both engines), so the vocab
     // states — and therefore every round's winner — cannot drift.
     // A round whose best pair misses minCount yields an empty t-CTE,
     // every later round then repeats empty (vocab unchanged), and the
@@ -3223,9 +3243,10 @@ object SparkEntry {
             FROM p$r GROUP BY 1 HAVING sum(c) >= 2
             ORDER BY pc DESC, pair LIMIT 1),
           v$r AS (SELECT CASE WHEN t.pair IS NULL THEN v.w
-              ELSE replace(replace(v.w,
-                     ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' '),
-                     ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' ')
+              ELSE replace(replace(replace(v.w, ' ', '  '),
+                     ' ' || replace(t.pair, ' ', '  ') || ' ',
+                     ' ' || replace(t.pair, ' ', '') || ' '),
+                     '  ', ' ')
             END AS w, v.c
             FROM v${r - 1} v LEFT JOIN t$r t ON true)"""
       }.mkString(",\n          ")

@@ -417,20 +417,29 @@ object TextOps {
     * pair reaches `minCount`.
     *
     * Vocab representation: each word is a single-space-joined symbol
-    * string padded with boundary spaces (" h e l l o _ "), so a merge
-    * of pair "x y" is a LITERAL string replace of " x y " with " xy "
-    * — applied twice, because one non-overlapping left-to-right
-    * replace pass consumes the shared boundary space between ADJACENT
-    * merge sites and misses the second of any adjacent pair; missed
-    * sites are never adjacent to each other (each one's predecessor
-    * matched, by definition), so the second pass catches them all and
-    * double-replace is exactly Sennrich's greedy regex-sub semantics.
-    * Both engines run the same two `replace` calls on the same
-    * strings, so vocab states cannot drift (the oracle unrolls the
-    * same rounds in SQL). The per-round top-1 collect is one bounded
-    * row (the Components.scala precedent), and the per-round lazy
-    * localCheckpoint stops plan growth across rounds — the same
-    * trade e17's label propagation makes.
+    * string padded with boundary spaces (" h e l l o _ "). The merge
+    * rewrite must be Sennrich's greedy left-to-right non-overlapping
+    * pass, and a naive " x y " → " xy " literal replace is NOT: it
+    * consumes the trailing boundary space, so on an identical-symbol
+    * run (" a a a a a ", which earlier merges produce naturally from
+    * e.g. "ababababab") the scan resumes PAST the third symbol's
+    * leading space and pairs sites (1,2),(4,5) where greedy pairs
+    * (1,2),(3,4) — a second pass cannot repair that (round-10 flaw).
+    * Instead each round transiently DOUBLES every space, so adjacent
+    * sites no longer share a boundary character: one literal replace
+    * of " x  y " → " xy " (consuming only the INNER space of each
+    * boundary) then matches exactly the greedy pairing — after a
+    * match, the right neighbor's outer space is still there to lead
+    * the next match — and halving the double spaces restores the
+    * representation (every boundary is exactly two spaces by
+    * construction, replacement included). Both engines run the same
+    * three literal `replace` calls (single-pass, left-to-right,
+    * non-overlapping in both) on the same strings, so vocab states
+    * cannot drift (the oracle unrolls the same rounds in SQL). The
+    * per-round top-1 collect is one bounded row (the Components.scala
+    * precedent), and the per-round lazy localCheckpoint stops plan
+    * growth across rounds — the same trade e17's label propagation
+    * makes.
     *
     * Scale shape: one corpus-sized two-level aggregate total (the
     * word-frequency reduction, §8 rule 1), checkpointed so NO round
@@ -472,10 +481,15 @@ object TextOps {
         val pair = top(0).getString(0)
         val pc = top(0).getLong(1)
         merges += ((r.toLong, pair, pc))
-        val pat = lit(s" $pair ")
+        // greedy rewrite via the doubled-space scheme (see scaladoc):
+        // " x  y " consumes one space of each boundary, leaving the
+        // neighbors' outer spaces intact for the next match
+        val pat = lit(s" ${pair.replace(" ", "  ")} ")
         val rep = lit(s" ${pair.replace(" ", "")} ")
         vocab = vocab
-          .withColumn("w", replace(replace(col("w"), pat, rep), pat, rep))
+          .withColumn("w",
+            replace(replace(replace(col("w"), lit(" "), lit("  ")), pat, rep),
+              lit("  "), lit(" ")))
           .localCheckpoint(false)
       }
     }

@@ -398,14 +398,19 @@ class DedupSimilaritySpec extends SparkSpec {
       }
       out.toSeq
     }
-    // the Sennrich corpus shape + adjacent-overlap words ("aaaa"
-    // exercises the double-replace boundary-space subtlety: the first
-    // pass merges sites 1 and 3, the second finds none/odd remainders)
+    // the Sennrich corpus shape + adjacent-overlap words: "aaaaa"
+    // (a 5-run of one symbol) and "ababababab" (which becomes a 5-run
+    // of "ab" after the first merge) are the cases where a naive
+    // double-replace diverges from greedy — pass 1 consumes the
+    // boundary space of site (3,4) and pairs (1,2),(4,5) instead of
+    // greedy's (1,2),(3,4); the doubled-space rewrite must match the
+    // scalar trainer on them (the round-10 ADVICE regression)
     val corpus = Seq(
       (1L, "low low low low low"),
       (2L, "lower lower newest newest"),
       (3L, "newest newest newest newest widest widest widest"),
-      (4L, "aaaa aaaa aaa ababab"))
+      (4L, "aaaa aaaa aaa ababab"),
+      (5L, "aaaaa aaaaa ababababab ababababab aaaaaaa"))
     val df = corpus.toDF("doc_id", "text")
     val wordFreq = corpus.flatMap(_._2.split(" ")).groupBy(identity)
       .map { case (w, g) => w -> g.size.toLong }.toSeq
@@ -750,6 +755,78 @@ class DedupSimilaritySpec extends SparkSpec {
     val bfSmall = Similarity.bruteForceTopK(small, sq, "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(pqSmall == bfSmall, s"lossless PQ drifted: $pqSmall vs $bfSmall")
+  }
+
+  test("ivfPqAnnTopK: recall >= plain PQ at equal rerank, lossless case exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val pq = pairs(graft.vector.Cluster.pqAnnTopK(emb, queries,
+      "vec_id", "embedding", 16, 16, 2, 5, 50))
+    // the verdict's e62 gate: residual encoding + 5-of-8 cell probing
+    // must recover at least plain PQ's recall at the SAME rerank depth
+    // (the finer residual quantization pays for the cells not probed;
+    // on this 500-vector corpus the cells are ~60 rows each, so the
+    // probe fraction is generous — at production cell counts nprobe/k
+    // shrinks toward 1-2% while per-cell candidate quality holds)
+    val ivfpq = pairs(graft.vector.Cluster.ivfPqAnnTopK(emb, queries,
+      "vec_id", "embedding", 8, 2, 5, 16, 16, 2, 5, 50))
+    val rPq = (exact & pq).size.toDouble / exact.size
+    val rIvf = (exact & ivfpq).size.toDouble / exact.size
+    assert(rIvf >= rPq, s"IVF-PQ recall $rIvf below plain PQ's $rPq")
+    assert(rIvf >= 0.5, s"IVF-PQ recall $rIvf below the absolute floor")
+    assert(ivfpq.size == exact.size) // full top-k emitted per query
+    // deterministic: seeded coarse quantizer + seeded codebooks,
+    // 1e-6-rounded updates — a re-run is identical
+    val again = pairs(graft.vector.Cluster.ivfPqAnnTopK(emb, queries,
+      "vec_id", "embedding", 8, 2, 5, 16, 16, 2, 5, 50))
+    assert(again == ivfpq)
+    // lossless property: probe EVERY cell and give the codebooks
+    // enough codewords to store each distinct residual subvector
+    // exactly — then reconstruction is lossless, the ADC ranking is
+    // the true ranking, and the output EQUALS brute force including
+    // the cosine values (dims 4, m=2, 2 cells, ksub=8 >= 5 rows)
+    import spark.implicits._
+    val small = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.5f, 0.5f)),
+      (1L, Seq(0.0f, 1.0f, 0.5f, 0.5f)),
+      (2L, Seq(1.0f, 1.0f, 0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (4L, Seq(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sq = small.filter(col("vec_id") < 2)
+    val got = graft.vector.Cluster.ivfPqAnnTopK(small, sq,
+        "vec_id", "embedding", 2, 2, 2, 2, 8, 3, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val bf = Similarity.bruteForceTopK(small, sq, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == bf, s"lossless IVF-PQ drifted: $got vs $bf")
+  }
+
+  test("hot-cell guard fails fast on a degenerate one-cell clustering") {
+    import spark.implicits._
+    // every vector identical -> all corpus rows land in one cell
+    // (argmin ties resolve to the lowest cluster id): without the
+    // guard, cell probing silently degrades to a brute-force scan
+    val degenerate = (0L until 40L).map(i => (i, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val q = degenerate.filter(col("vec_id") < 2)
+    val err = intercept[IllegalArgumentException] {
+      graft.vector.Cluster.ivfPqAnnTopK(degenerate, q, "vec_id", "embedding",
+        4, 1, 2, 2, 4, 1, 3, 5, 100000L, None, maxCellSize = Some(10L))
+    }
+    assert(err.getMessage.contains("maxCellSize"), err.getMessage)
+    assert(err.getMessage.contains("ivfPqAnnTopK"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      graft.vector.Cluster.annIvfTopK(degenerate, q, "vec_id", "embedding",
+        4, 1, 2, 5, maxCellSize = Some(10L))
+    }
+    assert(err2.getMessage.contains("maxCellSize"), err2.getMessage)
+    // the same corpora pass untouched under a generous cap
+    assert(graft.vector.Cluster.annIvfTopK(degenerate, q, "vec_id", "embedding",
+      4, 1, 2, 5, maxCellSize = Some(100L)).count() > 0)
   }
 
   test("kmeans centroids partition the corpus deterministically") {

@@ -36,9 +36,10 @@ class InventorySpec extends SparkSpec {
 
   test("every query is oracled except the designed approximation set") {
     // b11/b13: sketch ops whose POINT is approximation (error-bound
-    // specs instead); e61: PQ ANN, the e7/e13-precedent quality-gated
-    // class (recall + lossless-exactness specs instead)
-    val rowsOnly = Set("b11_value_stats_approx", "b13_approx_distinct", "e61_pq_ann")
+    // specs instead); e61/e62: PQ / IVF-PQ ANN, the e7/e13-precedent
+    // quality-gated class (recall + lossless-exactness specs instead)
+    val rowsOnly = Set("b11_value_stats_approx", "b13_approx_distinct",
+      "e61_pq_ann", "e62_ann_ivfpq")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
       s"queries without an oracle beyond the designed rows-only set: ${unoracled -- rowsOnly}")
