@@ -352,6 +352,17 @@ object SparkEntry {
       // driver-computed weight-vector contract as c28
       Forecast.holtWintersForecast(Tables.events(s, d), "user_id", "ts", "event_id",
         "value", 0.5, 0.25, 0.5, 24, 48, Seq(1, 2, 3))),
+    "c30_seasonal_ridge" -> ((s, d) =>
+      // calendar-feature regression: trend + ridge-shrunken
+      // hour-of-week effects (the LSTM's seq_len=168 feature space),
+      // fit on each key's leading 70%, scored on the held-out 30%
+      Forecast.seasonalRidgeForecast(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value", 7, 10, 10.0)),
+    "c31_holt_winters_damped" -> ((s, d) =>
+      // c29 with phi=0.9 trend damping — the long-horizon saturation
+      // form; same driver-computed weight-vector contract
+      Forecast.holtWintersDampedForecast(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value", 0.5, 0.25, 0.5, 0.9, 24, 48, Seq(1, 2, 3))),
     "c19_scaler_apply" -> ((s, d) => {
       val ev = Tables.events(s, d)
       TimeSeries.applyScaler(ev, TimeSeries.scalerParams(ev, "user_id", "value"),
@@ -1869,6 +1880,70 @@ object SparkEntry {
     "c29_holt_winters" -> {
       val (lw, bw, fws) = graft.timeseries.Forecast.holtWintersWeights(
         0.5, 0.25, 0.5, 24, 48, Seq(1, 2, 3))
+      val dl = dotSql("vals", lw.mkString("[", ", ", "]"))
+      val dt = dotSql("vals", bw.mkString("[", ", ", "]"))
+      val fcols = Seq(1, 2, 3).zip(fws).map { case (h, fw) =>
+        s"round(${dotSql("vals", fw.mkString("[", ", ", "]"))}, 4) AS f_h$h"
+      }.mkString(",\n          ")
+      s"""WITH r AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rd
+          FROM events WHERE value IS NOT NULL),
+        k AS (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY rd ASC) AS vals
+          FROM r WHERE rd <= 48 GROUP BY 1 HAVING count(*) = 48)
+        SELECT user_id, round($dl, 4) AS level, round($dt, 4) AS trend,
+          $fcols
+        FROM k"""
+    },
+    // c30: the split is integer cross-multiplication; the trend fits
+    // on exact int64 Gram sums over (hours since the key's first train
+    // row, cents), so both engines derive bit-identical slope/icept
+    // doubles; fitted values quantize to the 1e-6 grid (floor of an
+    // identical double), residual sums are exact ints, and the final
+    // round(·,4) divides identical doubles (the c11 parity argument).
+    "c30_seasonal_ridge" ->
+      """WITH b AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM b),
+         r2 AS (SELECT *, rn * 10 <= n * 7 AS tr,
+             min(CASE WHEN rn * 10 <= n * 7 THEN x END) OVER (PARTITION BY user_id) AS xmin
+           FROM r),
+         r3 AS (SELECT *, (x - xmin) // 3600 AS t, (x // 3600) % 168 AS slot FROM r2),
+         g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(t) AS DOUBLE) AS sx, CAST(sum(t * t) AS DOUBLE) AS sxx,
+             CAST(sum(cents) AS DOUBLE) AS sy, CAST(sum(t * cents) AS DOUBLE) AS sxy
+           FROM r3 WHERE tr GROUP BY 1),
+         c AS (SELECT user_id,
+             CASE WHEN abs(nd * sxx - sx * sx) > 1e-9
+               THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) ELSE 0.0 END AS slope,
+             (sy - (CASE WHEN abs(nd * sxx - sx * sx) > 1e-9
+               THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) ELSE 0.0 END) * sx) / nd AS icept
+           FROM g),
+         se AS (SELECT r3.user_id, slot,
+             CAST(sum(cents * 10000 - CAST(floor((icept + slope * t) * 10000.0) AS BIGINT)) AS DOUBLE) AS sr,
+             CAST(count(*) AS DOUBLE) AS ns
+           FROM r3 JOIN c USING (user_id) WHERE tr GROUP BY 1, 2),
+         ev AS (SELECT r3.user_id, period, event_id, value,
+             CAST(floor((icept + slope * t) * 10000.0) AS BIGINT)
+               + CAST(floor(coalesce(sr / (ns + 10.0), 0.0)) AS BIGINT) AS p6
+           FROM r3 JOIN c USING (user_id)
+             LEFT JOIN se ON se.user_id = r3.user_id AND se.slot = r3.slot
+           WHERE NOT tr)
+         SELECT user_id, period, event_id, value,
+           (CASE WHEN p6 < 0 THEN -1.0 ELSE 1.0 END) *
+             ((abs(p6) + 50) // 100) / 10000.0 AS prediction
+         FROM ev""",
+    // c31: the c29 generated-weights pattern with the damped (phi=0.9)
+    // recursion — the oracle embeds the exact same driver-computed
+    // coefficient vectors, so the dot products are bit-identical by
+    // the c28 parity argument
+    "c31_holt_winters_damped" -> {
+      val (lw, bw, fws) = graft.timeseries.Forecast.holtWintersDampedWeights(
+        0.5, 0.25, 0.5, 0.9, 24, 48, Seq(1, 2, 3))
       val dl = dotSql("vals", lw.mkString("[", ", ", "]"))
       val dt = dotSql("vals", bw.mkString("[", ", ", "]"))
       val fcols = Seq(1, 2, 3).zip(fws).map { case (h, fw) =>

@@ -174,6 +174,120 @@ object Forecast {
       round(col("__c2"), 6).as("coef_lag_season"))
   }
 
+  /** Calendar-feature seasonal ridge forecaster (round 11) — per key,
+    * a linear trend plus ridge-shrunken hour-of-week effects, fit on
+    * the per-key leading `trainNum/trainDen` fraction and scored on
+    * the held-out tail: prediction = trend(t) + s_{slot(t)}. This is
+    * the feature space the reference's LSTM/Transformer actually learn
+    * (model.py:44-137: seq_len=168 to capture the daily AND weekly
+    * cycle) — the 168 hour-of-week slots are exactly the
+    * hour-of-day × day-of-week dummy interaction, and the model is
+    * ridge regression on those dummies with the trend fixed first
+    * (one backfit pass: OLS trend on the raw series, then each dummy's
+    * coefficient is its residual sum shrunk by n/(n+λ) — the
+    * closed-form ridge solution for orthogonal one-hot columns, so no
+    * 169×169 matrix ever forms and every stage is SQL-expressible).
+    * Completes the forecaster ladder c6 → c8 → c28 → c29 → c11 with
+    * the strongest tier that is still exactly DuckDB-oracle-able.
+    * Backfit caveat: a single pass fits the trend BEFORE the seasonal
+    * effects, so seasonality that correlates with time within the
+    * cycle leaks into the slope when the train window covers few
+    * cycles (joint OLS would not); the leak decays as 1/T² with the
+    * train span — at the multi-year windows a 100 TB corpus implies
+    * it is noise, and keys needing a sharper fit can iterate
+    * (re-subtract s_slot, refit trend) at one extra aggregate per
+    * pass.
+    *
+    * Cross-engine exactness (the c11 discipline): the split is pure
+    * integer cross-multiplication (rn·trainDen ≤ n·trainNum); the
+    * trend fits on EXACT int64 Gram sums over (hours since the key's
+    * first train observation, integer cents) — centering bounds t² so
+    * the sums stay far inside int64 (decade-hourly keys: t ≤ 8.8e4,
+    * Σt² ≤ 7.7e15; cents ≤ 1e7 keeps Σt·cents ≤ 1e17 at 1e5 rows) —
+    * then slope/intercept are one fixed double formula from identical
+    * exact ints, so both engines hold bit-identical coefficients. The
+    * per-row fitted value quantizes to the 1e-6 grid
+    * (floor((icept + slope·t)·1e4) of cents = micro-units), making
+    * residuals exact int64 whose per-slot sums are order-independent;
+    * the slot effect S_r/(n_slot+λ) and the final 4-decimal rounding
+    * then divide/round identical doubles. Slot = (epoch_hour mod 168)
+    * — pure integer arithmetic, no calendar functions to disagree on.
+    *
+    * Scale shape: one shuffle on the series key for the rank/min
+    * window (entity-bounded partitions, the c13 shape), checkpointed
+    * once for its three consumers (the tfidf lesson); the Gram and
+    * residual aggregates are map-side-combinable partials; the per-key
+    * coefficient row and the key×168 seasonal table broadcast back.
+    * Keys whose train split cannot fit (< 2 train rows or zero time
+    * spread) fall back to slope 0 / mean level via the c11 singularity
+    * guard. */
+  def seasonalRidgeForecast(df: DataFrame, keyCol: String, tsCol: String,
+                            idCol: String, valueCol: String,
+                            trainNum: Int, trainDen: Int,
+                            lambda: Double): DataFrame = {
+    require(trainNum > 0 && trainDen > 0 && trainNum < trainDen,
+      s"train fraction $trainNum/$trainDen out of (0,1)")
+    require(lambda >= 0, s"lambda $lambda must be >= 0")
+    val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
+    val kw = Window.partitionBy(col(keyCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
+        col(idCol), col(valueCol),
+        round(col(valueCol) * 100, 0).cast("long").as("__cents"),
+        date_trunc("second", col(tsCol)).cast("long").as("__x"))
+      .withColumn("__rn", row_number().over(ow))
+      .withColumn("__n", count(lit(1)).over(kw))
+      .withColumn("__train", col("__rn") * trainDen <= col("__n") * trainNum)
+      .withColumn("__xmin", min(when(col("__train"), col("__x"))).over(kw))
+      .withColumn("__t", expr("(__x - __xmin) div 3600"))
+      .withColumn("__slot", expr("(__x div 3600) % 168"))
+      .localCheckpoint(false)
+    val train = ranked.filter(col("__train"))
+    // exact int64 Gram sums -> one fixed double formula per key
+    val coefs = train.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("__nt"),
+        sum(col("__t")).as("__sx"),
+        sum(col("__t") * col("__t")).as("__sxx"),
+        sum(col("__cents")).as("__sy"),
+        sum(col("__t") * col("__cents")).as("__sxy"))
+      .withColumn("__nd", col("__nt").cast("double"))
+      .withColumn("__den",
+        col("__nd") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__slope",
+        when(abs(col("__den")) > 1e-9,
+          (col("__nd") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) / col("__den"))
+          .otherwise(0.0))
+      .withColumn("__icept",
+        (col("__sy").cast("double") - col("__slope") * col("__sx").cast("double")) /
+          col("__nd"))
+      .select(col(keyCol), col("__slope"), col("__icept"))
+    // fitted value on the exact 1e-6 grid: cents·1e4 = micro-units
+    def fitMicro = floor((col("__icept") + col("__slope") * col("__t")) * 10000.0)
+      .cast("long")
+    val seasonal = train.join(coefs, Seq(keyCol))
+      .withColumn("__r", col("__cents") * 10000L - fitMicro)
+      .groupBy(col(keyCol), col("__slot"))
+      .agg(sum(col("__r")).as("__sr"), count(lit(1)).as("__ns"))
+      .withColumn("__s",
+        col("__sr").cast("double") / (col("__ns").cast("double") + lit(lambda)))
+      .select(col(keyCol), col("__slot"), col("__s"))
+    // final rounding in EXACT FIXED POINT (the c22 applyCoefficients
+    // pattern): the fitted value and the floored slot effect are int64
+    // micro-units, so the half-up 4-decimal step is integer arithmetic
+    // — round(double, 4) half-boundaries diverge across engines (one
+    // sf0.01 row flipped the 4th decimal on the first cut)
+    ranked.filter(!col("__train"))
+      .join(coefs, Seq(keyCol))
+      .join(seasonal, Seq(keyCol, "__slot"), "left")
+      .withColumn("__p6", fitMicro + floor(coalesce(col("__s"), lit(0.0))))
+      .withColumn("__q", expr("(abs(__p6) + 50L) div 100L"))
+      .select(col(keyCol), col("period"), col(idCol), col(valueCol),
+        (when(col("__p6") < 0, -1.0).otherwise(1.0) * col("__q") / 10000.0)
+          .as("prediction"))
+  }
+
   /** Inference-time ridge apply — the load_model + predict half of the
     * reference's artifact persistence (model.py:337-380 save/load,
     * :318 predict): a persisted coefficient table from
@@ -465,9 +579,37 @@ object Forecast {
   def holtWintersForecast(df: DataFrame, keyCol: String, tsCol: String,
                           idCol: String, valueCol: String, alpha: Double,
                           beta: Double, gamma: Double, season: Int,
-                          window: Int, horizons: Seq[Int]): DataFrame = {
+                          window: Int, horizons: Seq[Int]): DataFrame =
+    weightVectorForecast(df, keyCol, tsCol, idCol, valueCol, window, horizons,
+      holtWintersWeights(alpha, beta, gamma, season, window, horizons))
+
+  /** Damped-trend additive Holt-Winters per key (round 11) — c29 with
+    * the [[holtWintersDampedWeights]] recursion: identical state
+    * machinery, but the horizon-h trend contribution is the saturating
+    * (φ+…+φ^h)·b instead of h·b, the standard long-horizon fix for
+    * load curves whose trend is locally real but never extrapolates
+    * linearly (Gardner & McKenzie 1985; fpp ch. 7 reports damped
+    * variants winning most long-horizon energy backtests). Same
+    * driver-computed weight-vector contract, same bounded-window scale
+    * shape, same generated oracle pattern as c28/c29. */
+  def holtWintersDampedForecast(df: DataFrame, keyCol: String, tsCol: String,
+                                idCol: String, valueCol: String, alpha: Double,
+                                beta: Double, gamma: Double, phi: Double,
+                                season: Int, window: Int,
+                                horizons: Seq[Int]): DataFrame =
+    weightVectorForecast(df, keyCol, tsCol, idCol, valueCol, window, horizons,
+      holtWintersDampedWeights(alpha, beta, gamma, phi, season, window, horizons))
+
+  /** Shared c29/c31 execution: rank the newest `window` rows per key,
+    * collect the BOUNDED newest-first value array, dot the published
+    * weight vectors (native left-to-right ArrayDot — the c28 parity
+    * argument), round 4. */
+  private def weightVectorForecast(df: DataFrame, keyCol: String, tsCol: String,
+                                   idCol: String, valueCol: String, window: Int,
+                                   horizons: Seq[Int],
+                                   weights: (Seq[Double], Seq[Double], Seq[Seq[Double]])): DataFrame = {
     require(horizons.nonEmpty && horizons.forall(_ >= 1), "horizons >= 1")
-    val (lw, bw, fws) = holtWintersWeights(alpha, beta, gamma, season, window, horizons)
+    val (lw, bw, fws) = weights
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("period").desc, col(idCol).desc)
     val arr = df.filter(col(valueCol).isNotNull)
@@ -501,7 +643,27 @@ object Forecast {
     * cycles — the statsmodels legacy-heuristic convention). */
   def holtWintersWeights(alpha: Double, beta: Double, gamma: Double,
                          season: Int, window: Int,
-                         horizons: Seq[Int]): (Seq[Double], Seq[Double], Seq[Seq[Double]]) = {
+                         horizons: Seq[Int]): (Seq[Double], Seq[Double], Seq[Seq[Double]]) =
+    // phi = 1.0 reproduces the undamped recursion BIT-FOR-BIT: every
+    // phi-multiplication is ·1.0 (exact in IEEE) and the h-step phi
+    // sum 1+1+…+1 is exactly h, so c29's published weight vectors are
+    // unchanged by the round-11 generalization
+    holtWintersDampedWeights(alpha, beta, gamma, 1.0, season, window, horizons)
+
+  /** Damped-trend Holt-Winters coefficient weight vectors (round 11;
+    * Gardner & McKenzie 1985, the fpp ch. 7 "damped methods" form):
+    * l_t = α(x_t−s_{t−m}) + (1−α)(l_{t−1} + φ·b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)·φ·b_{t−1}, s_t unchanged, and the
+    * horizon-h forecast is l + (φ+φ²+…+φ^h)·b + s_{slot(T+h)} — the
+    * trend's contribution saturates at b·φ/(1−φ) instead of growing
+    * without bound, the standard fix for long-horizon overshoot on
+    * load curves. Linear in the observations for FIXED φ, so the
+    * driver-computed weight-vector contract (and the whole c28/c29
+    * oracle/parity argument) carries over verbatim. */
+  def holtWintersDampedWeights(alpha: Double, beta: Double, gamma: Double,
+                               phi: Double, season: Int, window: Int,
+                               horizons: Seq[Int]): (Seq[Double], Seq[Double], Seq[Seq[Double]]) = {
+    require(phi > 0 && phi <= 1.0, s"damping phi $phi out of (0, 1]")
     val m = season
     val n = window
     require(m >= 2, s"season $m must be >= 2")
@@ -526,19 +688,23 @@ object Forecast {
       val slot = t % m
       val st = sc(slot)
       val nl = Array.tabulate(n) { i =>
-        alpha * ((if (i == t) 1.0 else 0.0) - st(i)) + (1 - alpha) * (lc(i) + bc(i))
+        alpha * ((if (i == t) 1.0 else 0.0) - st(i)) + (1 - alpha) * (lc(i) + phi * bc(i))
       }
-      val nb = Array.tabulate(n)(i => beta * (nl(i) - lc(i)) + (1 - beta) * bc(i))
+      val nb = Array.tabulate(n)(i => beta * (nl(i) - lc(i)) + (1 - beta) * (phi * bc(i)))
       val ns = Array.tabulate(n) { i =>
         gamma * ((if (i == t) 1.0 else 0.0) - nl(i)) + (1 - gamma) * st(i)
       }
       lc = nl; bc = nb; sc(slot) = ns
     }
     // forecast at T+h (T = n, 0-based time index n-1): seasonal slot of
-    // the forecast period, carrying its most recent update
+    // the forecast period, carrying its most recent update; the trend
+    // multiplier is the damped phi-sum (== h exactly when phi = 1)
     val fws = horizons.map { h =>
       val slot = (n + h - 1) % m
-      Array.tabulate(n)(i => lc(i) + h * bc(i) + sc(slot)(i)).reverse.toSeq
+      var ps = 0.0
+      var pp = 1.0
+      for (_ <- 1 to h) { pp = pp * phi; ps = ps + pp }
+      Array.tabulate(n)(i => lc(i) + ps * bc(i) + sc(slot)(i)).reverse.toSeq
     }
     (lc.reverse.toSeq, bc.reverse.toSeq, fws)
   }

@@ -600,4 +600,106 @@ class TimeSeriesSpec extends SparkSpec {
       assert(err < 4.0, s"h=$h forecast off planted cycle by $err: $r")
     }
   }
+
+  test("holtWintersDampedForecast matches the scalar damped recursion; phi=1 equals c29") {
+    val (alpha, beta, gamma, phi, m, win) = (0.5, 0.25, 0.5, 0.9, 24, 48)
+    // independent scalar reference: the Gardner–McKenzie damped
+    // recursion over VALUES (not coefficients)
+    def hwdScalar(xs: Seq[Double], hs: Seq[Int]): (Double, Double, Seq[Double]) = {
+      val n = xs.length
+      var b = (0 until m).map(i => (xs(m + i) - xs(i)) / m).sum / m
+      val mean = xs.take(m).sum / m
+      var l = mean + b * (m - 1) / 2.0
+      val s = Array.tabulate(m)(j => xs(j) - (mean + b * (j - (m - 1) / 2.0)))
+      for (t <- m until n) {
+        val slot = t % m
+        val nl = alpha * (xs(t) - s(slot)) + (1 - alpha) * (l + phi * b)
+        b = beta * (nl - l) + (1 - beta) * (phi * b)
+        s(slot) = gamma * (xs(t) - nl) + (1 - gamma) * s(slot)
+        l = nl
+      }
+      (l, b, hs.map { h =>
+        val ps = (1 to h).map(i => math.pow(phi, i)).sum
+        l + ps * b + s((n + h - 1) % m)
+      })
+    }
+    def cyc(i: Int) = 50.0 + 0.5 * i + 8.0 * math.sin(2 * math.Pi * (i % 24) / 24.0)
+    val rows = (0 until 48).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"), "A", cyc(i))
+    }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val r = Forecast.holtWintersDampedForecast(df, "key", "ts", "event_id", "value",
+      alpha, beta, gamma, phi, m, win, Seq(1, 2, 3)).collect().head
+    val xs = (0 until 48).map(cyc)
+    val (el, eb, efs) = hwdScalar(xs, Seq(1, 2, 3))
+    val (lw, bw, fws) = Forecast.holtWintersDampedWeights(alpha, beta, gamma, phi, m, win, Seq(1, 2, 3))
+    val newestFirst = xs.reverse
+    def dot(ws: Seq[Double]) = newestFirst.zip(ws).foldLeft(0.0) { case (a, (x, w)) => a + x * w }
+    assert(math.abs(dot(lw) - el) < 1e-7 && math.abs(dot(bw) - eb) < 1e-7,
+      s"damped weights drifted: ${dot(lw)} vs $el, ${dot(bw)} vs $eb")
+    fws.zip(efs).foreach { case (fw, ef) =>
+      assert(math.abs(dot(fw) - ef) < 1e-7, s"damped forecast weights drifted: ${dot(fw)} vs $ef")
+    }
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(r.getAs[Double]("level") == r4(dot(lw)), s"level $r")
+    assert(r.getAs[Double]("f_h3") == r4(dot(fws(2))), s"f_h3 $r")
+    // damping pulls long horizons BELOW the undamped forecast on an
+    // uptrending series: f_h3 gap = (3 - phi - phi^2 - phi^3) * trend
+    val undamped = Forecast.holtWintersForecast(df, "key", "ts", "event_id", "value",
+      alpha, beta, gamma, m, win, Seq(1, 2, 3)).collect().head
+    assert(r.getAs[Double]("trend") > 0.2, s"planted uptrend lost: $r")
+    assert(r.getAs[Double]("f_h3") < undamped.getAs[Double]("f_h3"),
+      s"damped h3 ${r.getAs[Double]("f_h3")} not below undamped ${undamped.getAs[Double]("f_h3")}")
+    // the phi = 1 generalization is bit-exact against c29's published
+    // weight vectors (the refactor-safety pin)
+    val c29 = Forecast.holtWintersWeights(alpha, beta, gamma, m, win, Seq(1, 2, 3))
+    val viaPhi1 = Forecast.holtWintersDampedWeights(alpha, beta, gamma, 1.0, m, win, Seq(1, 2, 3))
+    assert(c29 == viaPhi1, "phi=1 damped weights diverged from c29's")
+  }
+
+  test("seasonalRidgeForecast recovers a planted trend + weekly cycle on held-out rows") {
+    // 30 days hourly per key (train = the leading 70% = exactly 3 whole
+    // weeks): linear trend (0.25/h) + an hour-of-week cycle with BOTH
+    // daily and weekly structure. The cycle is TIME-SYMMETRIC (tent
+    // functions, f(j) = f(period-1-j)), so its covariance with the
+    // trend over whole cycles is exactly zero and the stage-1 OLS
+    // trend is unbiased — the backfit model's known limitation (a
+    // cycle that correlates with time inside the week leaks into the
+    // slope on short windows) is documented in the scaladoc, not
+    // hidden by this test. The model's feature space then contains the
+    // truth, so the held-out 30% must be predicted to within the
+    // ridge shrinkage bias (lambda/(n_slot+lambda) of the seasonal
+    // amplitude: 0.1/3.1 of ±10 here) — and far better than
+    // seasonal-naive, which a trend shifts by season*slope per cycle
+    // and which misses the weekly component entirely.
+    val hw = (i: Int) =>
+      0.25 * math.min(i % 168, 167 - i % 168) + 1.0 * math.min(i % 24, 23 - i % 24)
+    val rows = for {
+      key <- Seq("A", "B"); i <- 0 until 720
+    } yield (key.hashCode.toLong * 10000 + i,
+      Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+      key, 200.0 + 0.25 * i + hw(i))
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val out = Forecast.seasonalRidgeForecast(df, "key", "ts", "event_id", "value",
+      7, 10, 0.1).collect()
+    // eval set: the last 30% per key, 216 rows each
+    assert(out.length == 2 * (720 - 720 * 7 / 10), out.length)
+    val errs = out.map(r => math.abs(r.getAs[Double]("value") - r.getAs[Double]("prediction")))
+    assert(errs.max < 1.0, s"held-out error ${errs.max} too large")
+    // beats the seasonal-naive baseline on the SAME held-out rows
+    val naive = Forecast.seasonalNaive(df, "key", "ts", "event_id", "value", 24)
+    val evalIds = out.map(_.getAs[Long]("event_id")).toSet
+    val nErrs = naive.collect().filter(r => evalIds.contains(r.getAs[Long]("event_id")))
+      .map(r => math.abs(r.getAs[Double]("value") - r.getAs[Double]("prediction")))
+    def rmse(a: Array[Double]) = math.sqrt(a.map(e => e * e).sum / a.length)
+    assert(rmse(errs) < rmse(nErrs) / 2,
+      s"ridge rmse ${rmse(errs)} not well under naive ${rmse(nErrs)}")
+    // keys that cannot fit (single train row) emit nothing, never NaNs
+    val tiny = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "Z", 5.0),
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00"), "Z", 6.0))
+      .toDF("event_id", "ts", "key", "value")
+    val tinyOut = Forecast.seasonalRidgeForecast(tiny, "key", "ts", "event_id",
+      "value", 7, 10, 1.0).collect()
+    assert(tinyOut.forall(r => !r.getAs[Double]("prediction").isNaN))
+  }
 }
