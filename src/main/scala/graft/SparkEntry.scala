@@ -826,6 +826,44 @@ object SparkEntry {
             lit(liveDirs.toLong).as("live_dirs"))
       }.reduce(_ union _)
     }),
+    "g15_run_ledger" -> ((s, d) => {
+      // append-only run/metrics ledger on the g13 manifest store (the
+      // reference's per-run report JSON + MLflow metric logging): run
+      // 1 logs the b9 quality report, run 2 logs the b10 verdict
+      // scalars plus a c7 aggregate — the read-back is the full
+      // chained ledger, every run stamped with its own run_ts. The
+      // aggregates ledgered are exact-integer-derived (counts and a
+      // sum of 4-decimal-rounded rmses in 1e-4 units), so the value
+      // column is oracle-exact.
+      val ev = Tables.events(s, d)
+      val dir = s"/tmp/graft_sources/g15_${pathTag(d)}"
+      graft.sources.PagedFeed.reset(s, dir)
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+      val run1 = graft.validate.Quality.qualityReport(
+          ev, "user_id", "ts", "event_id", "value", 3600L, 1.5)
+        .select(lit("b9_quality_report").as("operator"), col("metric"), col("value"))
+      graft.sources.RunLedger.appendRun(run1, s, dir, t1)
+      val c7 = Forecast.metrics(
+        Forecast.seasonalNaive(ev, "user_id", "ts", "event_id", "value", 24),
+        "user_id", "value", "prediction")
+      val c7m = c7.agg(count(lit(1)).as("__k"),
+          sum(round(col("rmse") * 10000, 0).cast("long")).as("__sr"))
+        .selectExpr("'c7_forecast_metrics' AS operator",
+          "stack(2, 'n_keys', CAST(__k AS DOUBLE), " +
+            "'sum_rmse_e4', CAST(__sr AS DOUBLE)) AS (metric, value)")
+      val b10m = graft.validate.Quality.validationVerdict(
+          ev, "user_id", "ts", "event_id", "value", 5.0, 2.0)
+        .selectExpr("'b10_validation_verdict' AS operator",
+          "stack(5, 'total_records', CAST(total_records AS DOUBLE), " +
+            "'missing_value_pct', missing_value_pct, " +
+            "'duplicate_groups', CAST(duplicate_groups AS DOUBLE), " +
+            "'error_count', CAST(error_count AS DOUBLE), " +
+            "'is_valid', CAST(CASE WHEN is_valid THEN 1 ELSE 0 END AS DOUBLE)) " +
+            "AS (metric, value)")
+      graft.sources.RunLedger.appendRun(c7m.unionByName(b10m), s, dir, t2)
+      graft.sources.RunLedger.readLedger(s, dir)
+    }),
     "g12_csv_rescue" -> ((s, d) => {
       // the quarantine AUDIT over a feed with a torn part file: land
       // the canonical CSV, plant four deterministic malformed lines
@@ -1125,6 +1163,29 @@ object SparkEntry {
   /** Incremental-exact-dedup oracle, shared verbatim by e32 (recompute)
     * and e40 (maintained hash table) — the same one-oracle-two-paths
     * rule as e35/e39 below. */
+  /** The b9 report oracle, factored so g15's ledger oracle embeds the
+    * byte-identical query (the incrementalExactDedupOracle pattern). */
+  private lazy val b9ReportOracle: String =
+    """SELECT 'total_records' AS metric, CAST(count(*) AS DOUBLE) AS value FROM events
+       UNION ALL SELECT 'null_value_pct',
+         round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) FROM events
+       UNION ALL SELECT 'duplicate_timestamp_groups', CAST(count(*) AS DOUBLE) FROM
+         (SELECT user_id, date_trunc('second', ts) AS p FROM events
+          GROUP BY 1, 2 HAVING count(*) > 1)
+       UNION ALL SELECT 'gap_count', CAST(count(*) AS DOUBLE) FROM
+         (SELECT CAST(epoch(period) - epoch(lag(period) OVER
+            (PARTITION BY user_id ORDER BY period, event_id)) AS BIGINT) AS g
+          FROM (SELECT user_id, date_trunc('second', ts) AS period, event_id FROM events))
+         WHERE g > 3600 * 1.5
+       UNION ALL SELECT 'extreme_outlier_count', CAST(count(*) AS DOUBLE)
+         FROM events, (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
+         WHERE value >= p99 * 3
+       UNION ALL SELECT 'date_range_start_epoch',
+         CAST(epoch(min(date_trunc('second', ts))) AS DOUBLE) FROM events
+       UNION ALL SELECT 'date_range_end_epoch',
+         CAST(epoch(max(date_trunc('second', ts))) AS DOUBLE) FROM events
+       UNION ALL SELECT 'unique_regions', CAST(count(DISTINCT user_id) AS DOUBLE) FROM events"""
+
   private lazy val incrementalExactDedupOracle: String =
     s"""WITH seen AS (SELECT DISTINCT md5($normSql) AS text_hash
            FROM documents WHERE doc_id >= 250),
@@ -1534,26 +1595,7 @@ object SparkEntry {
          UNION ALL SELECT 'user_id', round(count(*) FILTER (WHERE user_id IS NULL) * 100.0 / count(*), 4) FROM events
          UNION ALL SELECT 'event_type', round(count(*) FILTER (WHERE event_type IS NULL) * 100.0 / count(*), 4) FROM events
          UNION ALL SELECT 'value', round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) FROM events""",
-    "b9_quality_report" ->
-      """SELECT 'total_records' AS metric, CAST(count(*) AS DOUBLE) AS value FROM events
-         UNION ALL SELECT 'null_value_pct',
-           round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) FROM events
-         UNION ALL SELECT 'duplicate_timestamp_groups', CAST(count(*) AS DOUBLE) FROM
-           (SELECT user_id, date_trunc('second', ts) AS p FROM events
-            GROUP BY 1, 2 HAVING count(*) > 1)
-         UNION ALL SELECT 'gap_count', CAST(count(*) AS DOUBLE) FROM
-           (SELECT CAST(epoch(period) - epoch(lag(period) OVER
-              (PARTITION BY user_id ORDER BY period, event_id)) AS BIGINT) AS g
-            FROM (SELECT user_id, date_trunc('second', ts) AS period, event_id FROM events))
-           WHERE g > 3600 * 1.5
-         UNION ALL SELECT 'extreme_outlier_count', CAST(count(*) AS DOUBLE)
-           FROM events, (SELECT CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99 FROM events)
-           WHERE value >= p99 * 3
-         UNION ALL SELECT 'date_range_start_epoch',
-           CAST(epoch(min(date_trunc('second', ts))) AS DOUBLE) FROM events
-         UNION ALL SELECT 'date_range_end_epoch',
-           CAST(epoch(max(date_trunc('second', ts))) AS DOUBLE) FROM events
-         UNION ALL SELECT 'unique_regions', CAST(count(DISTINCT user_id) AS DOUBLE) FROM events""",
+    "b9_quality_report" -> b9ReportOracle,
     "b10_validation_verdict" ->
       """WITH a AS (SELECT count(*) AS total_records,
            round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4) AS missing_value_pct,
@@ -1905,7 +1947,7 @@ object SparkEntry {
       """WITH b AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
              CAST(round(value * 100, 0) AS BIGINT) AS cents,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x
-           FROM events WHERE value IS NOT NULL),
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
          r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n
            FROM b),
@@ -3927,6 +3969,42 @@ object SparkEntry {
           CAST(2 AS BIGINT), CAST(2 AS BIGINT),
           CAST(2 AS BIGINT), CAST(2 AS BIGINT)
         FROM base, delta""",
+    // g15: run 1 replays the factored b9 oracle verbatim; run 2's
+    // scalars re-derive the c7/b10 aggregates — counts, a sum of
+    // already-4-decimal rmses in exact 1e-4 units, and the verdict's
+    // integer flags — under the literal run_ts stamps the entry uses
+    "g15_run_ledger" ->
+      s"""SELECT TIMESTAMP '2026-01-01 00:00:00' AS run_ts,
+           'b9_quality_report' AS operator, metric, value FROM ($b9ReportOracle)
+         UNION ALL
+         SELECT TIMESTAMP '2026-01-02 00:00:00', 'c7_forecast_metrics', metric, value FROM (
+           WITH f AS (SELECT user_id, value,
+               lag(value, 24) OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('second', ts), event_id) AS prediction
+             FROM events),
+           m AS (SELECT user_id, round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse
+             FROM f WHERE prediction IS NOT NULL GROUP BY 1)
+           SELECT 'n_keys' AS metric, CAST(count(*) AS DOUBLE) AS value FROM m
+           UNION ALL SELECT 'sum_rmse_e4',
+             CAST(sum(CAST(round(rmse * 10000, 0) AS BIGINT)) AS DOUBLE) FROM m)
+         UNION ALL
+         SELECT TIMESTAMP '2026-01-02 00:00:00', 'b10_validation_verdict', metric, value FROM (
+           WITH a AS (SELECT count(*) AS total_records,
+               round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 4)
+                 AS missing_value_pct FROM events),
+           dp AS (SELECT count(*) AS duplicate_groups FROM
+             (SELECT user_id, date_trunc('second', ts) AS p FROM events
+              GROUP BY 1, 2 HAVING count(*) > 1))
+           SELECT 'total_records' AS metric, CAST(total_records AS DOUBLE) AS value FROM a
+           UNION ALL SELECT 'missing_value_pct', missing_value_pct FROM a
+           UNION ALL SELECT 'duplicate_groups', CAST(duplicate_groups AS DOUBLE) FROM dp
+           UNION ALL SELECT 'error_count',
+             CAST((CASE WHEN missing_value_pct > 5.0 THEN 1 ELSE 0 END +
+               CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM a, dp
+           UNION ALL SELECT 'is_valid',
+             CAST(CASE WHEN (CASE WHEN missing_value_pct > 5.0 THEN 1 ELSE 0 END +
+               CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) = 0
+               THEN 1 ELSE 0 END AS DOUBLE) FROM a, dp)""",
     // g12: valid rows = the whole feed (empty CSV fields parse to
     // null, not corrupt — the g1-proven contract); quarantined lines
     // are the planted constants, interpolated from the SAME Seq the

@@ -230,7 +230,9 @@ object Forecast {
     require(lambda >= 0, s"lambda $lambda must be >= 0")
     val ow = Window.partitionBy(col(keyCol)).orderBy(col("period"), col(idCol))
     val kw = Window.partitionBy(col(keyCol))
-    val ranked = df.filter(col(valueCol).isNotNull)
+    // null ts rows drop: they carry no calendar features, and the two
+    // engines disagree on null ordering inside the rank window
+    val ranked = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), date_trunc("second", col(tsCol)).as("period"),
         col(idCol), col(valueCol),
         round(col(valueCol) * 100, 0).cast("long").as("__cents"),

@@ -349,4 +349,33 @@ class NullToleranceSpec extends SparkSpec {
     val lift = graft.analytics.Analytics.basketLift(li, 5).collect()
     assert(lift.length == 1 && lift.head.getAs[Long]("n_baskets") == 1L)
   }
+
+  test("round-11 operators tolerate null/degenerate inputs") {
+    import java.sql.Timestamp
+    // e62: null vectors drop from the coarse fit, residual codebooks,
+    // encode, and queries — same contract as e61
+    val emb = Seq(
+      (1L, Some(Seq(1.0f, 0.0f, 0.0f, 1.0f)), "a"),
+      (2L, None: Option[Seq[Float]], "a"),
+      (3L, Some(Seq(0.9f, 0.1f, 0.0f, 1.0f)), "a"),
+      (4L, Some(Seq(0.0f, 1.0f, 1.0f, 0.0f)), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val ivfpq = graft.vector.Cluster.ivfPqAnnTopK(emb, emb, "vec_id", "embedding",
+      2, 1, 2, 2, 4, 1, 2, 2).collect()
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
+    // c30/c31: null values drop; series too short for a split/window
+    // emit nothing rather than NaNs or crashes
+    val ev = Seq(
+      (Some(1L), Some(Timestamp.valueOf("2024-01-10 10:00:00")), Some("a"), Some(1.0)),
+      (Some(2L), Some(Timestamp.valueOf("2024-01-10 11:00:00")), Some("a"), None),
+      (Some(3L), None, Some("a"), Some(3.0)),
+      (None, Some(Timestamp.valueOf("2024-01-10 12:00:00")), Some("b"), Some(4.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+    val sr = graft.timeseries.Forecast.seasonalRidgeForecast(ev, "event_type",
+      "ts", "event_id", "value", 7, 10, 1.0).collect()
+    assert(sr.forall(r => !r.isNullAt(4) && !r.getDouble(4).isNaN))
+    assert(graft.timeseries.Forecast.holtWintersDampedForecast(ev, "event_type",
+      "ts", "event_id", "value", 0.5, 0.25, 0.5, 0.9, 24, 48, Seq(1)).count() == 0)
+  }
 }

@@ -442,6 +442,40 @@ class SourcesSpec extends SparkSpec {
     assert(v3 == 3L && Sources.readVersion(spark, table, 3L).count() == 4L)
   }
 
+  test("run ledger: runs accumulate, as-of reads, torn run invisible and healed (g15)") {
+    import graft.sources.{RunLedger, Sources}
+    val table = java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/t"
+    def metrics(op: String, kv: (String, Double)*) =
+      kv.toSeq.toDF("metric", "value").select(lit(op).as("operator"),
+        col("metric"), col("value"))
+    val t1 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-02-02 00:00:00")
+    val t3 = java.sql.Timestamp.valueOf("2026-02-03 00:00:00")
+    assert(RunLedger.appendRun(metrics("b9", "rows" -> 10.0), spark, table, t1) == 1L)
+    assert(RunLedger.appendRun(
+      metrics("c7", "rmse_e4" -> 123.0, "n_keys" -> 2.0), spark, table, t2) == 2L)
+    // the full ledger is the chained current-version read
+    val all = RunLedger.readLedger(spark, table).collect()
+    assert(all.length == 3)
+    assert(all.map(_.getAs[java.sql.Timestamp]("run_ts")).distinct.toSet == Set(t1, t2))
+    // as-of run 1: only run 1's rows (what the pipeline knew then)
+    assert(RunLedger.readAsOf(spark, table, 1L).collect()
+      .map(r => (r.getAs[String]("operator"), r.getAs[String]("metric"))).toSeq ==
+      Seq(("b9", "rows")))
+    // torn run: a crashed writer landed data but never published —
+    // the ledger read must not see it (the g13 invisibility contract)
+    metrics("crashed", "x" -> 1.0)
+      .select(lit(t3).as("run_ts"), col("operator"), col("metric"), col("value"))
+      .write.parquet(s"$table/data/v3")
+    assert(RunLedger.readLedger(spark, table).count() == 3)
+    assert(Sources.currentVersion(spark, table) == 2L)
+    // the next append heals the orphan slot and the ledger stays exact
+    assert(RunLedger.appendRun(metrics("b10", "is_valid" -> 1.0), spark, table, t3) == 3L)
+    val healed = RunLedger.readLedger(spark, table).collect()
+    assert(healed.length == 4)
+    assert(!healed.exists(_.getAs[String]("operator") == "crashed"))
+  }
+
   test("version retention: expired throw, live reads identical, rewrite frees dirs, idempotent") {
     import spark.implicits._
     import graft.sources.Sources
