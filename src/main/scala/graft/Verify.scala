@@ -2,7 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Also writes
+  * VERIFY_SUMMARY.json ({name: {rows, ok}}) next to the dump AND into
+  * the repo cwd — rounds 9/10 both shipped an empty driver
+  * CORRECTNESS_r*.json, so the per-query execution record must survive
+  * repo-side (the BENCH.json precedent); tools/compare_oracle.py merges
+  * its oracle verdicts into the same file. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -20,9 +25,10 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futures = SparkEntry.queries.toSeq
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val attempted = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val futures = attempted.map { case (name, fn) =>
       scala.concurrent.Future {
         // repartition(1), NOT coalesce(1): both land the single file the
         // compare expects, but coalesce collapses the query's FINAL
@@ -33,6 +39,7 @@ object Verify {
         try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -55,6 +62,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query execution summary: rows from the written parquet
+    // FOOTERS (no Spark job), ok = the query ran to a landed dump.
+    // Oracle verdicts are merged in later by tools/compare_oracle.py.
+    val summary = attempted.map { case (name, _) =>
+      val ok = !failed.contains(name)
+      val rows =
+        if (!ok) -1L
+        else try graft.sources.ParquetStats.rowCount(spark, s"$outDir/$name")
+        catch { case _: Throwable => -1L }
+      s"""${q(name)}: {"rows": $rows, "ok": $ok}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/VERIFY_SUMMARY.json"), summary)
+    // repo-local copy only for FULL (unfiltered) runs — a targeted
+    // re-verify must not shrink the round artifact to its subset
+    if (only.isEmpty)
+      Files.writeString(Paths.get("VERIFY_SUMMARY.json"), summary)
     spark.stop()
   }
 }

@@ -99,11 +99,32 @@ def main():
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}" + ("" if v == "OK" else f"  {v}"))
     print(f"\n{npass}/{len(results)} oracle queries match")
     # rows-only queries (no oracle): report row counts
+    rows_only = set()
     for d in sorted(glob.glob(f"{outdir}/*")):
         name = os.path.basename(d)
         if os.path.isdir(d) and name not in oracle:
+            rows_only.add(name)
             n = len(pd.read_parquet(d))
             print(f"ROWS-ONLY {name}: {n} rows")
+    # merge oracle verdicts into Verify's per-query summary artifact so
+    # an empty driver CORRECTNESS_r*.json stays reconstructable from the
+    # repo side (rounds 9/10 both shipped one): match = true/false for
+    # oracled queries, "rows-only" for the designed approximation set.
+    spath = f"{outdir}/VERIFY_SUMMARY.json"
+    if os.path.exists(spath):
+        summary = json.load(open(spath))
+        for name, entry in summary.items():
+            if name in results:
+                entry["match"] = results[name] == "OK"
+                if results[name] != "OK":
+                    entry["detail"] = results[name]
+            elif name in rows_only:
+                entry["match"] = "rows-only"
+        json.dump(summary, open(spath, "w"), indent=0, sort_keys=True)
+        # refresh the repo-local copy only when this compare covered the
+        # full surface (a targeted subset must not shrink the artifact)
+        if only is None and os.path.exists("VERIFY_SUMMARY.json"):
+            json.dump(summary, open("VERIFY_SUMMARY.json", "w"), indent=0, sort_keys=True)
 
 
 if __name__ == "__main__":
