@@ -604,6 +604,12 @@ object SparkEntry {
       // corpus reduced to word frequencies ONCE, then vocab-sized
       // count/pick/rewrite rounds with per-round checkpoints
       TextOps.bpeMergeLoop(Tables.documents(s, d), "doc_id", "text", 8, 2L)),
+    "e63_bpe_encode_count" -> ((s, d) =>
+      // per-doc token counts under the TRAINED (e60) tokenizer: the
+      // real token accounting e10's regex proxy approximates — train
+      // on the word table, broadcast (word -> symbol count) back onto
+      // one narrow corpus tokenize pass, sum per doc
+      TextOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text", 8, 2L)),
     "e15_frame_sample" -> ((s, d) =>
       Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
     "e17_dup_clusters" -> ((s, d) =>
@@ -3378,6 +3384,40 @@ object SparkEntry {
             FROM wf),
           $rounds
           $union"""
+    },
+    // e63: the e60 unrolled chain CARRYING `word` through every round
+    // (rewrites only touch w, so vocab states are bit-identical to
+    // e60's by the same argument), then the trained segmentation's
+    // symbol count joins back onto the per-doc word instances
+    "e63_bpe_encode_count" -> {
+      val nRounds = 8
+      val rounds = (1 to nRounds).map { r =>
+        s"""p$r AS (SELECT s[i] || ' ' || s[i + 1] AS pair, c
+            FROM (SELECT s, c, unnest(range(1, len(s))) AS i
+                  FROM (SELECT string_split(trim(w, ' '), ' ') AS s, c FROM v${r - 1})
+                  WHERE len(s) >= 2)),
+          t$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pc
+            FROM p$r GROUP BY 1 HAVING sum(c) >= 2
+            ORDER BY pc DESC, pair LIMIT 1),
+          v$r AS (SELECT v.word, CASE WHEN t.pair IS NULL THEN v.w
+              ELSE replace(replace(replace(v.w, ' ', '  '),
+                     ' ' || replace(t.pair, ' ', '  ') || ' ',
+                     ' ' || replace(t.pair, ' ', '') || ' '),
+                     '  ', ' ')
+            END AS w, v.c
+            FROM v${r - 1} v LEFT JOIN t$r t ON true)"""
+      }.mkString(",\n          ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
+            FROM documents),
+          ft AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+          wf AS (SELECT word, count(*) AS c FROM ft GROUP BY 1),
+          v0 AS (SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' _ ' AS w, c
+            FROM wf),
+          $rounds
+          SELECT doc_id,
+            CAST(sum(len(string_split(trim(v$nRounds.w, ' '), ' '))) AS BIGINT) AS n_tokens,
+            count(*) AS n_words
+          FROM ft JOIN v$nRounds USING (word) GROUP BY 1"""
     },
     // seen side reduces to its DISTINCT md5 set; batch self-dedup keeps
     // the min-id row with arg_min-carried attrs (id unique → exact).

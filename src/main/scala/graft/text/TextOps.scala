@@ -448,9 +448,20 @@ object TextOps {
     * (100 TB of text and 100 GB of text have comparable vocabularies). */
   def bpeMergeLoop(docs: DataFrame, idCol: String, textCol: String,
                    nMerges: Int, minCount: Long): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 10000, s"nMerges $nMerges out of range")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (_, merges) = bpeTrainVocab(docs, idCol, textCol, nMerges, minCount)
+    merges.toDF("merge_rank", "pair", "pair_count")
+  }
+
+  /** The shared e60/e63 training core: runs the merge loop and returns
+    * BOTH the final vocab state (word, w = space-joined symbol string,
+    * c = corpus frequency) and the merge table. The `word` column rides
+    * along untouched by the rewrites so encode-side consumers (e63)
+    * can join the trained segmentation back onto corpus words. */
+  private def bpeTrainVocab(docs: DataFrame, idCol: String, textCol: String,
+                            nMerges: Int, minCount: Long): (DataFrame, Seq[(Long, String, Long)]) = {
+    require(nMerges >= 1 && nMerges <= 10000, s"nMerges $nMerges out of range")
     val wordFreq = docs.select(col(idCol).as("doc_id"),
         explode(split(normalizeText(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -460,7 +471,7 @@ object TextOps {
       .agg(sum(col("__tf")).as("c"))
     // the ONLY corpus-derived table; checkpointed so the loop's
     // per-round actions replay vocab blocks, never the corpus scan
-    var vocab = wordFreq.select(
+    var vocab = wordFreq.select(col("word"),
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" _ ")).as("w"),
         col("c"))
       .localCheckpoint(false)
@@ -493,7 +504,41 @@ object TextOps {
           .localCheckpoint(false)
       }
     }
-    merges.toSeq.toDF("merge_rank", "pair", "pair_count")
+    (vocab, merges.toSeq)
+  }
+
+  /** Per-doc token counts under the TRAINED BPE tokenizer (round 11) —
+    * the real token accounting e10's whitespace/regex proxy stands in
+    * for, and the quantity every packing (e23/e28), mixture (e33) and
+    * cost model actually budgets by: train the e60 merge loop, then
+    * count each document's tokens as the sum over its words of the
+    * final segmentation's symbol count (the `_` end-of-word marker
+    * counts as a token unless a merge absorbed it — Sennrich's </w>
+    * convention for an unmerged marker).
+    *
+    * Scale shape: training is e60's (ONE corpus reduction, vocab-sized
+    * rounds); encoding never rewrites the corpus — the corpus
+    * tokenizes once (narrow), the trained vocab (word → symbol count)
+    * is vocabulary-sized so AQE broadcasts the join, and the per-doc
+    * sum is a doc-keyed partial aggregate. This is the encode-side
+    * payoff of training on the WORD table: applying M merges to 100 TB
+    * of raw text would cost M corpus rewrites; applying them to the
+    * vocab costs M vocab rewrites and one broadcast join.
+    *
+    * Oracle: the e60 CTE chain carrying `word` through every round,
+    * then the same join + sum in SQL — vocab states are bit-identical
+    * by the e60 argument, so token counts are exact. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     nMerges: Int, minCount: Long): DataFrame = {
+    val (vocab, _) = bpeTrainVocab(docs, idCol, textCol, nMerges, minCount)
+    val counts = vocab.select(col("word"),
+      size(split(trim(col("w")), " ")).cast("long").as("__tc"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(counts, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__tc")).as("n_tokens"), count(lit(1)).as("n_words"))
   }
 
   /** Per-doc top-k terms by TF-IDF — the keyword/vocabulary projection

@@ -423,6 +423,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     // early stop: an impossible threshold yields an empty merge table
     assert(TextOps.bpeMergeLoop(df, "doc_id", "text", 5, 1000L).count() == 0)
+
+    // e63: per-doc token counts under the trained tokenizer must
+    // equal the scalar trainer's final segmentation applied word by
+    // word (same corpus incl. the 5-run adversaries)
+    def refTokenCounts(n: Int, minCount: Long): Map[Long, (Long, Long)] = {
+      // replay refBpe's vocab evolution to get each word's final
+      // symbol count (symbols include the '_' marker unless merged)
+      var vocab = wordFreq.map { case (w, c) =>
+        w -> (w.map(_.toString).toVector :+ "_") }.toMap
+      val counts = scala.collection.mutable.Map(wordFreq.map { case (w, c) => w -> c }: _*)
+      val merges = refBpe(wordFreq, n, minCount)
+      for ((_, pair, _) <- merges) {
+        val Array(x, y) = pair.split(" ")
+        vocab = vocab.map { case (w, syms) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+              b += (x + y); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          w -> b.result()
+        }
+      }
+      corpus.map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        id -> (ws.map(w => vocab(w).length.toLong).sum, ws.length.toLong)
+      }.toMap
+    }
+    val expect63 = refTokenCounts(8, 1L)
+    val got63 = TextOps.bpeTokenCounts(df, "doc_id", "text", 8, 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got63 == expect63, s"e63 drifted:\n$got63\nvs\n$expect63")
   }
 
   test("tfidfTopK ranks distinctive terms above ubiquitous ones") {

@@ -377,5 +377,10 @@ class NullToleranceSpec extends SparkSpec {
     assert(sr.forall(r => !r.isNullAt(4) && !r.getDouble(4).isNaN))
     assert(graft.timeseries.Forecast.holtWintersDampedForecast(ev, "event_type",
       "ts", "event_id", "value", 0.5, 0.25, 0.5, 0.9, 24, 48, Seq(1)).count() == 0)
+    // e63: null/empty docs contribute no words and emit no row; short
+    // docs count their actual trained-segmentation tokens
+    val tc = graft.text.TextOps.bpeTokenCounts(docs, "doc_id", "text", 4, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc.keySet == Set(1L, 4L) && tc.values.forall(_ > 0))
   }
 }
