@@ -352,6 +352,12 @@ object SparkEntry {
       // driver-computed weight-vector contract as c28
       Forecast.holtWintersForecast(Tables.events(s, d), "user_id", "ts", "event_id",
         "value", 0.5, 0.25, 0.5, 24, 48, Seq(1, 2, 3))),
+    "c32_forecast_blend" -> ((s, d) =>
+      // equal-weight blend of the c30 ridge and c6 naive predictions
+      // on the shared held-out rows — the M-competition combination
+      // baseline; exact int64 mean, no rounding boundary
+      Forecast.blendForecasts(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value", 24, 7, 10, 10.0)),
     "c30_seasonal_ridge" -> ((s, d) =>
       // calendar-feature regression: trend + ridge-shrunken
       // hour-of-week effects (the LSTM's seq_len=168 feature space),
@@ -430,6 +436,13 @@ object SparkEntry {
       // sort, chained running-max anchors, zero self-joins
       Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", Seq("view", "click", "purchase"), 3600L)),
+    "d21_top_supplier" -> ((s, d) =>
+      // Q15: per-supplier revenue over a shipping quarter, then the
+      // global-max supplier(s) via a broadcast 1-row max — ties all
+      // emit; revenue in exact integer 1e-4 units so max and the
+      // equality filter cannot drift
+      Analytics.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d),
+        "1996-01-01", "1996-04-01")),
     "d20_order_lifecycle" -> ((s, d) =>
       // Q21-style: suppliers who were the ONLY late shipper on a
       // multi-supplier 'F' order — both EXISTS quantifiers collapse
@@ -604,6 +617,16 @@ object SparkEntry {
       // corpus reduced to word frequencies ONCE, then vocab-sized
       // count/pick/rewrite rounds with per-round checkpoints
       TextOps.bpeMergeLoop(Tables.documents(s, d), "doc_id", "text", 8, 2L)),
+    "e64_pack_by_bpe" -> ((s, d) => {
+      // the e63 -> e23 composition: pack each source's documents
+      // against the TRAINED tokenizer's counts, not the whitespace
+      // proxy — the budget a trainer actually fills
+      val docs = Tables.documents(s, d)
+      val counts = TextOps.bpeTokenCounts(docs, "doc_id", "text", 8, 2L)
+      TextOps.packSequencesByCount(
+        counts.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "doc_id", "n_tokens", "source", 1024)
+    }),
     "e63_bpe_encode_count" -> ((s, d) =>
       // per-doc token counts under the TRAINED (e60) tokenizer: the
       // real token accounting e10's regex proxy approximates — train
@@ -1169,6 +1192,76 @@ object SparkEntry {
   /** Incremental-exact-dedup oracle, shared verbatim by e32 (recompute)
     * and e40 (maintained hash table) — the same one-oracle-two-paths
     * rule as e35/e39 below. */
+  /** The e63 word-carrying BPE encode chain (tok/ft/wf/v0..v8),
+    * factored so e64's pack oracle embeds the byte-identical trained
+    * segmentation (the c30EvalCtes pattern). */
+  private lazy val bpeEncodeCtes: String = {
+    val nRounds = 8
+    val rounds = (1 to nRounds).map { r =>
+      s"""p$r AS (SELECT s[i] || ' ' || s[i + 1] AS pair, c
+          FROM (SELECT s, c, unnest(range(1, len(s))) AS i
+                FROM (SELECT string_split(trim(w, ' '), ' ') AS s, c FROM v${r - 1})
+                WHERE len(s) >= 2)),
+        t$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pc
+          FROM p$r GROUP BY 1 HAVING sum(c) >= 2
+          ORDER BY pc DESC, pair LIMIT 1),
+        v$r AS (SELECT v.word, CASE WHEN t.pair IS NULL THEN v.w
+            ELSE replace(replace(replace(v.w, ' ', '  '),
+                   ' ' || replace(t.pair, ' ', '  ') || ' ',
+                   ' ' || replace(t.pair, ' ', '') || ' '),
+                   '  ', ' ')
+          END AS w, v.c
+          FROM v${r - 1} v LEFT JOIN t$r t ON true)"""
+    }.mkString(",\n        ")
+    s"""tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
+          FROM documents),
+        ft AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+        wf AS (SELECT word, count(*) AS c FROM ft GROUP BY 1),
+        v0 AS (SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' _ ' AS w, c
+          FROM wf),
+        $rounds,
+        tc AS (SELECT doc_id,
+            CAST(sum(len(string_split(trim(v$nRounds.w, ' '), ' '))) AS BIGINT) AS n_tokens,
+            count(*) AS n_words
+          FROM ft JOIN v$nRounds USING (word) GROUP BY 1)"""
+  }
+
+  /** The c30 CTE chain (split/trend/seasonal/eval rows with the exact
+    * fixed-point p6), factored so c32's blend oracle embeds the
+    * byte-identical model (the b9ReportOracle pattern). */
+  private lazy val c30EvalCtes: String =
+    """b AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM b),
+         r2 AS (SELECT *, rn * 10 <= n * 7 AS tr,
+             min(CASE WHEN rn * 10 <= n * 7 THEN x END) OVER (PARTITION BY user_id) AS xmin
+           FROM r),
+         r3 AS (SELECT *, (x - xmin) // 3600 AS t, (x // 3600) % 168 AS slot FROM r2),
+         g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(t) AS DOUBLE) AS sx, CAST(sum(t * t) AS DOUBLE) AS sxx,
+             CAST(sum(cents) AS DOUBLE) AS sy, CAST(sum(t * cents) AS DOUBLE) AS sxy
+           FROM r3 WHERE tr GROUP BY 1),
+         c AS (SELECT user_id,
+             CASE WHEN abs(nd * sxx - sx * sx) > 1e-9
+               THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) ELSE 0.0 END AS slope,
+             (sy - (CASE WHEN abs(nd * sxx - sx * sx) > 1e-9
+               THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) ELSE 0.0 END) * sx) / nd AS icept
+           FROM g),
+         se AS (SELECT r3.user_id, slot,
+             CAST(sum(cents * 10000 - CAST(floor((icept + slope * t) * 10000.0) AS BIGINT)) AS DOUBLE) AS sr,
+             CAST(count(*) AS DOUBLE) AS ns
+           FROM r3 JOIN c USING (user_id) WHERE tr GROUP BY 1, 2),
+         ev AS (SELECT r3.user_id, period, event_id, value,
+             CAST(floor((icept + slope * t) * 10000.0) AS BIGINT)
+               + CAST(floor(coalesce(sr / (ns + 10.0), 0.0)) AS BIGINT) AS p6
+           FROM r3 JOIN c USING (user_id)
+             LEFT JOIN se ON se.user_id = r3.user_id AND se.slot = r3.slot
+           WHERE NOT tr)"""
+
   /** The b9 report oracle, factored so g15's ledger oracle embeds the
     * byte-identical query (the incrementalExactDedupOracle pattern). */
   private lazy val b9ReportOracle: String =
@@ -1950,41 +2043,28 @@ object SparkEntry {
     // identical double), residual sums are exact ints, and the final
     // round(·,4) divides identical doubles (the c11 parity argument).
     "c30_seasonal_ridge" ->
-      """WITH b AS (SELECT user_id, date_trunc('second', ts) AS period, event_id, value,
-             CAST(round(value * 100, 0) AS BIGINT) AS cents,
-             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x
-           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-         r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY period, event_id) AS rn,
-             count(*) OVER (PARTITION BY user_id) AS n
-           FROM b),
-         r2 AS (SELECT *, rn * 10 <= n * 7 AS tr,
-             min(CASE WHEN rn * 10 <= n * 7 THEN x END) OVER (PARTITION BY user_id) AS xmin
-           FROM r),
-         r3 AS (SELECT *, (x - xmin) // 3600 AS t, (x // 3600) % 168 AS slot FROM r2),
-         g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nd,
-             CAST(sum(t) AS DOUBLE) AS sx, CAST(sum(t * t) AS DOUBLE) AS sxx,
-             CAST(sum(cents) AS DOUBLE) AS sy, CAST(sum(t * cents) AS DOUBLE) AS sxy
-           FROM r3 WHERE tr GROUP BY 1),
-         c AS (SELECT user_id,
-             CASE WHEN abs(nd * sxx - sx * sx) > 1e-9
-               THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) ELSE 0.0 END AS slope,
-             (sy - (CASE WHEN abs(nd * sxx - sx * sx) > 1e-9
-               THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) ELSE 0.0 END) * sx) / nd AS icept
-           FROM g),
-         se AS (SELECT r3.user_id, slot,
-             CAST(sum(cents * 10000 - CAST(floor((icept + slope * t) * 10000.0) AS BIGINT)) AS DOUBLE) AS sr,
-             CAST(count(*) AS DOUBLE) AS ns
-           FROM r3 JOIN c USING (user_id) WHERE tr GROUP BY 1, 2),
-         ev AS (SELECT r3.user_id, period, event_id, value,
-             CAST(floor((icept + slope * t) * 10000.0) AS BIGINT)
-               + CAST(floor(coalesce(sr / (ns + 10.0), 0.0)) AS BIGINT) AS p6
-           FROM r3 JOIN c USING (user_id)
-             LEFT JOIN se ON se.user_id = r3.user_id AND se.slot = r3.slot
-           WHERE NOT tr)
+      s"""WITH $c30EvalCtes
          SELECT user_id, period, event_id, value,
            (CASE WHEN p6 < 0 THEN -1.0 ELSE 1.0 END) *
              ((abs(p6) + 50) // 100) / 10000.0 AS prediction
          FROM ev""",
+    // c32: the c30 chain verbatim + the c6/c7 lag window; the blend
+    // is one exact int64 sum divided once (no rounding step exists)
+    "c32_forecast_blend" ->
+      s"""WITH $c30EvalCtes,
+         nv AS (SELECT user_id, event_id,
+             lag(value, 24) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS pn
+           FROM events)
+         SELECT ev.user_id, ev.period, ev.event_id, ev.value,
+           (CASE WHEN p6 < 0 THEN -1.0 ELSE 1.0 END) *
+             ((abs(p6) + 50) // 100) / 10000.0 AS ridge_prediction,
+           CAST(round(pn * 10000, 0) AS BIGINT) / 10000.0 AS naive_prediction,
+           ((CASE WHEN p6 < 0 THEN -((abs(p6) + 50) // 100)
+              ELSE (abs(p6) + 50) // 100 END)
+             + CAST(round(pn * 10000, 0) AS BIGINT)) / 20000.0 AS prediction
+         FROM ev JOIN nv ON ev.user_id = nv.user_id AND ev.event_id = nv.event_id
+         WHERE pn IS NOT NULL""",
     // c31: the c29 generated-weights pattern with the damped (phi=0.9)
     // recursion — the oracle embeds the exact same driver-computed
     // coefficient vectors, so the dot products are bit-identical by
@@ -3389,36 +3469,22 @@ object SparkEntry {
     // (rewrites only touch w, so vocab states are bit-identical to
     // e60's by the same argument), then the trained segmentation's
     // symbol count joins back onto the per-doc word instances
-    "e63_bpe_encode_count" -> {
-      val nRounds = 8
-      val rounds = (1 to nRounds).map { r =>
-        s"""p$r AS (SELECT s[i] || ' ' || s[i + 1] AS pair, c
-            FROM (SELECT s, c, unnest(range(1, len(s))) AS i
-                  FROM (SELECT string_split(trim(w, ' '), ' ') AS s, c FROM v${r - 1})
-                  WHERE len(s) >= 2)),
-          t$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pc
-            FROM p$r GROUP BY 1 HAVING sum(c) >= 2
-            ORDER BY pc DESC, pair LIMIT 1),
-          v$r AS (SELECT v.word, CASE WHEN t.pair IS NULL THEN v.w
-              ELSE replace(replace(replace(v.w, ' ', '  '),
-                     ' ' || replace(t.pair, ' ', '  ') || ' ',
-                     ' ' || replace(t.pair, ' ', '') || ' '),
-                     '  ', ' ')
-            END AS w, v.c
-            FROM v${r - 1} v LEFT JOIN t$r t ON true)"""
-      }.mkString(",\n          ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
-            FROM documents),
-          ft AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
-          wf AS (SELECT word, count(*) AS c FROM ft GROUP BY 1),
-          v0 AS (SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' _ ' AS w, c
-            FROM wf),
-          $rounds
-          SELECT doc_id,
-            CAST(sum(len(string_split(trim(v$nRounds.w, ' '), ' '))) AS BIGINT) AS n_tokens,
-            count(*) AS n_words
-          FROM ft JOIN v$nRounds USING (word) GROUP BY 1"""
-    },
+    "e63_bpe_encode_count" ->
+      s"""WITH $bpeEncodeCtes
+          SELECT doc_id, n_tokens, n_words FROM tc""",
+    // e64: the e63 chain verbatim + the e23 pack window over the
+    // trained counts
+    "e64_pack_by_bpe" ->
+      s"""WITH $bpeEncodeCtes,
+          dj AS (SELECT tc.doc_id, d.source, n_tokens AS tokens
+            FROM tc JOIN documents d ON tc.doc_id = d.doc_id),
+          p AS (SELECT doc_id, source, tokens,
+            CAST(coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+            FROM dj)
+          SELECT doc_id, source, tokens, start_offset,
+            start_offset // 1024 AS bin, start_offset % 1024 AS bin_offset
+          FROM p""",
     // seen side reduces to its DISTINCT md5 set; batch self-dedup keeps
     // the min-id row with arg_min-carried attrs (id unique → exact).
     // NOT EXISTS, not NOT IN: a null hash (null text) must behave like
@@ -3945,6 +4011,19 @@ object SparkEntry {
              AND n_word_chars <= n_words * 10 AND n_symbols * 10 <= n_words
              AND n_alpha_words * 5 >= n_words * 4 AND n_stop_kinds >= 2 AS keep
          FROM m""",
+    // d21: Q15's correlated-max as one supplier aggregate + a 1-row
+    // max cross join; exact 1e-4 revenue so the winner set is stable
+    "d21_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS r4
+         FROM lineitem
+         WHERE l_shipdate IS NOT NULL
+           AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+         GROUP BY 1),
+        m AS (SELECT max(r4) AS mx FROM r)
+        SELECT s_suppkey, s_name, r4 / 10000.0 AS total_revenue
+        FROM r CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r4 = mx""",
     // d20: the two EXISTS quantifiers as one per-order aggregate —
     // n_supp >= 2 is "EXISTS another supplier", n_late = 1 is
     // "NOT EXISTS another late supplier" (and names the waiter);

@@ -611,6 +611,35 @@ object Analytics {
     * order aggregate, a broadcast supplier-dim join for names, and a
     * supplier-level count. The LIMIT cutoff is total-ordered by
     * (numwait desc, s_name, s_suppkey). */
+  /** Q15-style top supplier(s) (round 11): per-supplier revenue over a
+    * shipping window, then the supplier(s) achieving the GLOBAL max —
+    * the classic max-over-aggregate-then-filter-back shape (Q15's
+    * revenue view + correlated max subquery). The aggregate is one
+    * shuffle on the supplier key; the 1-row max broadcasts back (the
+    * b2/c9 scalar pattern), so no second fact scan and no global sort.
+    * Ties on the max all emit (Q15's own semantics).
+    *
+    * Revenue accumulates in EXACT integer 1e-4 units (the
+    * revenueByNation discipline) — here it matters twice over: the
+    * MAX and the equality filter compare these values across engines,
+    * and a double sum's 4th-decimal drift would not just reorder a
+    * rank but change the winner set. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  startDate: String, endDate: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate").isNotNull &&
+        col("l_shipdate") >= lit(startDate) && col("l_shipdate") < lit(endDate))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("__r4"))
+    val mx = rev.agg(max(col("__r4")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("__r4") === col("__mx"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("__r4") / 10000.0).as("total_revenue"))
+  }
+
   def orderLifecycle(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
                      lateDays: Int, topN: Int): DataFrame = {
     val ordF = orders.filter(col("o_orderstatus") === "F")

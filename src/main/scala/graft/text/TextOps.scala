@@ -141,6 +141,25 @@ object TextOps {
                     groupCol: String, budget: Int): DataFrame =
     binAssign(docs, idCol, textCol, groupCol, budget, carryText = false)
 
+  /** [[packSequences]] over a CALLER-SUPPLIED token-count column
+    * (round 11) — the composable form: e23's internal count is the
+    * whitespace proxy, but the budget a trainer actually packs against
+    * is the TRAINED tokenizer's count ([[bpeTokenCounts]]) or any
+    * model-specific accounting. Same window discipline: running
+    * offsets per group in deterministic id order, bin = offset div
+    * budget. `docs` must carry (idCol, groupCol, countCol). */
+  def packSequencesByCount(docs: DataFrame, idCol: String, countCol: String,
+                           groupCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(groupCol), col(countCol).cast("long").as("tokens"))
+      .withColumn("start_offset", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("bin", graft.functions.divLong(col("start_offset"), lit(budget.toLong)))
+      .withColumn("bin_offset", col("start_offset") % budget)
+  }
+
   /** Shared bin-assignment pass for e23/e28: running-token offsets per
     * group (deterministic id order) quantized by the budget. With
     * `carryText` the document text rides along in `__text`, so the

@@ -290,6 +290,41 @@ object Forecast {
           .as("prediction"))
   }
 
+  /** Equal-weight forecast blend (round 11): the mean of the c30
+    * seasonal-ridge prediction and the c6 seasonal-naive prediction on
+    * the SAME held-out rows — the forecast-combination baseline that
+    * the M-competitions repeatedly found beating its components
+    * (Makridakis et al.; simple averages are robust to any one model's
+    * regime failure: here naive carries level shifts the ridge's
+    * global trend misses, and the ridge carries calendar structure the
+    * lag cannot). Rows where either component is undefined (a key too
+    * short to fit, the first `season` rows with no lag) drop — a blend
+    * of one model is not a blend.
+    *
+    * Exactness: both component predictions are exact 4-decimal values
+    * (c30's integer half-up; the naive lag is a raw 2-decimal value),
+    * so the blend (p1·10⁴ + p2·10⁴)/2·10⁴ is one exact int64 sum and a
+    * single correctly-rounded double division — no rounding step at
+    * all, so no boundary to diverge on. Scale shape: c30's plan plus
+    * one lag window (both per-key, entity-bounded) and an equi-join on
+    * (key, id) that rides the same key partitioning. */
+  def blendForecasts(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, valueCol: String, season: Int,
+                     trainNum: Int, trainDen: Int, lambda: Double): DataFrame = {
+    val ridge = seasonalRidgeForecast(df, keyCol, tsCol, idCol, valueCol,
+      trainNum, trainDen, lambda)
+    val naive = seasonalNaive(df, keyCol, tsCol, idCol, valueCol, season)
+      .select(col(keyCol), col(idCol),
+        round(col("prediction") * 10000, 0).cast("long").as("__pn4"))
+    ridge
+      .withColumn("__pr4", round(col("prediction") * 10000, 0).cast("long"))
+      .join(naive, Seq(keyCol, idCol))
+      .select(col(keyCol), col("period"), col(idCol), col(valueCol),
+        col("prediction").as("ridge_prediction"),
+        (col("__pn4") / 10000.0).as("naive_prediction"),
+        ((col("__pr4") + col("__pn4")) / 20000.0).as("prediction"))
+  }
+
   /** Inference-time ridge apply — the load_model + predict half of the
     * reference's artifact persistence (model.py:337-380 save/load,
     * :318 predict): a persisted coefficient table from

@@ -345,4 +345,46 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(top1 == Seq(10L))
   }
+
+  test("topSupplier emits every max-revenue tie inside the window, exact cents") {
+    import spark.implicits._
+    def d(x: String) = java.sql.Date.valueOf(x)
+    // supp 1: 100.00*(1-0.10)=90.00 in-window twice -> 180.00
+    // supp 2: 90.005 rounds at the 1e-4 grid -> 90.0050 + 89.9950 = 180.00 (TIE)
+    // supp 3: 180.00 but OUT of the window; plus 10.00 in-window
+    // supp 4: null shipdate line ignored
+    val li = Seq(
+      (Some(1L), 100.00, 0.10, Some(d("1996-02-01"))),
+      (Some(1L), 100.00, 0.10, Some(d("1996-03-31"))),
+      (Some(2L), 105.89, 0.15, Some(d("1996-02-01"))), // 90.0065 -> 90.0065
+      (Some(2L), 105.875, 0.15, Some(d("1996-02-02"))), // 89.99375 -> 89.9938? keep simple below
+      (Some(3L), 180.00, 0.00, Some(d("1995-12-31"))),
+      (Some(3L), 10.00, 0.00, Some(d("1996-02-01"))),
+      (Some(4L), 500.00, 0.00, None: Option[java.sql.Date])
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"), (4L, "S4"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.topSupplier(li, supp, "1996-01-01", "1996-04-01")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // supp 1 total 180.0000; supp 2 total 90.0065 + 90.0 - let the
+    // assertion derive the truth from the same exact-grid arithmetic
+    def r4(p: Double, disc: Double) = math.rint(p * (1 - disc) * 10000).toLong
+    val s1 = r4(100.00, 0.10) * 2
+    val s2 = r4(105.89, 0.15) + r4(105.875, 0.15)
+    val s3 = r4(10.00, 0.00)
+    val mx = Seq(s1, s2, s3).max
+    val expect = Seq(1L -> s1, 2L -> s2, 3L -> s3).filter(_._2 == mx)
+      .map { case (k, v) => k -> v / 10000.0 }.toMap
+    assert(out == expect, s"$out vs $expect")
+    assert(!out.contains(4L)) // null shipdate never scores
+    // a planted exact tie emits BOTH suppliers
+    val li2 = Seq(
+      (1L, 100.00, 0.00, d("1996-02-01")),
+      (2L, 50.00, 0.00, d("1996-02-01")),
+      (2L, 50.00, 0.00, d("1996-02-02"))
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val tie = Analytics.topSupplier(li2, supp, "1996-01-01", "1996-04-01")
+      .collect().map(_.getLong(0)).toSet
+    assert(tie == Set(1L, 2L))
+  }
 }

@@ -920,6 +920,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L, 0L, 0L)))
   }
 
+  test("packSequencesByCount packs by the supplied counts; e64 matches BPE accounting") {
+    // caller-supplied counts replace the whitespace proxy verbatim
+    val counted = Seq(
+      (1L, "g1", 3L), (2L, "g1", 4L), (3L, "g1", 2L), (5L, "g2", 5L)
+    ).toDF("doc_id", "source", "n")
+    val out = graft.text.TextOps.packSequencesByCount(counted, "doc_id", "n", "source", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, 0L)))
+    assert(out(2L) == ((4L, 3L, 0L, 3L)))
+    assert(out(3L) == ((2L, 7L, 1L, 3L)))
+    assert(out(5L) == ((5L, 0L, 0L, 0L)))
+    // composition: the packed `tokens` column IS e63's n_tokens
+    val docs = Seq(
+      (1L, "g1", "low low lower"), (2L, "g1", "newest widest"),
+      (3L, "g2", "low newest")
+    ).toDF("doc_id", "source", "text")
+    val counts = graft.text.TextOps.bpeTokenCounts(docs, "doc_id", "text", 4, 1L)
+    val packed = graft.text.TextOps.packSequencesByCount(
+        counts.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "doc_id", "n_tokens", "source", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expect = counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == expect, s"$packed vs $expect")
+  }
+
   test("repetitionStats computes exact word/bigram repetition fractions") {
     val docs = Seq(
       (1L, "a a a b"),  // topw 3/4, dup (4-2)/4, top bigram "a a" 2/3

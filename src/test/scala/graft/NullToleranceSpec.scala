@@ -382,5 +382,19 @@ class NullToleranceSpec extends SparkSpec {
     val tc = graft.text.TextOps.bpeTokenCounts(docs, "doc_id", "text", 4, 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tc.keySet == Set(1L, 4L) && tc.values.forall(_ > 0))
+    // e64/c32/d21: degenerate inputs flow through, never crash
+    val packed = graft.text.TextOps.packSequencesByCount(
+      graft.text.TextOps.bpeTokenCounts(docs, "doc_id", "text", 4, 1L)
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id")),
+      "doc_id", "n_tokens", "source", 4)
+    assert(packed.count() == 2)
+    assert(graft.timeseries.Forecast.blendForecasts(ev, "event_type", "ts",
+      "event_id", "value", 1, 7, 10, 1.0).collect()
+      .forall(r => !r.getAs[Double]("prediction").isNaN))
+    val liNull = Seq((Some(1L), Some(10.0), Some(0.0), None: Option[java.sql.Date]))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val suppT = Seq((1L, "S1")).toDF("s_suppkey", "s_name")
+    assert(graft.analytics.Analytics.topSupplier(liNull, suppT,
+      "1996-01-01", "1996-04-01").count() == 0)
   }
 }

@@ -657,6 +657,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c29 == viaPhi1, "phi=1 damped weights diverged from c29's")
   }
 
+  test("blendForecasts is the exact mean of its components on shared eval rows") {
+    val hw = (i: Int) =>
+      0.25 * math.min(i % 168, 167 - i % 168) + 1.0 * math.min(i % 24, 23 - i % 24)
+    val rows = for {
+      key <- Seq("A"); i <- 0 until 720
+    } yield (i.toLong,
+      Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+      key, 200.0 + 0.25 * i + hw(i))
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val blend = Forecast.blendForecasts(df, "key", "ts", "event_id", "value",
+      24, 7, 10, 0.1).collect()
+    assert(blend.nonEmpty)
+    blend.foreach { r =>
+      val pr = r.getAs[Double]("ridge_prediction")
+      val pn = r.getAs[Double]("naive_prediction")
+      val p = r.getAs[Double]("prediction")
+      val exact = (math.rint(pr * 10000) + math.rint(pn * 10000)) / 20000.0
+      assert(p == exact, s"blend drifted: $r")
+    }
+    // every blended row has BOTH components: the eval tail starts past
+    // the naive lag's warm-up here, so counts match the ridge's output
+    val ridgeN = Forecast.seasonalRidgeForecast(df, "key", "ts", "event_id",
+      "value", 7, 10, 0.1).count()
+    assert(blend.length.toLong == ridgeN)
+  }
+
   test("seasonalRidgeForecast recovers a planted trend + weekly cycle on held-out rows") {
     // 30 days hourly per key (train = the leading 70% = exactly 3 whole
     // weeks): linear trend (0.25/h) + an hour-of-week cycle with BOTH
