@@ -436,6 +436,12 @@ object SparkEntry {
       // sort, chained running-max anchors, zero self-joins
       Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", Seq("view", "click", "purchase"), 3600L)),
+    "d22_small_qty_revenue" -> ((s, d) =>
+      // Q17: the correlated per-part average decorrelated into one
+      // aggregate + broadcast-back; threshold in exact integer
+      // cross-multiplication
+      Analytics.smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d),
+        "Brand#13")),
     "d21_top_supplier" -> ((s, d) =>
       // Q15: per-supplier revenue over a shipping quarter, then the
       // global-max supplier(s) via a broadcast 1-row max — ties all
@@ -4011,6 +4017,22 @@ object SparkEntry {
              AND n_word_chars <= n_words * 10 AND n_symbols * 10 <= n_words
              AND n_alpha_words * 5 >= n_words * 4 AND n_stop_kinds >= 2 AS keep
          FROM m""",
+    // d22: the correlated scalar subquery decorrelated; the 20%
+    // threshold is qc*n*10 < 2*sum in exact integers, the output one
+    // exact 1e-4 sum divided once
+    "d22_small_qty_revenue" ->
+      """WITH li AS (SELECT l.l_partkey,
+           CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+           CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS p4
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_brand = 'Brand#13' AND l.l_partkey IS NOT NULL
+           AND l.l_quantity IS NOT NULL),
+        a AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sq,
+            count(*) AS nq FROM li GROUP BY 1)
+        SELECT CAST(sum(p4) AS BIGINT) / 70000.0 AS avg_yearly,
+          count(*) AS n_lines
+        FROM li JOIN a USING (l_partkey)
+        WHERE qc * nq * 10 < sq * 2""",
     // d21: Q15's correlated-max as one supplier aggregate + a 1-row
     // max cross join; exact 1e-4 revenue so the winner set is stable
     "d21_top_supplier" ->

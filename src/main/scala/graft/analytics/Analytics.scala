@@ -640,6 +640,41 @@ object Analytics {
         (col("__r4") / 10000.0).as("total_revenue"))
   }
 
+  /** Q17-style small-quantity revenue (round 11): for a filtered part
+    * set, the average yearly revenue lost if orders below 20% of each
+    * part's mean quantity were dropped — the classic CORRELATED SCALAR
+    * SUBQUERY shape (each lineitem compares against ITS part's
+    * average). Decorrelated the Spark-first way: one per-part
+    * aggregate over the (brand-filtered, column-pruned) fact rows,
+    * broadcast back onto the same rows, filter, one global sum — the
+    * fact table is scanned once per side of a self-reference the
+    * naive SQL writes as a subquery per row.
+    *
+    * Exactness: the 20%-of-average comparison is pure integer
+    * cross-multiplication — qty_c · n · 10 < 2 · sum_c (quantities
+    * carried as exact integer cents) — so no float threshold exists
+    * to land a ulp apart; the revenue output is an exact 1e-4-unit
+    * sum divided once by 7·10⁴ (one correctly-rounded double op,
+    * identical in both engines). */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                           brand: String): DataFrame = {
+    val keys = part.filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("l_partkey"))
+    val li = lineitem
+      .filter(col("l_partkey").isNotNull && col("l_quantity").isNotNull)
+      .join(broadcast(keys), Seq("l_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100, 0).cast("long").as("__qc"),
+        round(col("l_extendedprice") * 10000, 0).cast("long").as("__p4"))
+      .localCheckpoint(false)
+    val avgq = li.groupBy(col("l_partkey"))
+      .agg(sum(col("__qc")).as("__sq"), count(lit(1)).as("__nq"))
+    li.join(broadcast(avgq), Seq("l_partkey"))
+      .filter(col("__qc") * col("__nq") * 10 < col("__sq") * 2)
+      .agg((sum(col("__p4")) / 70000.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
   def orderLifecycle(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
                      lateDays: Int, topN: Int): DataFrame = {
     val ordF = orders.filter(col("o_orderstatus") === "F")

@@ -346,6 +346,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(top1 == Seq(10L))
   }
 
+  test("smallQuantityRevenue keeps only lines under 20% of their part's mean") {
+    import spark.implicits._
+    // part 1 (Brand#13): quantities 1, 30, 29 -> mean 20, threshold 4
+    //   -> only the qty-1 line (price 700.00) counts
+    // part 2 (Brand#13): single line -> 10*qc < 2*qc never -> none
+    // part 3 (other brand): would qualify but filtered out
+    val li = Seq(
+      (1L, 1.0, 700.00), (1L, 30.0, 100.00), (1L, 29.0, 100.00),
+      (2L, 1.0, 500.00),
+      (3L, 1.0, 900.00), (3L, 50.0, 100.00)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#13"), (2L, "Brand#13"), (3L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.smallQuantityRevenue(li, part, "Brand#13").collect()(0)
+    assert(out.getAs[Long]("n_lines") == 1L, out.toString)
+    assert(out.getAs[Double]("avg_yearly") == 700.00 * 10000 / 70000.0, out.toString)
+    // exact boundary: qty exactly 20% of mean is NOT below it
+    val li2 = Seq((1L, 4.0, 100.00), (1L, 16.0, 100.00), (1L, 40.0, 100.00))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice") // mean 20, 20% = 4
+    val out2 = Analytics.smallQuantityRevenue(li2, part, "Brand#13").collect()(0)
+    assert(out2.getAs[Long]("n_lines") == 0L, out2.toString)
+  }
+
   test("topSupplier emits every max-revenue tie inside the window, exact cents") {
     import spark.implicits._
     def d(x: String) = java.sql.Date.valueOf(x)
