@@ -1064,6 +1064,25 @@ object SparkEntry {
       // StreamsSpec pins stream/batch parity and the late-data drop
       Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", f12Steps, 7200L)),
+    "f13_stream_quality_ledger" -> ((s, d) => {
+      // REAL streaming machinery: events as a file-source stream,
+      // foreachBatch appends a bounded per-hour quality report to the
+      // manifest-versioned ledger exactly once per batch (idempotent
+      // by batch id), AvailableNow drains; the read-back aggregates
+      // across batches so the result is batching-invariant
+      val tmp = s"/tmp/graft_sources/f13_${pathTag(d)}"
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_trunc("second", col("ts")).as("period"), col("value"))
+      ev.write.mode("overwrite").parquet(s"$tmp/src")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/src")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/ledger"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/ckpt"), true)
+      graft.streaming.LedgerSink.streamQualityLedger(stream,
+        s"$tmp/ledger", s"$tmp/ckpt", "period", "value").awaitTermination()
+      graft.streaming.LedgerSink.readQualityLedger(s, s"$tmp/ledger")
+    }),
     "f8_stream_upsert" -> ((s, d) => {
       // the REAL streaming machinery end-to-end (not the batch twin):
       // events land as a file-source stream, foreachBatch upserts the
@@ -4017,6 +4036,15 @@ object SparkEntry {
              AND n_word_chars <= n_words * 10 AND n_symbols * 10 <= n_words
              AND n_alpha_words * 5 >= n_words * 4 AND n_stop_kinds >= 2 AS keep
          FROM m""",
+    // f13: batching-invariant by construction — the per-bucket sums
+    // across ledgered batch partials equal one batch query over the
+    // feed, whatever the micro-batch split was
+    "f13_stream_quality_ledger" ->
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_nulls,
+           CAST(sum(coalesce(CAST(round(value * 100, 0) AS BIGINT), 0)) AS BIGINT) / 100.0
+             AS sum_value
+         FROM events GROUP BY 1""",
     // d22: the correlated scalar subquery decorrelated; the 20%
     // threshold is qc*n*10 < 2*sum in exact integers, the output one
     // exact 1e-4 sum divided once

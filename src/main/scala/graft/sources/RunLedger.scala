@@ -51,4 +51,28 @@ object RunLedger {
     * up to that run. */
   def readAsOf(spark: SparkSession, table: String, version: Long): DataFrame =
     Sources.readVersion(spark, table, version)
+
+  /** Streaming-facing idempotent append (round 11, the f13 sink): land
+    * an arbitrary bounded payload as one ledger version stamped with
+    * `__batch_id`, EXACTLY ONCE under foreachBatch's at-least-once
+    * replay. The replay window after a crash is precisely one batch,
+    * and batches commit in order within a query, so the duplicate
+    * check only needs the NEWEST published version: if it already
+    * carries this batch id the append is a no-op; if the crash tore
+    * the previous attempt before its manifest rename, the orphan is
+    * invisible and this append overwrites its directory number (the
+    * g13 healing contract). Payloads must keep ONE schema per table —
+    * don't mix with [[appendRun]]'s (run_ts, operator, metric, value)
+    * tables. Single-writer like every appendVersion caller
+    * (foreachBatch guarantees it within a query; a second query on the
+    * same table needs the LandingLease discipline). */
+  def appendBatch(payload: DataFrame, spark: SparkSession, table: String,
+                  batchId: Long): Long = {
+    val cur = Sources.currentVersion(spark, table)
+    val applied = cur > 0 && !spark.read.parquet(s"$table/data/v$cur")
+      .filter(col("__batch_id") === batchId).limit(1).isEmpty
+    if (applied) cur
+    else Sources.appendVersion(payload.withColumn("__batch_id", lit(batchId)),
+      spark, table)
+  }
 }

@@ -238,6 +238,55 @@ class StreamRecoverySpec extends SparkSpec {
     assert(table() == expected, "replayed merge must be a no-op")
   }
 
+  test("f13 quality ledger: batching-invariant totals across kill/restart; appends idempotent") {
+    val (inDir, chkDir, ledgerDir) = freshDirs("f13")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("period", TimestampType), StructField("value", DoubleType)))
+    def lifetime(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // several ledger versions per lifetime
+        .parquet(inDir)
+      graft.streaming.LedgerSink.streamQualityLedger(
+        src, ledgerDir, chkDir, "period", "value").awaitTermination()
+    }
+    def totals(): Map[Timestamp, (Long, Long, Double)] =
+      graft.streaming.LedgerSink.readQualityLedger(spark, ledgerDir).collect()
+        .map(r => r.getAs[Timestamp]("bucket") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+            r.getAs[Double]("sum_value"))).toMap
+    // lifetime 1: two files -> two batches, overlapping hour buckets
+    land(Seq((1L, Some(ts("10:05")), Some(1.5)), (2L, Some(ts("10:40")), None))
+      .toDF("event_id", "period", "value"), inDir)
+    land(Seq((3L, Some(ts("10:55")), Some(2.25)), (4L, Some(ts("11:05")), Some(4.0)))
+      .toDF("event_id", "period", "value"), inDir)
+    lifetime()
+    assert(totals() == Map(
+      ts("10:00") -> ((3L, 1L, 3.75)), ts("11:00") -> ((1L, 0L, 4.0))))
+    // lifetime 2 (the restart): one more file; committed batches must
+    // not re-append (totals would double)
+    land(Seq((5L, Some(ts("11:30")), Some(1.0))).toDF("event_id", "period", "value"), inDir)
+    lifetime()
+    // lifetime 3: nothing new — a pure-replay drain appends nothing
+    lifetime()
+    assert(totals() == Map(
+      ts("10:00") -> ((3L, 1L, 3.75)), ts("11:00") -> ((2L, 0L, 5.0))))
+    // the per-batch partials really are separate ledger versions
+    assert(graft.sources.Sources.listVersions(spark, ledgerDir).size == 3)
+    // appendBatch idempotence directly (the at-least-once -> exactly-
+    // once upgrade): replaying the NEWEST batch id is a no-op...
+    import spark.implicits._
+    val rep = Seq((ts("12:00"), 9L)).toDF("bucket", "n_rows")
+      .withColumn("n_nulls", lit(0L)).withColumn("sum_cents", lit(0L))
+    val v = graft.sources.RunLedger.appendBatch(rep, spark, ledgerDir, 2L)
+    assert(v == 3L && graft.sources.Sources.listVersions(spark, ledgerDir).size == 3)
+    // ...while a torn attempt (data landed, no manifest) is invisible
+    // and the healed re-append lands once
+    rep.withColumn("__batch_id", lit(3L)).write.parquet(s"$ledgerDir/data/v4")
+    assert(totals().size == 3 || totals().size == 2) // torn dir never read
+    val v2 = graft.sources.RunLedger.appendBatch(rep, spark, ledgerDir, 3L)
+    assert(v2 == 4L && totals()(ts("12:00")) == ((9L, 0L, 0.0)))
+  }
+
   test("f8 upsert partial maintenance: untouched buckets are byte-identical after a merge") {
     val (_, _, tableDir) = freshDirs("f8partial")
     // keys 0..3 hash into distinct buckets with nBuckets=4? not
