@@ -436,6 +436,10 @@ object SparkEntry {
       // sort, chained running-max anchors, zero self-joins
       Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", Seq("view", "click", "purchase"), 3600L)),
+    "d23_order_histogram" -> ((s, d) =>
+      // Q13: orders per customer (zero-order customers via left join)
+      // -> count-of-counts histogram; all-integer outputs
+      Analytics.orderCountHistogram(Tables.customer(s, d), Tables.orders(s, d))),
     "d22_small_qty_revenue" -> ((s, d) =>
       // Q17: the correlated per-part average decorrelated into one
       // aggregate + broadcast-back; threshold in exact integer
@@ -632,6 +636,22 @@ object SparkEntry {
       TextOps.packSequencesByCount(
         counts.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
         "doc_id", "n_tokens", "source", 1024)
+    }),
+    "e65_tokenizer_apply" -> ((s, d) => {
+      // the tokenizer LIFECYCLE: train (e60) -> persist the merge
+      // table as a versioned artifact (g13 store -> tokenizer
+      // versions for free) -> load -> encode-only apply on the
+      // corpus. Output equals e63's direct train+encode, so the
+      // oracle is shared verbatim.
+      val docs = Tables.documents(s, d)
+      val dir = s"/tmp/graft_sources/e65_${pathTag(d)}"
+      graft.sources.PagedFeed.reset(s, dir)
+      graft.sources.Sources.appendVersion(
+        TextOps.bpeMergeLoop(docs, "doc_id", "text", 8, 2L), s, dir)
+      val merges = graft.sources.Sources.readVersion(s, dir,
+          graft.sources.Sources.currentVersion(s, dir))
+        .orderBy(col("merge_rank")).collect().map(_.getString(1)).toSeq
+      TextOps.applyBpeMerges(docs, "doc_id", "text", merges)
     }),
     "e63_bpe_encode_count" -> ((s, d) =>
       // per-doc token counts under the TRAINED (e60) tokenizer: the
@@ -3497,6 +3517,12 @@ object SparkEntry {
     "e63_bpe_encode_count" ->
       s"""WITH $bpeEncodeCtes
           SELECT doc_id, n_tokens, n_words FROM tc""",
+    // e65: persist -> load -> apply must EQUAL direct train+encode
+    // (the e32/e40 shared-oracle precedent: SQL has no notion of where
+    // the merges came from)
+    "e65_tokenizer_apply" ->
+      s"""WITH $bpeEncodeCtes
+          SELECT doc_id, n_tokens, n_words FROM tc""",
     // e64: the e63 chain verbatim + the e23 pack window over the
     // trained counts
     "e64_pack_by_bpe" ->
@@ -4045,6 +4071,12 @@ object SparkEntry {
            CAST(sum(coalesce(CAST(round(value * 100, 0) AS BIGINT), 0)) AS BIGINT) / 100.0
              AS sum_value
          FROM events GROUP BY 1""",
+    // d23: Q13's left-join count-of-counts; zero-order customers kept
+    "d23_order_histogram" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1""",
     // d22: the correlated scalar subquery decorrelated; the 20%
     // threshold is qc*n*10 < 2*sum in exact integers, the output one
     // exact 1e-4 sum divided once

@@ -640,6 +640,23 @@ object Analytics {
         (col("__r4") / 10000.0).as("total_revenue"))
   }
 
+  /** Q13-style customer order-count distribution (round 11): per
+    * customer the number of orders (zero-order customers INCLUDED via
+    * the left join — the distribution's head is the whole point of
+    * Q13), then the count-of-counts histogram. Shape: one fact-fact
+    * equi-join on the customer key (both sides column-pruned to keys;
+    * co-located when bucketed on custkey at 100 TB), a two-level
+    * customer → count aggregate, and a histogram aggregate over the
+    * BOUNDED count domain. All-integer outputs — nothing to round. */
+  def orderCountHistogram(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   /** Q17-style small-quantity revenue (round 11): for a filtered part
     * set, the average yearly revenue lost if orders below 20% of each
     * part's mean quantity were dropped — the classic CORRELATED SCALAR

@@ -560,6 +560,48 @@ object TextOps {
       .agg(sum(col("__tc")).as("n_tokens"), count(lit(1)).as("n_words"))
   }
 
+  /** ENCODE-ONLY application of a persisted merge table (round 11) —
+    * the inference half of the tokenizer lifecycle [[bpeTrainVocab]]
+    * trains: given merges in rank order (the e60 artifact, typically
+    * persisted to the g13 versioned store and read back), segment a
+    * FRESH corpus's words by replaying the merges — no pair counting,
+    * no top-1 collects, just M vocab-sized greedy rewrites (the same
+    * doubled-space literal replace as training, so a word seen in
+    * training segments EXACTLY as it did there, and an unseen word
+    * segments by the same greedy rule a scalar encoder applies).
+    * Returns per-doc (n_tokens, n_words) like [[bpeTokenCounts]].
+    *
+    * Scale shape: the fresh corpus reduces once to its DISTINCT word
+    * table (two-level aggregate); each merge rewrites that vocab
+    * (corpus-size-independent); the (word → symbol count) result
+    * broadcasts back onto one narrow tokenize pass. This is the daily
+    * inference cadence: train once on the big corpus, encode each new
+    * crawl at vocab cost. */
+  def applyBpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[String]): DataFrame = {
+    require(merges.forall(_.contains(" ")), "merges must be 'x y' pairs")
+    val inst = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    var vocab = inst.select(col("word")).distinct()
+      .withColumn("w",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" _ ")))
+      .localCheckpoint(false)
+    for (pair <- merges) {
+      val pat = lit(s" ${pair.replace(" ", "  ")} ")
+      val rep = lit(s" ${pair.replace(" ", "")} ")
+      vocab = vocab
+        .withColumn("w",
+          replace(replace(replace(col("w"), lit(" "), lit("  ")), pat, rep),
+            lit("  "), lit(" ")))
+        .localCheckpoint(false)
+    }
+    inst.join(vocab.select(col("word"),
+        size(split(trim(col("w")), " ")).cast("long").as("__tc")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__tc")).as("n_tokens"), count(lit(1)).as("n_words"))
+  }
+
   /** Per-doc top-k terms by TF-IDF — the keyword/vocabulary projection
     * of the corpus (classic two-pass scheme: per-doc term counts, then
     * corpus-wide document frequencies, idf = ln(N/df)). The scalar doc

@@ -346,6 +346,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(top1 == Seq(10L))
   }
 
+  test("orderCountHistogram counts zero-order customers in the head bucket") {
+    import spark.implicits._
+    val cust = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val ords = Seq((100L, 1L), (101L, 1L), (102L, 2L), (103L, 9L))
+      .toDF("o_orderkey", "o_custkey") // custkey 9 matches nobody
+    val out = Analytics.orderCountHistogram(cust, ords)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cust 1 -> 2 orders; cust 2 -> 1; cust 3,4 -> 0
+    assert(out == Map(2L -> 1L, 1L -> 1L, 0L -> 2L), out.toString)
+  }
+
   test("smallQuantityRevenue keeps only lines under 20% of their part's mean") {
     import spark.implicits._
     // part 1 (Brand#13): quantities 1, 30, 29 -> mean 20, threshold 4

@@ -920,6 +920,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L, 0L, 0L)))
   }
 
+  test("applyBpeMerges: persisted-artifact inference equals training segmentation; unseen words greedy") {
+    // train on corpus A, persist via the versioned store, encode
+    // corpus B (overlapping + UNSEEN words) — the scalar application
+    // of the same merges is the truth
+    val trainDocs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest widest widest widest aaaaa aaaaa")
+    ).toDF("doc_id", "text")
+    val applyDocs = Seq(
+      (10L, "low lower newest"),      // all seen
+      (11L, "lowest wideness aaaaaa") // unseen: segment by the merges greedily
+    ).toDF("doc_id", "text")
+    val table = java.nio.file.Files.createTempDirectory("graft_tok").toString + "/t"
+    graft.sources.Sources.appendVersion(
+      TextOps.bpeMergeLoop(trainDocs, "doc_id", "text", 8, 1L), spark, table)
+    val merges = graft.sources.Sources.readVersion(spark, table, 1L)
+      .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+    assert(merges.nonEmpty)
+    val got = TextOps.applyBpeMerges(applyDocs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // scalar truth: greedy left-to-right application per merge round
+    def encode(word: String): Long = {
+      var syms = word.map(_.toString).toVector :+ "_"
+      for (pair <- merges) {
+        val Array(x, y) = pair.split(" ")
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            b += (x + y); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms.length.toLong
+    }
+    val expect = Map(
+      10L -> (Seq("low", "lower", "newest").map(encode).sum, 3L),
+      11L -> (Seq("lowest", "wideness", "aaaaaa").map(encode).sum, 3L))
+    assert(got == expect, s"$got vs $expect")
+    // seen-word invariance: applying to the training corpus equals
+    // the training-time accounting (e63)
+    val direct = TextOps.bpeTokenCounts(trainDocs, "doc_id", "text", 8, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val applied = TextOps.applyBpeMerges(trainDocs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(applied == direct)
+  }
+
   test("packSequencesByCount packs by the supplied counts; e64 matches BPE accounting") {
     // caller-supplied counts replace the whitespace proxy verbatim
     val counted = Seq(
