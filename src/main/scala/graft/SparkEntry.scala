@@ -249,6 +249,20 @@ object SparkEntry {
       // leading significant digits vs uniform 1..9, exact-integer
       // statistic, flagged at the 95%/8df cut
       Quality.leadingDigitProfile(Tables.events(s, d), "user_id", "value")),
+    "b22_stats_drift" -> ((s, d) => {
+      // snapshot profile gate, footer-priced: two event snapshots
+      // (even/odd ids) land as parquet, per-column stats compare with
+      // integer-exact drift flags
+      val tmp = s"/tmp/graft_sources/b22_${pathTag(d)}"
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("value"))
+      ev.filter(col("event_id") % 2 === 0).write.mode("overwrite")
+        .parquet(s"$tmp/a")
+      ev.filter(col("event_id") % 2 =!= 0).write.mode("overwrite")
+        .parquet(s"$tmp/b")
+      graft.sources.ParquetStats.statsDrift(s, s"$tmp/a", s"$tmp/b",
+        Seq("event_id", "user_id"))
+    }),
     "b21_ks_drift" -> ((s, d) =>
       // bin-free numeric-distribution drift: exact two-sample KS per
       // event type over the b14 time split, decided on the integer
@@ -661,6 +675,13 @@ object SparkEntry {
       TextOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text", 8, 2L)),
     "e15_frame_sample" -> ((s, d) =>
       Binary.frameSample(Tables.documents(s, d), "doc_id", "text", 16, 4)),
+    "e66_dup_cluster_stats" -> ((s, d) =>
+      // the dedup report: count-of-counts over the e17 components —
+      // how many clusters of each size the pair graph resolves to
+      Components.componentSizeHistogram(Components.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          Seq("lang", "source"), 3, 0.6),
+        "doc_a", "doc_b"))),
     "e17_dup_clusters" -> ((s, d) =>
       Components.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -1764,6 +1785,31 @@ object SparkEntry {
             CASE WHEN duplicate_groups > 0 THEN 1 ELSE 0 END) = 0 AS is_valid,
            date_range_start, date_range_end, unique_regions, regions
          FROM a, d, o""",
+    // b22: the two parity snapshots' per-column stats joined; flags in
+    // exact integer arithmetic, the null-range guard mirrors coalesce
+    "b22_stats_drift" ->
+      """WITH a AS (
+           SELECT 'event_id' AS column_name, count(*) AS n_rows_a,
+             count(*) - count(event_id) AS n_nulls_a,
+             min(event_id) AS min_a, max(event_id) AS max_a
+           FROM events WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT 'user_id', count(*), count(*) - count(user_id),
+             min(user_id), max(user_id) FROM events WHERE event_id % 2 = 0),
+         b AS (
+           SELECT 'event_id' AS column_name, count(*) AS n_rows_b,
+             count(*) - count(event_id) AS n_nulls_b,
+             min(event_id) AS min_b, max(event_id) AS max_b
+           FROM events WHERE event_id % 2 <> 0
+           UNION ALL
+           SELECT 'user_id', count(*), count(*) - count(user_id),
+             min(user_id), max(user_id) FROM events WHERE event_id % 2 <> 0)
+         SELECT column_name, n_rows_a, n_nulls_a, min_a, max_a,
+           n_rows_b, n_nulls_b, min_b, max_b,
+           coalesce(min_b < min_a, false) OR coalesce(max_b > max_a, false)
+             AS range_extended,
+           n_nulls_b * n_rows_a > n_nulls_a * n_rows_b * 2 AS null_rate_up
+         FROM a JOIN b USING (column_name)""",
     "b12_gap_summary" ->
       """WITH t AS (SELECT user_id, date_trunc('second', ts) AS period, event_id FROM events),
          g AS (SELECT user_id,
@@ -3147,6 +3193,16 @@ object SparkEntry {
           SELECT doc_a, doc_b, round(inter * 1.0 / ca.n, 4) AS containment
           FROM dpairs JOIN counts ca ON ca.doc_id = doc_a
           WHERE round(inter * 1.0 / ca.n, 4) >= 0.8""",
+    // e66: the e17 closure + two count-of-counts aggregates
+    "e66_dup_cluster_stats" ->
+      s"""WITH RECURSIVE $ngramPairCte,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION SELECT doc_b, doc_a FROM jpairs),
+          reach AS (SELECT a AS n, a AS m FROM edges
+            UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+          comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+          cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+          SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1""",
     "e17_dup_clusters" ->
       s"""WITH RECURSIVE $ngramPairCte,
           edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs

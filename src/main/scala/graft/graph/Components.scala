@@ -140,4 +140,18 @@ object Components {
       .select(col("node").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Dup-cluster size histogram (round 11, e66) — the dedup REPORT a
+    * curation run publishes: how many clusters of each size the pair
+    * graph resolves to (count-of-counts over
+    * [[connectedComponents]]' output, the d23 histogram shape). Both
+    * aggregates are rule-1 partials over bounded domains (component
+    * ids, then cluster sizes); all-integer outputs. Singleton docs
+    * (never in any pair) are NOT clusters — components only covers
+    * pair-connected nodes, so size-1 rows cannot appear. */
+  def componentSizeHistogram(components: DataFrame): DataFrame =
+    components.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 }

@@ -192,4 +192,35 @@ object ParquetStats {
         F.min(F.col("__mn")).as("min_v"), F.max(F.col("__mx")).as("max_v"))
   }
   private val F = org.apache.spark.sql.functions
+
+  /** Snapshot stats drift (round 11, b22): compare two table
+    * snapshots' per-column footer stats — the schema/profile gate a
+    * pipeline runs BEFORE accepting a re-land (the reference re-lands
+    * its full extract every run; this is the "did the new extract's
+    * profile move" check, priced at footer reads only). Emits per
+    * column both sides' (rows, nulls, min, max) plus two flags:
+    * `range_extended` (the new snapshot's value range escapes the
+    * old's — new ids/regions appeared) and `null_rate_up` (null rate
+    * more than doubled, decided in exact integer cross-multiplication
+    * — n_nulls_b·n_rows_a > 2·n_nulls_a·n_rows_b; products stay under
+    * 2⁶³ through ~10⁹-row × 10⁹-null snapshots, far past any single
+    * snapshot this gate prices). All-null columns carry null min/max;
+    * the range flag treats an unknowable range as not-extended
+    * (coalesce false) rather than poisoning the verdict. */
+  def statsDrift(spark: SparkSession, pathA: String, pathB: String,
+                 columns: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = analyzeTable(spark, pathA, columns).select(col("column_name"),
+      col("n_rows").as("n_rows_a"), col("n_nulls").as("n_nulls_a"),
+      col("min_v").as("min_a"), col("max_v").as("max_a"))
+    val b = analyzeTable(spark, pathB, columns).select(col("column_name"),
+      col("n_rows").as("n_rows_b"), col("n_nulls").as("n_nulls_b"),
+      col("min_v").as("min_b"), col("max_v").as("max_b"))
+    a.join(b, Seq("column_name"))
+      .withColumn("range_extended",
+        coalesce(col("min_b") < col("min_a"), lit(false)) ||
+          coalesce(col("max_b") > col("max_a"), lit(false)))
+      .withColumn("null_rate_up",
+        col("n_nulls_b") * col("n_rows_a") > col("n_nulls_a") * col("n_rows_b") * 2)
+  }
 }

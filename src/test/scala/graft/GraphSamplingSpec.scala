@@ -61,6 +61,16 @@ class GraphSamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("componentSizeHistogram counts clusters by size, singletons absent") {
+    import spark.implicits._
+    // two clusters: {1,2,3} and {4,5}; doc 9 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val hist = graft.graph.Components.componentSizeHistogram(
+        graft.graph.Components.connectedComponents(pairs, "doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L), hist.toString)
+  }
+
   test("keepCanonical keeps one doc per cluster plus all singletons") {
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")

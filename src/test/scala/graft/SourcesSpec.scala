@@ -442,6 +442,30 @@ class SourcesSpec extends SparkSpec {
     assert(v3 == 3L && Sources.readVersion(spark, table, 3L).count() == 4L)
   }
 
+  test("statsDrift flags range extension and null-rate jumps from footers only (b22)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // snapshot A: ids 1-10, one null user; B: ids 5-20 (max extends),
+    // five null users of ten rows (null rate 0.1 -> 0.31, > 2x)
+    (1L to 10L).map(i => (i, if (i == 1) None else Some(i * 2)))
+      .toDF("event_id", "user_id").write.parquet(s"$base/a")
+    (5L to 20L).map(i => (i, if (i <= 9) None else Some(i * 2)))
+      .toDF("event_id", "user_id").write.parquet(s"$base/b")
+    val out = graft.sources.ParquetStats.statsDrift(spark, s"$base/a", s"$base/b",
+        Seq("event_id", "user_id")).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Boolean]("range_extended"), r.getAs[Boolean]("null_rate_up"))).toMap
+    // event_id: max 10 -> 20 extends, no nulls either side
+    assert(out("event_id") == ((true, false)), out.toString)
+    // user_id: range [4,20] -> [20,40] extends; nulls 1/10 -> 5/16 (>2x)
+    assert(out("user_id") == ((true, true)), out.toString)
+    // identical snapshots: nothing drifts
+    val same = graft.sources.ParquetStats.statsDrift(spark, s"$base/a", s"$base/a",
+        Seq("event_id", "user_id")).collect()
+    assert(same.forall(r => !r.getAs[Boolean]("range_extended") &&
+      !r.getAs[Boolean]("null_rate_up")))
+  }
+
   test("run ledger: runs accumulate, as-of reads, torn run invisible and healed (g15)") {
     import graft.sources.{RunLedger, Sources}
     val table = java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/t"
