@@ -252,4 +252,27 @@ class DocSnippetSpec extends SparkSpec {
     assert(st.getAs[Long]("n_rows") == 200L && st.getAs[Long]("max_v") == 200L)
     assertInSync("G")
   }
+
+  test("README group-H snippet compiles, runs, and matches the README verbatim") {
+    val dir = s"/tmp/graft_docsnippet_h_${System.nanoTime()}"
+    val fresh = Seq((10L, "the quick fox river", "web"))
+      .toDF("doc_id", "text", "source")
+    // doc-snippet:H begin
+    val counts   = TextOps.bpeTokenCounts(corpus, "doc_id", "text", 8, 1L)
+    val budgeted = TextOps.packSequencesByCount(counts.join(corpus.select("doc_id", "source"), "doc_id"), "doc_id", "n_tokens", "source", 4096)
+    Sources.appendVersion(TextOps.bpeMergeLoop(corpus, "doc_id", "text", 8, 1L), spark, s"$dir/tokenizer")
+    val merges   = Sources.readVersion(spark, s"$dir/tokenizer", 1L).orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+    val encoded  = TextOps.applyBpeMerges(fresh, "doc_id", "text", merges)
+    // doc-snippet:H end
+    assert(counts.count() == 3)            // every non-empty doc carries a count
+    // the packed tokens column IS the trained accounting
+    assert(budgeted.select("tokens").as[Long].collect().sum ==
+      counts.select("n_tokens").as[Long].collect().sum)
+    assert(merges.length == 8)             // 8 persisted merge rounds
+    // fresh-crawl words seen in training segment as trained; the doc
+    // encodes without the training corpus present
+    val enc = encoded.head()
+    assert(enc.getAs[Long]("n_words") == 4L && enc.getAs[Long]("n_tokens") >= 4L)
+    assertInSync("H")
+  }
 }

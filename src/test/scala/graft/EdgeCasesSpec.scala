@@ -128,4 +128,52 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.annRecall(vecs, vecs.limit(0), "vec_id", "embedding", 8, 2, 2)
       .count() == 0)
   }
+
+  test("round-11 operators tolerate empty inputs end to end") {
+    import java.sql.Timestamp
+    val noLi = Seq.empty[(Long, Double, Double, java.sql.Date)]
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = Seq((1L, "S1")).toDF("s_suppkey", "s_name")
+    // d21: max over nothing -> no winner rows, no crash
+    assert(graft.analytics.Analytics.topSupplier(noLi, supp,
+      "1996-01-01", "1996-04-01").count() == 0)
+    // d22: empty fact side -> one aggregate row of null/zero is fine
+    // only if it matches the oracle; here the inner joins empty it out
+    val noLi2 = Seq.empty[(Long, Double, Double)]
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#13")).toDF("p_partkey", "p_brand")
+    val d22 = graft.analytics.Analytics.smallQuantityRevenue(noLi2, part, "Brand#13")
+      .collect()(0)
+    assert(d22.getAs[Long]("n_lines") == 0L)
+    // d23: no orders -> every customer counts zero
+    val cust = Seq(1L, 2L).toDF("c_custkey")
+    val noOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    val d23 = graft.analytics.Analytics.orderCountHistogram(cust, noOrd)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d23 == Map(0L -> 2L))
+    // e63/e65: empty corpus -> empty counts, empty merge table applies
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.TextOps.bpeTokenCounts(noDocs, "doc_id", "text", 3, 1L)
+      .count() == 0)
+    assert(graft.text.TextOps.applyBpeMerges(noDocs, "doc_id", "text",
+      Seq("a b")).count() == 0)
+    // e64: empty counted set packs to nothing
+    val noCounted = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n")
+    assert(graft.text.TextOps.packSequencesByCount(noCounted, "doc_id", "n",
+      "source", 8).count() == 0)
+    // e66: no pairs -> no clusters (components of an empty graph)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.graph.Components.componentSizeHistogram(
+      graft.graph.Components.connectedComponents(noPairs, "doc_a", "doc_b"))
+      .count() == 0)
+    // c30/c31/c32: empty series emit nothing, never throw
+    val noEv = Seq.empty[(Long, Timestamp, String, Double)]
+      .toDF("event_id", "ts", "key", "value")
+    assert(graft.timeseries.Forecast.seasonalRidgeForecast(noEv, "key", "ts",
+      "event_id", "value", 7, 10, 1.0).count() == 0)
+    assert(graft.timeseries.Forecast.holtWintersDampedForecast(noEv, "key", "ts",
+      "event_id", "value", 0.5, 0.25, 0.5, 0.9, 24, 48, Seq(1)).count() == 0)
+    assert(graft.timeseries.Forecast.blendForecasts(noEv, "key", "ts",
+      "event_id", "value", 24, 7, 10, 1.0).count() == 0)
+  }
 }
