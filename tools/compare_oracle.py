@@ -122,9 +122,26 @@ def main():
                 entry["match"] = "rows-only"
         json.dump(summary, open(spath, "w"), indent=0, sort_keys=True)
         # refresh the repo-local copy only when this compare covered the
-        # full surface (a targeted subset must not shrink the artifact)
-        if only is None and os.path.exists("VERIFY_SUMMARY.json"):
-            json.dump(summary, open("VERIFY_SUMMARY.json", "w"), indent=0, sort_keys=True)
+        # full surface (a targeted subset must not shrink the artifact).
+        # Written UNCONDITIONALLY on full runs (round-11 advice: the old
+        # exists() precondition silently skipped the first-ever write),
+        # to a path anchored on this script's repo, not the cwd.
+        if only is None:
+            repo_copy = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "VERIFY_SUMMARY.json")
+            json.dump(summary, open(repo_copy, "w"), indent=0, sort_keys=True)
+    # One-line machine-readable verdict as the LAST stdout line (round-11
+    # verdict item: the driver's bounded tail capture lost three rounds of
+    # CORRECTNESS_r*.json; the Bench total_only line is the precedent).
+    fails = sorted(n for n, v in results.items() if v != "OK")
+    print(json.dumps({
+        "metric": "oracle_compare",
+        "n_match": npass,
+        "n_total": len(results),
+        "rows_only": sorted(rows_only),
+        "fails": fails,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":
