@@ -179,11 +179,10 @@ object Cluster {
                 topK: Int, rerank: Int, fitSample: Long = 100000L,
                 corpusRows: Option[Long] = None): DataFrame = {
     require(rerank >= topK, s"rerank depth $rerank must be >= topK $topK")
-    val dsub = probeDsub(corpus, vecCol, m)
     val allRows = corpus.select(col(idCol).as("__id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     val fitRows = sampleForFit(allRows, fitSample, ksub, corpusRows)
-    val codebooks = fitPqCodebooks(fitRows, m, ksub, dsub, iters)
+    val (codebooks, dsub) = fitPqCodebooks(fitRows, m, ksub, iters)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .filter(col("cv").isNotNull)
       .withColumn("rv", pqReconstruct(col("cv"), codebooks, dsub))
@@ -203,16 +202,6 @@ object Cluster {
     val shortlist = saltedShortlist(adc, rerank)
       .select(col("query_id"), col("qv"), col("qn2"), col("neighbor_id"))
     exactRerank(corpus, idCol, vecCol, shortlist, topK)
-  }
-
-  /** Probe the corpus dimensionality and validate the m-subspace split. */
-  private def probeDsub(corpus: DataFrame, vecCol: String, m: Int): Int = {
-    val dimRow = corpus.select(size(col(vecCol)).as("d"))
-      .filter(col("d") > 0).limit(1).collect()
-    require(dimRow.nonEmpty, "corpus has no non-empty vectors")
-    val dim = dimRow(0).getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    dim / m
   }
 
   /** Deterministic hash-mod fit sample of ~fitSample rows. The sizing
@@ -245,9 +234,18 @@ object Cluster {
     * pure waste at scale (the per-iteration update explodes every fit
     * row into dim cells: sf10 measured 384M exploded rows per
     * iteration un-sampled vs 6.4M sampled). Encoding and scoring
-    * still cover the FULL corpus. `fitRows` must carry (__id, v). */
+    * still cover the FULL corpus. `fitRows` must carry (__id, v).
+    *
+    * Returns (codebooks, dsub): the corpus dimensionality — and the
+    * m-subspace split validation — derives from the seed collect this
+    * fit pays anyway (round 12), replacing the separate 1-row
+    * probeDsub job the old form ran first. At bench scale every
+    * sequential job in the e61/e62 chain is ~0.3 s of pure scheduling
+    * latency (QueryStageProbe: e62 is ~20 sequential jobs for 8
+    * task-seconds of compute); at 100 TB the fit chain is fixed-cost
+    * either way, so fewer sequential round trips is strictly better. */
   private def fitPqCodebooks(fitRows: DataFrame, m: Int, ksub: Int,
-                             dsub: Int, iters: Int): Seq[Array[Array[Double]]] = {
+                             iters: Int): (Seq[Array[Array[Double]]], Int) = {
     val seedRows = fitRows.select(col("__id"), asDouble("v").as("v"))
       .withColumn("__h", seedHash(col("__id")))
       .orderBy(col("__h"), col("__id"))
@@ -257,6 +255,9 @@ object Cluster {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1))
     require(seedRows.nonEmpty, "corpus has no vectors to seed codebooks")
+    val dim = seedRows(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
     // subspace s codebook row c = seed c's s-th slice (seed count can
     // be < ksub on tiny corpora — arity then follows the corpus)
     var codebooks: Seq[Array[Array[Double]]] = (0 until m).map { s =>
@@ -286,7 +287,7 @@ object Cluster {
         cb.zipWithIndex.map { case (c, ci) => updated.getOrElse((s, ci), c) }
       }
     }
-    codebooks
+    (codebooks, dsub)
   }
 
   /** Narrow PQ encode + reconstruct: per subspace, argmin over the
@@ -402,7 +403,6 @@ object Cluster {
                    maxCellSize: Option[Long] = None): DataFrame = {
     require(rerank >= topK, s"rerank depth $rerank must be >= topK $topK")
     require(nprobe >= 1 && nprobe <= kCells, s"nprobe $nprobe out of [1, $kCells]")
-    val dsub = probeDsub(corpus, vecCol, m)
     val allRows = corpus.select(col(idCol).as("__id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     val fitRows = sampleForFit(allRows, fitSample, ksub, corpusRows)
@@ -419,7 +419,7 @@ object Cluster {
       .select(col("__id"),
         zip_with(col("__vd"), element_at(centLit, col("__cl") + 1),
           (a, b) => a - b).as("v"))
-    val codebooks = fitPqCodebooks(resFitRows, m, ksub, dsub, pqIters)
+    val (codebooks, dsub) = fitPqCodebooks(resFitRows, m, ksub, pqIters)
     // encode the FULL corpus: cell + residual codes; x̂ = c_cell + q(r)
     val enc = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
       .filter(col("cv").isNotNull)
