@@ -426,6 +426,245 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Elementwise a − b over two numeric array columns as array<double>
+    * (round 12) — the codegen replacement for `zip_with(a, b, _ - _)`
+    * on the IVF-PQ residual path: HigherOrderFunction is
+    * CodegenFallback, so the old form ran an interpreted lambda with
+    * boxed Doubles per ELEMENT of every corpus row (and broke the
+    * whole-stage-codegen span it sat in). Same arithmetic in the same
+    * element order (each element widens to double exactly like an
+    * up-front cast, so results are bit-identical for equal-length
+    * dense arrays). Mismatched lengths truncate to the shorter array
+    * and null slots read as 0.0 — the documented contract of every
+    * expression in this file (zip_with instead null-pads; vectors of
+    * unequal length or with null slots are out of the ANN operators'
+    * contract either way). */
+  case class ArraySub(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("array_sub", Seq(left, right))
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (lt, rt) = (elementType(left), elementType(right))
+      val n = math.min(x.numElements(), y.numElements())
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = elemScala(x, lt, i) - elemScala(y, rt, i); i += 1 }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (i, n, out) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("out"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = ${elemJava(a, elementType(left), i)} - ${elemJava(b, elementType(right), i)};
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArraySub =
+      copy(left = l, right = r)
+  }
+
+  /** Elementwise a + b as array<double> — [[ArraySub]]'s twin for the
+    * IVF-PQ reconstruction x̂ = c_cell + q(x − c_cell). Same contract. */
+  case class ArrayAdd(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("array_add", Seq(left, right))
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (lt, rt) = (elementType(left), elementType(right))
+      val n = math.min(x.numElements(), y.numElements())
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = elemScala(x, lt, i) + elemScala(y, rt, i); i += 1 }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (i, n, out) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("out"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = ${elemJava(a, elementType(left), i)} + ${elemJava(b, elementType(right), i)};
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAdd =
+      copy(left = l, right = r)
+  }
+
+  /** Product-quantization encode + reconstruct in ONE compact kernel
+    * (round 12): for each of the m subspaces, argmin of squared L2
+    * distance from the input's s-th `dsub`-slice to that subspace's
+    * codewords (ties → lowest codeword, the [[NearestCentroid]]
+    * contract), emitting the chosen codewords concatenated — exactly
+    * the `concat(element_at(cb_s, nearestCentroid(slice(v, …)) + 1))`
+    * composition it replaces, bit-for-bit (same slice offsets, same
+    * distance fold order, same tie resolution, same short-tail
+    * min-length guard).
+    *
+    * Why a fused expression and not the composition: m unrolled
+    * argmin subtrees (each with its own slice allocation and inline
+    * codeword literals) generate a whole-stage function past the
+    * JVM JIT's ~8 KB huge-method threshold — UNDER Spark's 64 KB
+    * hugeMethodLimit, so no warning fires and the entire fused stage
+    * (scan, joins, dots included) silently runs in the bytecode
+    * interpreter. Measured on the sf1 e62 encode stage: 45.8
+    * task-seconds composed vs 9-ish with the stage de-fused; this
+    * kernel keeps the stage fused AND compiles to one small JIT-able
+    * triple loop over a referenced codebook tensor. */
+  case class PqReconstruct(child: Expression,
+                           codebooks: Array[Array[Array[Double]]],
+                           dsub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("pq_reconstruct", Seq(child))
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elementType(child)
+      val out = new Array[Double](codebooks.length * dsub)
+      var s = 0
+      while (s < codebooks.length) {
+        val cb = codebooks(s)
+        val off = s * dsub
+        val rem = math.max(v.numElements() - off, 0)
+        var best = -1; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cb.length) {
+          val cw = cb(c)
+          val n = math.min(cw.length, rem)
+          var d = 0.0; var i = 0
+          while (i < n) { val t = elemScala(v, et, off + i) - cw(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val chosen = cb(best)
+        var j = 0
+        while (j < dsub) { out(off + j) = chosen(j); j += 1 }
+        s += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (s, c, i, j, n) = (ctx.freshName("s"), ctx.freshName("c"),
+          ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("n"))
+        val (off, rem, d, t, best, bestD, out) = (ctx.freshName("off"),
+          ctx.freshName("rem"), ctx.freshName("d"), ctx.freshName("t"),
+          ctx.freshName("best"), ctx.freshName("bestD"), ctx.freshName("out"))
+        val idx = ctx.freshName("idx")
+        s"""
+           |double[] $out = new double[$cbs.length * $dsub];
+           |for (int $s = 0; $s < $cbs.length; $s++) {
+           |  double[][] cb = $cbs[$s];
+           |  int $off = $s * $dsub;
+           |  int $rem = java.lang.Math.max($a.numElements() - $off, 0);
+           |  int $best = -1;
+           |  double $bestD = Double.POSITIVE_INFINITY;
+           |  for (int $c = 0; $c < cb.length; $c++) {
+           |    double[] cw = cb[$c];
+           |    int $n = java.lang.Math.min(cw.length, $rem);
+           |    double $d = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      int $idx = $off + $i;
+           |      double $t = ${elemJava(a, elementType(child), idx)} - cw[$i];
+           |      $d += $t * $t;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |  }
+           |  double[] chosen = cb[$best];
+           |  for (int $j = 0; $j < $dsub; $j++) { $out[$off + $j] = chosen[$j]; }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): PqReconstruct =
+      copy(child = c)
+  }
+
+  /** The assignment half of [[PqReconstruct]]: per subspace, the
+    * argmin codeword id (ties → lowest), as array<int> — the fused
+    * replacement for the m-way `array(nearestCentroid(slice(v, …)))`
+    * unroll in the codebook-fit update, which had the same silent
+    * JIT huge-method failure mode as the reconstruct composition. */
+  case class PqAssign(child: Expression,
+                      codebooks: Array[Array[Array[Double]]],
+                      dsub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkNumericArrays("pq_assign", Seq(child))
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elementType(child)
+      val out = new Array[Int](codebooks.length)
+      var s = 0
+      while (s < codebooks.length) {
+        val cb = codebooks(s)
+        val off = s * dsub
+        val rem = math.max(v.numElements() - off, 0)
+        var best = -1; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cb.length) {
+          val cw = cb(c)
+          val n = math.min(cw.length, rem)
+          var d = 0.0; var i = 0
+          while (i < n) { val t = elemScala(v, et, off + i) - cw(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (s, c, i, n) = (ctx.freshName("s"), ctx.freshName("c"),
+          ctx.freshName("i"), ctx.freshName("n"))
+        val (off, rem, d, t, best, bestD, out) = (ctx.freshName("off"),
+          ctx.freshName("rem"), ctx.freshName("d"), ctx.freshName("t"),
+          ctx.freshName("best"), ctx.freshName("bestD"), ctx.freshName("out"))
+        val idx = ctx.freshName("idx")
+        s"""
+           |int[] $out = new int[$cbs.length];
+           |for (int $s = 0; $s < $cbs.length; $s++) {
+           |  double[][] cb = $cbs[$s];
+           |  int $off = $s * $dsub;
+           |  int $rem = java.lang.Math.max($a.numElements() - $off, 0);
+           |  int $best = -1;
+           |  double $bestD = Double.POSITIVE_INFINITY;
+           |  for (int $c = 0; $c < cb.length; $c++) {
+           |    double[] cw = cb[$c];
+           |    int $n = java.lang.Math.min(cw.length, $rem);
+           |    double $d = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      int $idx = $off + $i;
+           |      double $t = ${elemJava(a, elementType(child), idx)} - cw[$i];
+           |      $d += $t * $t;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |  }
+           |  $out[$s] = $best;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): PqAssign =
+      copy(child = c)
+  }
+
   // ---------------- Column-level entry points ----------------
 
   def arrayDot(a: Column, b: Column): Column =
@@ -451,4 +690,26 @@ object VectorExpressions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def arraySub(a: Column, b: Column): Column =
+    ColumnBridge.column(ArraySub(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def arrayAdd(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayAdd(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def pqReconstruct(v: Column, codebooks: Array[Array[Array[Double]]],
+                    dsub: Int): Column = {
+    require(codebooks.nonEmpty && codebooks.forall(cb =>
+      cb.nonEmpty && cb.forall(_.length == dsub)),
+      s"every codeword must be dsub=$dsub wide")
+    ColumnBridge.column(PqReconstruct(ColumnBridge.expression(v), codebooks, dsub))
+  }
+
+  def pqAssign(v: Column, codebooks: Array[Array[Array[Double]]],
+               dsub: Int): Column = {
+    require(codebooks.nonEmpty && codebooks.forall(cb =>
+      cb.nonEmpty && cb.forall(_.length == dsub)),
+      s"every codeword must be dsub=$dsub wide")
+    ColumnBridge.column(PqAssign(ColumnBridge.expression(v), codebooks, dsub))
+  }
 }

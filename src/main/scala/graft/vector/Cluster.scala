@@ -265,10 +265,12 @@ object Cluster {
     }
     for (_ <- 1 to iters) {
       val cbs = codebooks
-      // per-row: m narrow argmins (one per subspace, static unroll),
-      // then one posexplode + one (subspace, cluster, subdim) average
-      val assigns = array((0 until m).map(s =>
-        nearestCluster(slice(col("v"), s * dsub + 1, dsub), cbs(s))): _*)
+      // per-row: the fused m-argmin kernel ([[VectorExpressions
+      // .PqAssign]], round 12 — the static array-of-slice-argmins
+      // unroll generated JIT-uncompilable whole-stage code, see
+      // pqReconstruct), then one posexplode + one (subspace, cluster,
+      // subdim) average
+      val assigns = VectorExpressions.pqAssign(col("v"), cbs.toArray, dsub)
       val updated = fitRows
         .select(assigns.as("__a"), posexplode(col("v")).as(Seq("__dim", "__x")))
         .select((col("__dim") / dsub).cast("int").as("__s"),
@@ -291,14 +293,15 @@ object Cluster {
   }
 
   /** Narrow PQ encode + reconstruct: per subspace, argmin over the
-    * literal codebook, then the codeword array looked up by id. */
+    * codebook, then the chosen codewords concatenated. One fused
+    * native kernel since round 12 ([[VectorExpressions.PqReconstruct]]
+    * — bit-identical to the m-way slice/argmin/element_at/concat
+    * composition it replaces, which generated a whole-stage function
+    * past the JVM JIT's huge-method threshold and silently ran the
+    * entire encode stage in the bytecode interpreter). */
   private def pqReconstruct(v: Column, codebooks: Seq[Array[Array[Double]]],
                             dsub: Int): Column =
-    concat(codebooks.zipWithIndex.map { case (cb, s) =>
-      element_at(
-        typedLit(cb.map(_.toSeq).toSeq),
-        nearestCluster(slice(v, s * dsub + 1, dsub), cb) + 1)
-    }: _*)
+    VectorExpressions.pqReconstruct(v, codebooks.toArray, dsub)
 
   /** Rule-7 salted two-stage top-`rerank` per query over a scored
     * candidate set carrying (query_id, neighbor_id, __adc, …): first a
@@ -413,23 +416,41 @@ object Cluster {
     val centArr = centroidMatrix(centroids)
     val kActual = centroids.length
     val centLit = typedLit(centArr.map(_.toSeq).toSeq)
-    // residual codebooks: fit rows re-expressed as x − c_cell(x)
-    val resFitRows = fitRows.select(col("__id"), asDouble("v").as("__vd"))
-      .withColumn("__cl", nearestCluster(col("__vd"), centArr))
+    // residual codebooks: fit rows re-expressed as x − c_cell(x).
+    // Native arraySub, not zip_with (round 12): the HOF is
+    // CodegenFallback — an interpreted boxed-Double lambda per ELEMENT,
+    // re-run on every fit iteration (QueryStageProbe at sf1: the two
+    // codebook iterations were 46 of e62's ~80 task-seconds). The
+    // native expression reads the raw (float or double) vector
+    // directly, so the asDouble transform pass disappears too;
+    // per-element double widening keeps the residuals bit-identical.
+    val resFitRows = fitRows
+      .withColumn("__cl", nearestCluster(col("v"), centArr))
       .select(col("__id"),
-        zip_with(col("__vd"), element_at(centLit, col("__cl") + 1),
-          (a, b) => a - b).as("v"))
+        VectorExpressions.arraySub(col("v"),
+          element_at(centLit, col("__cl") + 1)).as("v"))
     val (codebooks, dsub) = fitPqCodebooks(resFitRows, m, ksub, pqIters)
-    // encode the FULL corpus: cell + residual codes; x̂ = c_cell + q(r)
-    val enc = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    // encode the FULL corpus: cell + residual codes; x̂ = c_cell + q(r).
+    // Native arraySub/arrayAdd in place of the round-11 zip_with pair
+    // (CodegenFallback — interpreted per element) keeps the whole
+    // corpus-linear encode inside whole-stage codegen; the raw vector
+    // feeds the expressions directly (per-element double widening ≡
+    // the dropped asDouble pass, bit-identical)
+    // the residual is STAGED through its own projection (the c11
+    // cofactor-staging lesson): inlining arraySub under pqReconstruct
+    // would re-evaluate it once per subspace slice (m×/row) and inflate
+    // the generated function toward the JIT huge-method limit —
+    // measured 45.9 vs 9.1 task-seconds on the sf1 encode stage before
+    // staging. Aliased once, CollapseProject keeps it a separate
+    // non-duplicated projection and every slice reads the attribute.
+    val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .filter(col("cv").isNotNull)
       .withColumn("cluster", nearestCluster(col("cv"), centArr))
       .withColumn("__cent", element_at(centLit, col("cluster") + 1))
+      .withColumn("__res", VectorExpressions.arraySub(col("cv"), col("__cent")))
       .withColumn("rv",
-        zip_with(col("__cent"),
-          pqReconstruct(zip_with(col("cv"), col("__cent"), (a, b) => a - b),
-            codebooks, dsub),
-          (a, b) => a + b))
+        VectorExpressions.arrayAdd(col("__cent"),
+          pqReconstruct(col("__res"), codebooks, dsub)))
       .withColumn("rn2", VectorExpressions.arrayNorm2(col("rv")))
       .select(col("neighbor_id"), col("cluster"), col("rv"), col("rn2"))
     maxCellSize.foreach(cap => guardCellSizes(enc, cap, "ivfPqAnnTopK"))

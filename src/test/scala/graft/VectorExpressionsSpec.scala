@@ -32,6 +32,51 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("arraySub and arrayAdd are bit-identical to the zip_with forms they replace") {
+    // round 12: the IVF-PQ residual path swapped interpreted
+    // zip_with(_-_)/zip_with(_+_) for these natives — equality must be
+    // EXACT (the e62 lossless spec depends on bit-identical x̂), with
+    // the raw float input widening per element like an up-front cast
+    val cent = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val centCol = typedLit(cent.toSeq)
+    val out = df.select(col("id"),
+      VectorExpressions.arraySub(col("vec"), centCol).as("sub"),
+      VectorExpressions.arrayAdd(col("vec"), centCol).as("add"),
+      zip_with(transform(col("vec"), _.cast("double")), centCol, (a, b) => a - b).as("zsub"),
+      zip_with(transform(col("vec"), _.cast("double")), centCol, (a, b) => a + b).as("zadd"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Double]](1) == r.getAs[scala.collection.Seq[Double]](3))
+      assert(r.getAs[scala.collection.Seq[Double]](2) == r.getAs[scala.collection.Seq[Double]](4))
+    }
+  }
+
+  test("pqReconstruct and pqAssign match the slice/argmin/element_at composition") {
+    // round 12: the fused kernels replace the m-way unrolled
+    // composition (which generated JIT-uncompilable whole-stage code);
+    // equality must be EXACT — same slice offsets, distance fold
+    // order, tie resolution, and short-tail guard
+    val m = 4; val dsub = dim / m
+    val cbs: Array[Array[Array[Double]]] = Array.fill(m)(
+      Array.fill(6)(Array.fill(dsub)(rnd.nextDouble() * 2 - 1)))
+    val composed = concat(cbs.zipWithIndex.map { case (cb, s) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq),
+        VectorExpressions.nearestCentroid(slice(col("vec"), s * dsub + 1, dsub), cb) + 1)
+    }.toIndexedSeq: _*)
+    val assignsComposed = array(cbs.zipWithIndex.map { case (cb, s) =>
+      VectorExpressions.nearestCentroid(slice(col("vec"), s * dsub + 1, dsub), cb)
+    }.toIndexedSeq: _*)
+    val out = df.select(
+      VectorExpressions.pqReconstruct(col("vec"), cbs, dsub).as("f"),
+      composed.as("c"),
+      VectorExpressions.pqAssign(col("vec"), cbs, dsub).as("fa"),
+      assignsComposed.as("ca")).collect()
+    out.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Double]](0) == r.getAs[scala.collection.Seq[Double]](1))
+      assert(r.getAs[scala.collection.Seq[Int]](2) == r.getAs[scala.collection.Seq[Int]](3))
+    }
+  }
+
   test("nearestCentroid and centroidDistances match driver argmin") {
     val cents = Array.fill(5)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
     val out = df.select(col("id"),
