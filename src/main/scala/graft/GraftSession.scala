@@ -46,6 +46,17 @@ object GraftSession {
       // 128k keeps those hash-based with a safety valve for genuinely
       // huge per-partition group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // hugeMethodLimit stays at Spark's 64 KB default DELIBERATELY
+      // (round 12): tools/CodegenSizeAudit found 3 stages surface-wide
+      // whose largest generated method exceeds the JVM JIT's ~8 KB
+      // threshold (e3/e53/e56 at 8.3-9.1 KB). Setting the limit to
+      // 8000 de-fuses those stages — measured STRICTLY WORSE at sf0.1
+      // (e3 1.21→7.52 s, e53 1.66→4.25 s min-of-3): a slightly-over
+      // glue method still runs its hot inner loops through JIT-compiled
+      // sub-methods, while losing whole-stage fusion costs per-row
+      // virtual calls everywhere. The real cure for a GROSSLY oversized
+      // method is shrinking the kernel (the e62 PqReconstruct fusion,
+      // 5x), never de-fusing the stage.
       .config("spark.sql.session.timeZone", "UTC")
       // Feeds carrying TIMESTAMP(NANOS) parquet timestamps (events) are
       // read as nanos-since-epoch longs — set once at session build so
