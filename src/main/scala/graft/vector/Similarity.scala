@@ -355,11 +355,13 @@ object Similarity {
     val scored = cand.withColumn("cosine",
       round(dot(col("query_v"), col("neighbor_v")) /
         (sqrt(col("query_n2")) * sqrt(col("neighbor_n2"))), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // rule-7 salted two-stage rank (round 12): a query's same-bucket
+    // candidate set grows with occupancy (corpus/2^bits per band), so
+    // the plain per-query window funnels it through one task at scale.
+    // Output identical (e42 exactness).
+    Cluster.saltedTopK(scored, "cosine", k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
-        col("rank").cast("long").as("rank"))
+        col("__ar").cast("long").as("rank"))
   }
 
   /** Hard-negative mining for contrastive training (round 9): for
@@ -413,12 +415,11 @@ object Similarity {
     val scored = cand.withColumn("cosine",
       round(dot(col("query_v"), col("neighbor_v")) /
         (sqrt(col("query_n2")) * sqrt(col("neighbor_n2"))), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // rule-7 salted two-stage rank (round 12) — the annLshTopK note
+    Cluster.saltedTopK(scored, "cosine", k)
       .select(col("query_id"), col("query_label"),
         col("neighbor_id"), col("neighbor_label"),
-        round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+        round(col("cosine"), 4).as("cosine"), col("__ar").cast("long").as("rank"))
   }
 
   /** Index-quality gate: recall@k of the LSH ANN path against the exact

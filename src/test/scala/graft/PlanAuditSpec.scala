@@ -445,13 +445,16 @@ class PlanAuditSpec extends SparkSpec {
     // rule-7 flag): its exact-cosine rank now runs the same salted
     // two-stage form — stage 1 on (query_id, __sb), final rank over
     // ≤ SALT·topK survivors
-    for (q <- Seq("e61_pq_ann", "e62_ann_ivfpq", "e13_ann_ivf")) {
+    // e7/e59 joined in round 12 too: their bucket-candidate rank runs
+    // the same salted two-stage form (occupancy grows with the corpus)
+    for (q <- Seq("e61_pq_ann", "e62_ann_ivfpq", "e13_ann_ivf",
+                  "e7_ann_lsh", "e59_hard_negatives")) {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
       assert("windowspecdefinition\\(query_id#\\d+L, __sb".r.findAllIn(plan).nonEmpty,
         s"$q lost the salted stage-1 window:\n$plan")
       // for e13/e62, the scoring join keys on the probed cell, so no
       // window ever sees more than one query's probed-cell candidates
-      if (q != "e61_pq_ann")
+      if (q == "e13_ann_ivf" || q == "e62_ann_ivfpq")
         assert(plan.contains("BroadcastHashJoin [cluster"), s"$q probe join:\n$plan")
     }
   }
